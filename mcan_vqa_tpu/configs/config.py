@@ -1,0 +1,213 @@
+"""Three-tier configuration: dataclass defaults <- YAML model file <- CLI args.
+
+Mirrors the knob names and defaults of the reference config
+(reference: cfgs/base_cfgs.py:15-239, cfgs/small_model.yml, cfgs/large_model.yml)
+so a user of the reference can bring their YAML/CLI flags unchanged, but is a
+clean dataclass design: derived values are computed in ``finalize()`` instead
+of mutating an attribute bag in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import yaml
+
+
+@dataclass
+class Config:
+    # ---- version / run control (reference: cfgs/base_cfgs.py:19-45) ----
+    seed: int = 444
+    version: str = ""                 # defaults to str(seed) in finalize()
+    run_mode: str = "train"           # {'train','val','test','visualize'}
+    resume: bool = False
+    ckpt_version: str = ""
+    ckpt_epoch: int = 0
+    ckpt_path: str = ""               # explicit checkpoint file; overrides version/epoch
+    verbose: bool = True
+
+    # ---- data provider (reference: cfgs/base_cfgs.py:50-113) ----
+    eval_every_epoch: bool = True
+    test_save_pred: bool = False
+    preload: bool = False
+    train_split: str = "train+val+vg"
+    use_glove: bool = True
+    word_embed_size: int = 300
+    max_token: int = 14
+    img_feat_pad_size: int = 60
+    img_feat_size: int = 2048
+    batch_size: int = 64
+    num_workers: int = 4
+    grad_accu_steps: int = 1
+
+    # ---- network (reference: cfgs/base_cfgs.py:116-141) ----
+    layer: int = 6
+    hidden_size: int = 512
+    multi_head: int = 8
+    dropout_rate: float = 0.1
+    flat_mlp_size: int = 512
+    flat_glimpses: int = 1
+    flat_out_size: int = 1024
+
+    # ---- optimizer (reference: cfgs/base_cfgs.py:144-165) ----
+    lr_base: float = 1e-4
+    lr_decay_rate: float = 0.2
+    lr_decay_list: List[int] = field(default_factory=lambda: [8, 12])
+    max_epoch: int = 13
+    grad_norm_clip: float = -1.0
+    opt_betas: tuple = (0.9, 0.98)
+    opt_eps: float = 1e-9
+    weight_decay: float = 1e-4        # reference: core/model/optim.py:63
+
+    # ---- MIMIC / classifier extras (reference: run_mimic.py:21-136) ----
+    reg_factor: float = 0.0
+    eval_interval: int = 1000
+    mutan_gamma: int = 2
+
+    # ---- TPU-native knobs (new; no reference analogue) ----
+    compute_dtype: str = "bfloat16"   # matmul compute dtype; params stay fp32
+    mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1, "model": 1})
+    donate_buffers: bool = True
+    debug_nans: bool = False
+    profile_dir: str = ""             # if set, jax.profiler traces go here
+
+    # ---- paths (reference: cfgs/path_cfgs.py) ----
+    dataset_path: str = "./datasets/vqa/"
+    feature_path: str = "./datasets/coco_extract/"
+    feature_cache_path: str = "./datasets/feature_cache/"   # packed-shard cache (new)
+    cxr_data_path: str = "./datasets/mimic/mimic_"
+    cxr_img_feat_path: str = "./datasets/mimic/cmb_bbox_features_full.hdf5"
+    ana_pool_finding_path: str = "./datasets/mimic/bbox_disease_features_by_coords.hdf5"
+    result_path: str = "./results/result_test/"
+    pred_path: str = "./results/pred/"
+    cache_path: str = "./results/cache/"
+    log_path: str = "./results/log/"
+    ckpts_dir: str = "./ckpts/"
+    vocab_cache_path: str = "./results/cache/vocab.npz"     # cached (token_to_ix, emb)
+
+    # ---- derived (filled by finalize(); do not set directly) ----
+    ff_size: int = 0
+    hidden_size_head: int = 0
+    sub_batch_size: int = 0
+    eval_batch_size: int = 0
+
+    # ------------------------------------------------------------------
+    def finalize(self) -> "Config":
+        """Validate and compute derived values (reference: cfgs/base_cfgs.py:183-239)."""
+        assert self.run_mode in ("train", "val", "test", "visualize"), self.run_mode
+        assert self.batch_size % self.grad_accu_steps == 0, (
+            f"batch_size {self.batch_size} must divide by grad_accu_steps "
+            f"{self.grad_accu_steps}")
+        assert self.hidden_size % self.multi_head == 0, (
+            f"hidden_size {self.hidden_size} must divide by multi_head "
+            f"{self.multi_head}")
+
+        if not self.version:
+            self.version = str(self.seed)
+        if not self.ckpt_version:
+            self.ckpt_version = self.version
+
+        self.ff_size = self.hidden_size * 4
+        self.hidden_size_head = self.hidden_size // self.multi_head
+        self.sub_batch_size = self.batch_size // self.grad_accu_steps
+        self.eval_batch_size = self.sub_batch_size
+
+        # Host-side seeding (device-side randomness uses jax.random keys
+        # derived from self.seed; there is no global device RNG to seed).
+        np.random.seed(self.seed)
+        random.seed(self.seed)
+        return self
+
+    # ------------------------------------------------------------------
+    def merge_dict(self, d: Dict[str, Any]) -> "Config":
+        """Overlay a dict of overrides (YAML tier or CLI tier)."""
+        names = {f.name for f in dataclasses.fields(self)}
+        for k, v in d.items():
+            k = k.lower()
+            if k not in names:
+                raise KeyError(f"unknown config key: {k!r}")
+            if v is not None:
+                setattr(self, k, v)
+        return self
+
+    @classmethod
+    def from_yaml(cls, path: str, overrides: Optional[Dict[str, Any]] = None) -> "Config":
+        cfg = cls()
+        with open(path) as f:
+            y = yaml.safe_load(f) or {}
+        cfg.merge_dict(y)
+        if overrides:
+            cfg.merge_dict(overrides)
+        return cfg.finalize()
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    # ---- path tables (reference: cfgs/path_cfgs.py:22-77) ----
+    @property
+    def img_feat_path(self) -> Dict[str, str]:
+        return {
+            "train": os.path.join(self.feature_path, "train2014/"),
+            "val": os.path.join(self.feature_path, "val2014/"),
+            "test": os.path.join(self.feature_path, "test2015/"),
+        }
+
+    @property
+    def question_path(self) -> Dict[str, str]:
+        return {
+            "train": os.path.join(self.dataset_path, "v2_OpenEnded_mscoco_train2014_questions.json"),
+            "val": os.path.join(self.dataset_path, "v2_OpenEnded_mscoco_val2014_questions.json"),
+            "test": os.path.join(self.dataset_path, "v2_OpenEnded_mscoco_test2015_questions.json"),
+            "vg": os.path.join(self.dataset_path, "VG_questions.json"),
+        }
+
+    @property
+    def answer_path(self) -> Dict[str, str]:
+        return {
+            "train": os.path.join(self.dataset_path, "v2_mscoco_train2014_annotations.json"),
+            "val": os.path.join(self.dataset_path, "v2_mscoco_val2014_annotations.json"),
+            "vg": os.path.join(self.dataset_path, "VG_annotations.json"),
+        }
+
+    @property
+    def mimic_qa_path(self) -> Dict[str, str]:
+        return {
+            "train": self.cxr_data_path + "dataset_train_full.pkl",
+            "val": self.cxr_data_path + "dataset_val_full.pkl",
+            "test": self.cxr_data_path + "dataset_test_full.pkl",
+        }
+
+    @property
+    def mimic_ans_dict_path(self) -> Dict[str, str]:
+        return {
+            "ans2idx": self.cxr_data_path + "ans2label_full.pkl",
+            "idx2ans": self.cxr_data_path + "label2ans_full.pkl",
+        }
+
+    def init_result_dirs(self) -> None:
+        for p in (self.result_path, self.pred_path, self.cache_path,
+                  self.log_path, self.ckpts_dir):
+            os.makedirs(p, exist_ok=True)
+
+    def check_vqa_paths(self) -> List[str]:
+        """Return missing required VQA-v2 paths (reference: cfgs/path_cfgs.py:79-97)."""
+        missing = []
+        for table in (self.img_feat_path, self.question_path, self.answer_path):
+            for p in table.values():
+                if not os.path.exists(p):
+                    missing.append(p)
+        return missing
+
+    def check_mimic_paths(self) -> List[str]:
+        missing = []
+        if not os.path.exists(self.cxr_img_feat_path):
+            missing.append(self.cxr_img_feat_path)
+        for p in self.mimic_qa_path.values():
+            if not os.path.exists(p):
+                missing.append(p)
+        return missing

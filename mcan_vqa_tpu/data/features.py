@@ -1,0 +1,132 @@
+"""Image region-feature handling: padding, masking, and a packed shard cache.
+
+The reference streams 400k+ tiny ``.npz`` files (one per image) through
+DataLoader worker processes (reference: core/data/load_data.py:99-150). On a
+TPU host that file-per-item pattern is the input bottleneck, so this module
+adds a *packed cache*: all features are written once into a few large
+``.npy``-backed shards with an index, then served via zero-copy ``np.memmap``
+reads. The original per-file reader is kept for compatibility.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def pad_img_feat(img_feat: np.ndarray, pad_size: int) -> np.ndarray:
+    """Truncate to / zero-pad rows up to ``pad_size``
+    (reference: core/data/data_utils.py:119-130).
+
+    Pad rows stay all-zero: the model recovers the validity mask from them.
+    """
+    if img_feat.shape[0] > pad_size:
+        img_feat = img_feat[:pad_size]
+    out = np.zeros((pad_size,) + img_feat.shape[1:], dtype=img_feat.dtype)
+    out[: img_feat.shape[0]] = img_feat
+    return out
+
+
+def iid_from_path(path: str) -> str:
+    """Extract COCO image id from a BUTD feature filename
+    (reference: core/data/data_utils.py:20-27)."""
+    return str(int(path.split("/")[-1].split("_")[-1].split(".")[0]))
+
+
+def glob_feature_paths(feat_dir: str) -> Dict[str, str]:
+    """{image_id: npz path} for one split directory."""
+    return {iid_from_path(p): p for p in glob.glob(os.path.join(feat_dir, "*.npz"))}
+
+
+def load_npz_feature(path: str) -> np.ndarray:
+    """Load one BUTD npz -> features [n_regions, 2048]
+    (stored transposed as 'x' [2048, n]; reference: core/data/load_data.py:116-117)."""
+    with np.load(path) as z:
+        return z["x"].transpose(1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Packed shard cache (TPU-native input path; no reference analogue)
+# ---------------------------------------------------------------------------
+
+class PackedFeatureCache:
+    """All region features of a split packed into one flat fp16 memmap.
+
+    Layout on disk (under ``cache_dir``):
+      features.bin   float16 [total_rows, feat_dim]   (memmap)
+      index.json     {image_id: [row_start, n_rows]}, feat_dim, total_rows
+
+    fp16 halves host I/O vs the fp32 npz files; features are upcast (or cast
+    straight to bfloat16) on device. Lookup is two memmap slices — no file
+    open, no zlib inflate, no Python-side transpose.
+    """
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+        with open(os.path.join(cache_dir, "index.json")) as f:
+            meta = json.load(f)
+        self.feat_dim: int = meta["feat_dim"]
+        self.index: Dict[str, Tuple[int, int]] = {
+            k: tuple(v) for k, v in meta["index"].items()
+        }
+        self._mm = np.memmap(
+            os.path.join(cache_dir, "features.bin"),
+            dtype=np.float16,
+            mode="r",
+            shape=(meta["total_rows"], self.feat_dim),
+        )
+
+    def __contains__(self, iid: str) -> bool:
+        return iid in self.index
+
+    def get(self, iid: str) -> np.ndarray:
+        start, n = self.index[iid]
+        return np.asarray(self._mm[start : start + n])
+
+    def get_padded(self, iid: str, pad_size: int, dtype=np.float32) -> np.ndarray:
+        start, n = self.index[iid]
+        n = min(n, pad_size)
+        out = np.zeros((pad_size, self.feat_dim), dtype=dtype)
+        out[:n] = self._mm[start : start + n]
+        return out
+
+    @staticmethod
+    def build(npz_dir_or_paths, cache_dir: str, feat_dim: int = 2048,
+              log_every: int = 5000) -> "PackedFeatureCache":
+        """One-shot packing pass: npz files -> flat fp16 shard + index."""
+        if isinstance(npz_dir_or_paths, str):
+            paths = sorted(glob.glob(os.path.join(npz_dir_or_paths, "*.npz")))
+        else:
+            paths = list(npz_dir_or_paths)
+        os.makedirs(cache_dir, exist_ok=True)
+
+        index: Dict[str, List[int]] = {}
+        total = 0
+        sizes = []
+        for p in paths:
+            with np.load(p) as z:
+                n = z["x"].shape[1]
+            sizes.append(n)
+            index[iid_from_path(p)] = [total, n]
+            total += n
+
+        mm = np.memmap(
+            os.path.join(cache_dir, "features.bin"),
+            dtype=np.float16, mode="w+", shape=(max(total, 1), feat_dim),
+        )
+        for i, p in enumerate(paths):
+            feat = load_npz_feature(p)
+            start, n = index[iid_from_path(p)]
+            mm[start : start + n] = feat.astype(np.float16)
+            if log_every and i % log_every == 0:
+                print(f"packing features: {i}/{len(paths)}", flush=True)
+        mm.flush()
+
+        with open(os.path.join(cache_dir, "index.json"), "w") as f:
+            json.dump({"feat_dim": feat_dim, "total_rows": max(total, 1),
+                       "index": index}, f)
+        return PackedFeatureCache(cache_dir)

@@ -1,0 +1,50 @@
+"""Multi-head attention module (reference: core/model/mca.py:18-78).
+
+Projects q/k/v with Dense layers, splits heads, runs the fused masked
+attention op (Pallas on the serving path, XLA for training with attention-map
+dropout), merges heads, and projects the output.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mcan_vqa_tpu.models.layers import Dense
+from mcan_vqa_tpu.ops.masked_attention import masked_attention
+
+
+class MHAtt(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, v, k, q, mask, deterministic: bool = True):
+        B, Lq = q.shape[0], q.shape[1]
+        Lk = k.shape[1]
+        H, Dh = self.num_heads, self.hidden_size // self.num_heads
+
+        def split_heads(x, L):
+            return x.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+
+        vp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_v")(v), Lk)
+        kp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_k")(k), Lk)
+        qp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_q")(q), Lq)
+
+        dropout_rng = None
+        rate = self.dropout_rate if not deterministic else 0.0
+        if rate > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        atted = masked_attention(
+            qp, kp, vp, mask,
+            dropout_rate=rate, dropout_rng=dropout_rng,
+            compute_dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )  # [B, H, Lq, Dh] fp32
+
+        atted = atted.transpose(0, 2, 1, 3).reshape(B, Lq, self.hidden_size)
+        return Dense(self.hidden_size, dtype=self.dtype, name="linear_merge")(atted)

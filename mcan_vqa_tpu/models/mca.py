@@ -1,0 +1,134 @@
+"""MCA layers: FFN, SA (self-attention), SGA (self-guided attention), and the
+deep encoder-decoder backbone MCA_ED (reference: core/model/mca.py:85-207).
+
+Architecture notes preserved from the reference:
+  * post-norm residuals: norm(x + dropout(sublayer(x)))
+  * the decoder (SGA stack over image regions) attends to the FINAL encoder
+    output, not layer-wise pairs (reference: core/model/mca.py:178-186)
+  * SGA: self-attention on x (image), then cross-attention with image queries
+    over question keys/values, then FFN — three norms.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mcan_vqa_tpu.models.attention import MHAtt
+from mcan_vqa_tpu.models.layers import MLPBlock, StdLayerNorm
+
+
+class FFN(nn.Module):
+    """hidden -> 4*hidden (ReLU, dropout) -> hidden (reference: core/model/mca.py:85-98)."""
+
+    hidden_size: int
+    ff_size: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        return MLPBlock(
+            mid_features=self.ff_size, out_features=self.hidden_size,
+            dropout_rate=self.dropout_rate, use_relu=True, dtype=self.dtype,
+            name="mlp")(x, deterministic)
+
+
+class SA(nn.Module):
+    """Self-attention block (reference: core/model/mca.py:105-127)."""
+
+    hidden_size: int
+    num_heads: int
+    ff_size: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, x_mask, deterministic: bool = True):
+        drop = lambda y: nn.Dropout(self.dropout_rate,
+                                    deterministic=deterministic)(y)
+        att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
+                    dtype=self.dtype, use_pallas=self.use_pallas,
+                    name="mhatt")(x, x, x, x_mask, deterministic)
+        x = StdLayerNorm(name="norm1")(x + drop(att))
+        ff = FFN(self.hidden_size, self.ff_size, self.dropout_rate,
+                 dtype=self.dtype, name="ffn")(x, deterministic)
+        x = StdLayerNorm(name="norm2")(x + drop(ff))
+        return x
+
+
+class SGA(nn.Module):
+    """Self-guided attention block (reference: core/model/mca.py:134-164).
+
+    x: image regions (queries), y: encoded question (keys/values).
+    """
+
+    hidden_size: int
+    num_heads: int
+    ff_size: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
+        drop = lambda z: nn.Dropout(self.dropout_rate,
+                                    deterministic=deterministic)(z)
+        kw = dict(dtype=self.dtype, use_pallas=self.use_pallas)
+        self_att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
+                         name="mhatt1", **kw)(x, x, x, x_mask, deterministic)
+        x = StdLayerNorm(name="norm1")(x + drop(self_att))
+        cross_att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
+                          name="mhatt2", **kw)(y, y, x, y_mask, deterministic)
+        x = StdLayerNorm(name="norm2")(x + drop(cross_att))
+        ff = FFN(self.hidden_size, self.ff_size, self.dropout_rate,
+                 dtype=self.dtype, name="ffn")(x, deterministic)
+        x = StdLayerNorm(name="norm3")(x + drop(ff))
+        return x
+
+
+class MCAEncoderDecoder(nn.Module):
+    """MCA_ED: L x SA over the question, then L x SGA over image regions
+    guided by the final question encoding (reference: core/model/mca.py:171-186)."""
+
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    ff_size: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
+        kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
+                  ff_size=self.ff_size, dropout_rate=self.dropout_rate,
+                  dtype=self.dtype, use_pallas=self.use_pallas)
+        for i in range(self.num_layers):
+            x = SA(name=f"enc_{i}", **kw)(x, x_mask, deterministic)
+        for i in range(self.num_layers):
+            y = SGA(name=f"dec_{i}", **kw)(y, x, y_mask, x_mask, deterministic)
+        return x, y
+
+
+class MCAEncoder(nn.Module):
+    """SA-only stack over image features for the image-only classifier
+    (reference: core/model/mca.py:189-207)."""
+
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    ff_size: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, y, y_mask, deterministic: bool = True):
+        kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
+                  ff_size=self.ff_size, dropout_rate=self.dropout_rate,
+                  dtype=self.dtype, use_pallas=self.use_pallas)
+        for i in range(self.num_layers):
+            y = SA(name=f"enc_{i}", **kw)(y, y_mask, deterministic)
+        return y

@@ -1,0 +1,150 @@
+"""Masked scaled-dot-product attention: XLA reference path + Pallas TPU kernel.
+
+Semantics (reference: core/model/mca.py:65-78): scores = QK^T / sqrt(d_k);
+pad positions get -1e9 before softmax; dropout is applied to the attention
+map (not the output); result = map @ V.
+
+Two implementations with identical numerics:
+  * ``masked_attention_xla`` — pure jnp; XLA fuses well at MCAN's tiny
+    sequence lengths (14 question tokens / 60 regions). Used for training
+    (supports attention-map dropout) and as the test oracle.
+  * ``masked_attention_pallas`` — a fused Pallas kernel that keeps the
+    [L, L] score matrix in VMEM, avoiding HBM round-trips of the attention
+    map. Used on the inference/serving path.
+
+``masked_attention`` dispatches between them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9
+
+
+def masked_attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """q,k,v: [B, H, Lq, Dh] / [B, H, Lk, Dh]; mask: bool [B, 1, 1, Lk].
+
+    Matmuls run in ``compute_dtype`` on the MXU; softmax in float32.
+    """
+    d_k = q.shape[-1]
+    scale = 1.0 / (d_k ** 0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(compute_dtype), k.astype(compute_dtype),
+        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask, _NEG_INF, scores)
+    att = jax.nn.softmax(scores, axis=-1)  # fp32
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, att.shape)
+        att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", att.astype(compute_dtype), v.astype(compute_dtype),
+        preferred_element_type=jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+#
+# Shapes here are small (L <= 128, Dh = 64..128), so the whole (head, query
+# block) fits in VMEM: one grid step computes softmax(QK^T + mask) @ V for a
+# (batch-tile, head) pair without materializing the attention map in HBM.
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    # Blocks (one batch element, one head): q [1,1,Lq,Dh], k/v [1,1,Lk,Dh],
+    # mask [1,1,Lk] (int8; 1 = pad), o [1,1,Lq,Dh]
+    q = q_ref[0, 0].astype(jnp.bfloat16)          # [Lq, Dh]
+    k = k_ref[0, 0].astype(jnp.bfloat16)          # [Lk, Dh]
+    v = v_ref[0, 0].astype(jnp.bfloat16)          # [Lk, Dh]
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                      # [Lq, Lk]
+    pad = mask_ref[0].astype(jnp.float32)          # [1, Lk]
+    scores = scores + pad * _NEG_INF
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    att = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(att.astype(jnp.bfloat16), v,
+                  preferred_element_type=jnp.float32)  # [Lq, Dh]
+    o_ref[0, 0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention: q,k,v [B, H, L, Dh]; mask bool [B, 1, 1, Lk] or None.
+
+    Inference path (no attention-map dropout). Grid over (batch, head); the
+    full per-head score matrix lives in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    scale = 1.0 / (Dh ** 0.5)
+
+    if mask is None:
+        pad = jnp.zeros((B, 1, Lk), jnp.int8)
+    else:
+        pad = mask[:, 0].astype(jnp.int8)  # [B, 1, Lk]
+
+    grid = (B, H)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Lq, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Lq, Dh), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, Dh), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, pad)
+    return out
+
+
+def masked_attention(
+    q, k, v, mask, *,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    compute_dtype=jnp.bfloat16,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """Dispatch: Pallas fused kernel when no attention-map dropout is needed,
+    XLA path otherwise (training with dropout)."""
+    if use_pallas and (dropout_rate == 0.0 or dropout_rng is None):
+        return masked_attention_pallas(q, k, v, mask, interpret=interpret)
+    return masked_attention_xla(
+        q, k, v, mask, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        compute_dtype=compute_dtype)

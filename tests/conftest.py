@@ -1,0 +1,22 @@
+"""Test env: force an 8-device virtual CPU mesh so sharding tests run
+anywhere (the real-TPU bench path is exercised separately by bench.py).
+
+Note: this container pre-imports jax at interpreter startup (axon
+sitecustomize), so env vars alone are too late — jax.config.update is the
+reliable override before any backend initializes.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
