@@ -1,0 +1,124 @@
+"""Jitted training / evaluation steps.
+
+Loss: BCE-with-logits, sum reduction — numerically superior to the
+reference's sigmoid-in-graph + BCELoss(reduction='sum')
+(reference: core/model/net.py:373, core/exec.py:67) but produces identical
+gradients in exact arithmetic.
+
+Gradient accumulation: the reference slices a host batch into
+``grad_accu_steps`` sub-batches, backpropagating each and summing gradients
+(core/exec.py:163-208). Here that is a ``lax.scan`` over micro-batches inside
+ONE jitted step — the device sees a single fused program, no per-microbatch
+dispatch.
+
+Optional L1+L2 regularization matches ExecuteMIMIC: reg is added to every
+micro-batch loss (reference: core/exec.py:598-607, 1298-1303).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mcan_vqa_tpu.train.train_state import TrainState
+
+
+def bce_with_logits_sum(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Sum-reduced binary cross-entropy on logits.
+
+    Stable form: max(x, 0) - x*z + log1p(exp(-|x|)).
+    """
+    x = logits.astype(jnp.float32)
+    z = targets.astype(jnp.float32)
+    per_elem = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.sum(per_elem)
+
+
+def l1_l2_penalty(params) -> jnp.ndarray:
+    """sum(|p|) + sum(p^2) over all parameters
+    (reference: core/exec.py:1298-1303)."""
+    leaves = jax.tree.leaves(params)
+    l1 = sum(jnp.sum(jnp.abs(p)) for p in leaves)
+    l2 = sum(jnp.sum(jnp.square(p)) for p in leaves)
+    return l1 + l2
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    grad_accu_steps: int = 1,
+    reg_factor: float = 0.0,
+    lr_schedule: Optional[Callable] = None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the pure train step: (state, batch) -> (state, metrics).
+
+    batch = {"img": [B, R, F] f32, "ques": [B, T] i32, "target": [B, A] f32}
+    with B = grad_accu_steps * sub_batch_size.
+    """
+
+    def loss_fn(params, img, ques, target, rng):
+        out = model.apply({"params": params}, img, ques,
+                          deterministic=False, rngs={"dropout": rng})
+        loss = bce_with_logits_sum(out["logits"], target)
+        if reg_factor > 0.0:
+            loss = loss + reg_factor * l1_l2_penalty(params)
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        if grad_accu_steps == 1:
+            loss, grads = grad_fn(state.params, batch["img"], batch["ques"],
+                                  batch["target"], step_rng)
+        else:
+            def reshape(x):
+                return x.reshape((grad_accu_steps, -1) + x.shape[1:])
+
+            micro = jax.tree.map(reshape, batch)
+            rngs = jax.random.split(step_rng, grad_accu_steps)
+
+            def body(carry, xs):
+                loss_acc, grads_acc = carry
+                mb, rng = xs
+                loss, grads = grad_fn(state.params, mb["img"], mb["ques"],
+                                      mb["target"], rng)
+                return (loss_acc + loss,
+                        jax.tree.map(jnp.add, grads_acc, grads)), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_grads), (micro, rngs))
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """(params, batch) -> sigmoid probabilities [B, A]
+    (the boundary where the reference's in-graph sigmoid lives,
+    reference: core/model/net.py:373)."""
+
+    def eval_step(params, img, ques):
+        out = model.apply({"params": params}, img, ques, deterministic=True)
+        return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+
+    return eval_step

@@ -1,0 +1,241 @@
+"""Checkpoint tests: orbax save/restore roundtrip, torch-pickle import/export
+name mapping, and full-model numerical parity against a torch oracle.
+
+The torch oracle below is an independent PyTorch expression of the MCAN
+forward semantics (post-norm SA/SGA stack, std-LayerNorm, AttFlat, sigmoid
+head) used ONLY as a numerical reference for the import path.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+from mcan_vqa_tpu.configs import Config
+from mcan_vqa_tpu.models.net import build_mcan
+from mcan_vqa_tpu.train import checkpoint as ckpt
+from mcan_vqa_tpu.train.optim import make_optimizer
+from mcan_vqa_tpu.train.train_state import TrainState
+
+
+# ---------------------------------------------------------------------------
+# Torch oracle (test fixture)
+# ---------------------------------------------------------------------------
+
+class TLayerNorm(tnn.Module):
+    def __init__(self, size, eps=1e-6):
+        super().__init__()
+        self.eps = eps
+        self.a_2 = tnn.Parameter(torch.ones(size))
+        self.b_2 = tnn.Parameter(torch.zeros(size))
+
+    def forward(self, x):
+        mean = x.mean(-1, keepdim=True)
+        std = x.std(-1, keepdim=True)
+        return self.a_2 * (x - mean) / (std + self.eps) + self.b_2
+
+
+class TMLP(tnn.Module):
+    """Linear->ReLU [->dropout] -> Linear, torch module names fc.linear/linear."""
+
+    def __init__(self, d_in, d_mid, d_out):
+        super().__init__()
+        self.fc = tnn.Sequential()
+        self.fc.linear = tnn.Linear(d_in, d_mid)
+        self.linear = tnn.Linear(d_mid, d_out)
+
+    def forward(self, x):
+        return self.linear(torch.relu(self.fc.linear(x)))
+
+
+class TMHAtt(tnn.Module):
+    def __init__(self, d, h):
+        super().__init__()
+        self.d, self.h = d, h
+        self.linear_v = tnn.Linear(d, d)
+        self.linear_k = tnn.Linear(d, d)
+        self.linear_q = tnn.Linear(d, d)
+        self.linear_merge = tnn.Linear(d, d)
+
+    def forward(self, v, k, q, mask):
+        B = q.size(0)
+        dh = self.d // self.h
+        def split(x):
+            return x.view(B, -1, self.h, dh).transpose(1, 2)
+        v, k, q = split(self.linear_v(v)), split(self.linear_k(k)), split(self.linear_q(q))
+        scores = q @ k.transpose(-2, -1) / math.sqrt(dh)
+        scores = scores.masked_fill(mask, -1e9)
+        att = torch.softmax(scores, dim=-1)
+        out = (att @ v).transpose(1, 2).contiguous().view(B, -1, self.d)
+        return self.linear_merge(out)
+
+
+class TSA(tnn.Module):
+    def __init__(self, d, h, ff):
+        super().__init__()
+        self.mhatt = TMHAtt(d, h)
+        self.ffn = tnn.Module()
+        self.ffn.mlp = TMLP(d, ff, d)
+        self.norm1 = TLayerNorm(d)
+        self.norm2 = TLayerNorm(d)
+
+    def forward(self, x, m):
+        x = self.norm1(x + self.mhatt(x, x, x, m))
+        x = self.norm2(x + self.ffn.mlp(x))
+        return x
+
+
+class TSGA(tnn.Module):
+    def __init__(self, d, h, ff):
+        super().__init__()
+        self.mhatt1 = TMHAtt(d, h)
+        self.mhatt2 = TMHAtt(d, h)
+        self.ffn = tnn.Module()
+        self.ffn.mlp = TMLP(d, ff, d)
+        self.norm1 = TLayerNorm(d)
+        self.norm2 = TLayerNorm(d)
+        self.norm3 = TLayerNorm(d)
+
+    def forward(self, x, y, xm, ym):
+        x = self.norm1(x + self.mhatt1(x, x, x, xm))
+        x = self.norm2(x + self.mhatt2(y, y, x, ym))
+        x = self.norm3(x + self.ffn.mlp(x))
+        return x
+
+
+class TAttFlat(tnn.Module):
+    def __init__(self, d, d_mlp, glimpses, d_out):
+        super().__init__()
+        self.g = glimpses
+        self.mlp = TMLP(d, d_mlp, glimpses)
+        self.linear_merge = tnn.Linear(d * glimpses, d_out)
+
+    def forward(self, x, mask):
+        w = self.mlp(x)
+        w = w.masked_fill(mask.squeeze(1).squeeze(1).unsqueeze(2), -1e9)
+        w = torch.softmax(w, dim=1)
+        pooled = torch.cat(
+            [(w[:, :, i:i + 1] * x).sum(1) for i in range(self.g)], dim=1)
+        return self.linear_merge(pooled)
+
+
+class TorchMCAN(tnn.Module):
+    def __init__(self, token_size, answer_size, d=32, h=4, ff=64, layers=2,
+                 emb=300, img_feat=16, d_mlp=16, glimpses=1, d_flat=32):
+        super().__init__()
+        self.embedding = tnn.Embedding(token_size, emb)
+        self.lstm = tnn.LSTM(emb, d, num_layers=1, batch_first=True)
+        self.img_feat_linear = tnn.Linear(img_feat, d)
+        self.backbone = tnn.Module()
+        self.backbone.enc_list = tnn.ModuleList(TSA(d, h, ff) for _ in range(layers))
+        self.backbone.dec_list = tnn.ModuleList(TSGA(d, h, ff) for _ in range(layers))
+        self.attflat_lang = TAttFlat(d, d_mlp, glimpses, d_flat)
+        self.attflat_img = TAttFlat(d, d_mlp, glimpses, d_flat)
+        self.proj_norm = TLayerNorm(d_flat)
+        self.proj = tnn.Linear(d_flat, answer_size)
+
+    @staticmethod
+    def mask(feat):
+        return (feat.abs().sum(-1) == 0).unsqueeze(1).unsqueeze(2)
+
+    def forward(self, v, q_ix):
+        qm = self.mask(q_ix.unsqueeze(2))
+        vm = self.mask(v)
+        q = self.embedding(q_ix)
+        q, _ = self.lstm(q)
+        v = self.img_feat_linear(v)
+        for enc in self.backbone.enc_list:
+            q = enc(q, qm)
+        for dec in self.backbone.dec_list:
+            v = dec(v, q, vm, qm)
+        fused = self.attflat_lang(q, qm) + self.attflat_img(v, vm)
+        return self.proj(self.proj_norm(fused))
+
+
+def _cfg():
+    return Config(hidden_size=32, layer=2, img_feat_size=16, flat_out_size=32,
+                  flat_mlp_size=16, multi_head=4, batch_size=4,
+                  compute_dtype="float32", use_glove=False).finalize()
+
+
+def _batch(rng_seed=0, B=3):
+    rng = np.random.default_rng(rng_seed)
+    img = rng.normal(size=(B, 9, 16)).astype(np.float32)
+    img[0, 6:] = 0.0
+    ques = rng.integers(1, 30, size=(B, 7)).astype(np.int64)
+    ques[1, 4:] = 0
+    return img, ques
+
+
+class TestTorchImportParity:
+    def test_full_model_logits_match(self):
+        """Random torch weights -> import -> identical logits (atol 2e-4)."""
+        cfg = _cfg()
+        tmodel = TorchMCAN(30, 10, ff=128)
+        timg, tques = _batch()
+        with torch.no_grad():
+            ref = tmodel(torch.from_numpy(timg),
+                         torch.from_numpy(tques)).numpy()
+
+        params = ckpt.import_torch_state_dict(tmodel.state_dict())
+        model = build_mcan(cfg, token_size=30, answer_size=10)
+        out = model.apply({"params": params}, jnp.asarray(timg),
+                          jnp.asarray(tques.astype(np.int32)))
+        np.testing.assert_allclose(np.asarray(out["logits"]), ref, atol=2e-4)
+
+    def test_dataparallel_prefix_stripped(self):
+        tmodel = TorchMCAN(30, 10, ff=128)
+        sd = {f"module.{k}": v for k, v in tmodel.state_dict().items()}
+        params = ckpt.import_torch_state_dict(sd)
+        assert "embedding" in params and "backbone" in params
+
+    def test_export_import_roundtrip(self):
+        cfg = _cfg()
+        model = build_mcan(cfg, token_size=30, answer_size=10)
+        img, ques = _batch()
+        p0 = model.init({"params": jax.random.PRNGKey(0)}, img,
+                        ques.astype(np.int32))["params"]
+        sd = ckpt.export_torch_state_dict(p0)
+        p1 = ckpt.import_torch_state_dict(sd)
+        f0, f1 = ckpt.flatten_params(p0), ckpt.flatten_params(p1)
+        assert set(f0) == set(f1)
+        for k in f0:
+            np.testing.assert_allclose(np.asarray(f0[k]), f1[k], atol=1e-6,
+                                       err_msg=str(k))
+
+    def test_export_loads_into_torch_oracle(self):
+        """Our export produces a state_dict torch can load strictly."""
+        cfg = _cfg()
+        model = build_mcan(cfg, token_size=30, answer_size=10)
+        img, ques = _batch()
+        p0 = model.init({"params": jax.random.PRNGKey(1)}, img,
+                        ques.astype(np.int32))["params"]
+        tmodel = TorchMCAN(30, 10, ff=128)
+        missing, unexpected = tmodel.load_state_dict(
+            ckpt.export_torch_state_dict(p0), strict=True)
+        assert not missing and not unexpected
+
+
+class TestOrbaxRoundtrip:
+    def test_save_restore(self, tmp_path):
+        cfg = _cfg()
+        model = build_mcan(cfg, token_size=30, answer_size=10)
+        img, ques = _batch()
+        params = model.init({"params": jax.random.PRNGKey(0)}, img,
+                            ques.astype(np.int32))["params"]
+        tx = make_optimizer(cfg, data_size=64)
+        state = TrainState.create(params, tx, seed=0, step=7)
+
+        path = ckpt.save_checkpoint(state, str(tmp_path), "test", epoch=3)
+        assert "ckpt_test" in path and path.endswith("epoch3")
+        restored = ckpt.restore_checkpoint(str(tmp_path), "test", 3)
+        assert int(restored["step"]) == 7
+        for a, b in zip(jax.tree.leaves(params),
+                        jax.tree.leaves(restored["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        assert ckpt.latest_epoch(str(tmp_path), "test") == 3
