@@ -3,16 +3,24 @@
 North-star metric (BASELINE.json): VQA-v2 val QA pairs/sec/chip. The
 reference publishes no throughput numbers (accuracy only), so vs_baseline is
 reported against the first recorded value of this same bench (1.0 when no
-prior record exists).
+prior record exists, persisted in BENCH_BASELINE.json).
+
+Timing methodology: this environment tunnels the TPU through a relay where
+``block_until_ready`` does not reliably fence execution and host transfers
+are slow, so the timed region is ONE jitted program that runs the forward
+pass ``n_iters`` times inside ``lax.scan`` with a scalar loop-carried
+dependency; fetching the final scalar forces completion of the whole chain.
+The 1-iteration runtime (dispatch + scalar fetch overhead) is measured
+separately and subtracted.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -20,6 +28,7 @@ import numpy as np
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from mcan_vqa_tpu.configs import Config
     from mcan_vqa_tpu.models.net import build_mcan
@@ -28,7 +37,8 @@ def main() -> None:
                  flat_glimpses=1, flat_out_size=512, use_glove=False).finalize()
 
     B = int(os.environ.get("BENCH_BATCH", "512"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     model = build_mcan(cfg, token_size=20000, answer_size=3129,
                        use_pallas=use_pallas)
 
@@ -40,34 +50,41 @@ def main() -> None:
     for i, n in enumerate(n_valid):
         img[i, n:] = 0.0
     ques = rng.integers(1, 20000, size=(B, cfg.max_token)).astype(np.int32)
-    rng_lens = rng.integers(3, 15, size=B)
-    for i, n in enumerate(rng_lens):
+    q_lens = rng.integers(3, 15, size=B)
+    for i, n in enumerate(q_lens):
         ques[i, n:] = 0
-
-    import jax.numpy as jnp
 
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img, ques)
 
-    @jax.jit
-    def forward(params, img, ques):
-        out = model.apply(params, img, ques, deterministic=True)
-        return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+    @functools.partial(jax.jit, static_argnames="n")
+    def bench_loop(params, img, ques, n):
+        def body(carry, _):
+            out = model.apply(params, img + carry, ques, deterministic=True)
+            probs = jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+            # scalar loop-carry: forces sequential execution, ~0 numerically
+            return jnp.max(probs) * jnp.float32(1e-30), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
 
     img_d = jax.device_put(img)
     ques_d = jax.device_put(ques)
 
-    # warmup / compile
-    forward(params, img_d, ques_d).block_until_ready()
+    # compile both program shapes
+    float(bench_loop(params, img_d, ques_d, 1))
+    float(bench_loop(params, img_d, ques_d, n_iters + 1))
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
     t0 = time.perf_counter()
-    outs = [forward(params, img_d, ques_d) for _ in range(n_iters)]
-    # block on every output: the iterations are independent programs, so
-    # blocking only on the last one would not cover the rest.
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    float(bench_loop(params, img_d, ques_d, 1))
+    overhead = time.perf_counter() - t0
 
-    qps = B * n_iters / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(bench_loop(params, img_d, ques_d, n_iters + 1))
+        best = min(best, time.perf_counter() - t0)
+
+    per_iter = max((best - overhead) / n_iters, 1e-9)
+    qps = B / per_iter
 
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_BASELINE.json")

@@ -1,0 +1,129 @@
+"""VQA-v2 CLI — the reference's run.py surface rebuilt
+(reference: run.py:18-148): --run={train,val,test,visualize} --model={small,
+large} plus version/resume/checkpoint/batch knobs, three-tier config merge
+(CLI > YAML > defaults).
+
+Extra: --synthetic runs the full pipeline on generated data (no datasets
+required) — smoke-tests the stack on any host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+from mcan_vqa_tpu.configs import Config
+
+_YAML_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="MCAN-VQA on TPU")
+    p.add_argument("--run", dest="run_mode", required=True,
+                   choices=["train", "val", "test", "visualize"])
+    p.add_argument("--model", default="small", choices=["small", "large"])
+    p.add_argument("--split", dest="train_split",
+                   choices=["train", "train+val", "train+val+vg"])
+    p.add_argument("--eval_ee", dest="eval_every_epoch", type=lambda s: s == "True")
+    p.add_argument("--save_pred", dest="test_save_pred", type=lambda s: s == "True")
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--max_epoch", type=int)
+    p.add_argument("--preload", type=lambda s: s == "True")
+    p.add_argument("--gpu", help="accepted for CLI compatibility; ignored "
+                                 "(device selection is via mesh_shape)")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--version", type=str)
+    p.add_argument("--resume", type=lambda s: s == "True")
+    p.add_argument("--ckpt_version", dest="ckpt_version", type=str)
+    p.add_argument("--ckpt_epoch", dest="ckpt_epoch", type=int)
+    p.add_argument("--ckpt_path", dest="ckpt_path", type=str)
+    p.add_argument("--grad_accu", dest="grad_accu_steps", type=int)
+    p.add_argument("--num_workers", type=int)
+    p.add_argument("--verbose", type=lambda s: s == "True")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on generated data (no dataset files needed)")
+    p.add_argument("--synthetic_size", type=int, default=512)
+    p.add_argument("--use_pallas", action="store_true")
+    # architecture overrides (YAML tier normally sets these)
+    for knob in ("hidden_size", "layer", "multi_head", "img_feat_size",
+                 "img_feat_pad_size", "flat_out_size", "flat_mlp_size",
+                 "max_token"):
+        p.add_argument(f"--{knob}", type=int)
+    p.add_argument("--lr_base", type=float)
+    p.add_argument("--compute_dtype", type=str)
+    p.add_argument("--ckpts_dir", type=str)
+    p.add_argument("--log_path", type=str)
+    p.add_argument("--result_path", type=str)
+    return p.parse_args(argv)
+
+
+def build_config(args: argparse.Namespace) -> Config:
+    yaml_path = os.path.join(_YAML_DIR, f"{args.model}.yml")
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and k not in
+                 ("model", "synthetic", "synthetic_size", "use_pallas", "gpu")}
+    return Config.from_yaml(yaml_path, overrides)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    cfg = build_config(args)
+    cfg.init_result_dirs()
+
+    from mcan_vqa_tpu.train.trainer import Trainer
+
+    if args.synthetic:
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        train_ds = SyntheticVQADataset(cfg, size=args.synthetic_size,
+                                       run_mode="train")
+        # run_mode stays "train" so examples carry targets -> ROC is computed
+        val_ds = SyntheticVQADataset(cfg, size=max(64, args.synthetic_size // 4),
+                                     run_mode="train", seed=1)
+        datasets = {"train": train_ds, "val": val_ds}
+    else:
+        missing = cfg.check_vqa_paths()
+        if missing:
+            print("missing dataset paths:\n  " + "\n  ".join(missing),
+                  file=sys.stderr)
+            return 1
+        from mcan_vqa_tpu.data.vqa_dataset import VQADataset
+        datasets = {"train": VQADataset(cfg, "train")
+                    if cfg.run_mode == "train" else None,
+                    "val": VQADataset(cfg, "val")}
+        if cfg.run_mode == "test":
+            datasets["test"] = VQADataset(cfg, "test")
+
+    if cfg.run_mode == "train":
+        trainer = Trainer(cfg, train_dataset=datasets["train"],
+                          eval_datasets={"val": datasets["val"]}
+                          if cfg.eval_every_epoch else {},
+                          use_pallas=args.use_pallas)
+        trainer.train()
+        res = trainer.evaluate(datasets["val"])
+        print("final val:", res)
+    elif cfg.run_mode in ("val", "test"):
+        ds = datasets.get(cfg.run_mode) or datasets["val"]
+        trainer = Trainer(cfg, eval_datasets={cfg.run_mode: ds},
+                          use_pallas=args.use_pallas)
+        trainer.ensure_state(resume=True)
+        dump = os.path.join(cfg.result_path,
+                            f"result_run_{cfg.version}.json")
+        res = trainer.evaluate(ds, dump_path=dump)
+        print(f"{cfg.run_mode}:", res)
+    elif cfg.run_mode == "visualize":
+        from mcan_vqa_tpu.utils.visualize import run_visualization
+        ds = datasets["val"]
+        trainer = Trainer(cfg, eval_datasets={"val": ds},
+                          use_pallas=args.use_pallas)
+        trainer.ensure_state(resume=True)
+        out_dir = os.path.join(cfg.result_path, "val_imgs")
+        n = run_visualization(trainer, ds, out_dir, limit=8)
+        print(f"wrote {n} visualizations to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""MIMIC-CXR medical VQA dataset (HDF5-backed).
+
+Covers the reference's MIMICDatasetBase/Split semantics
+(reference: core/data/load_data.py:157-264):
+  * HDF5 feature bank: image_features [N, 60, 1024], image_bb [N, 60, 4],
+    spatial_features [N, 60, 6]; pooled anatomy features [N, 26, 1024]
+  * answer dicts from ans2label/label2ans pickles; multi-hot targets
+  * QA pairs from per-split pickles; vocabulary built over the split's QA
+  * train-time augmentation: L2-normalize each region row, then zero a
+    random 30% of the rows (load_data.py:239-247)
+
+Deliberately NOT reproduced: the reference concatenates the TEST pickle into
+the train split (load_data.py:204-210) — test-set leakage; splits stay
+separate here (flagged in SURVEY.md quirks).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+
+from mcan_vqa_tpu.data import answers as ans_mod
+from mcan_vqa_tpu.data import features as feat_mod
+from mcan_vqa_tpu.data import text as text_mod
+
+FEATURE_DROPOUT_FRAC = 0.3
+
+
+def l2_normalize_rows(x: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization (sklearn.preprocessing.normalize(axis=1)
+    semantics: zero rows stay zero)."""
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.where(norms == 0, 1.0, norms)
+
+
+def feature_row_dropout(feat: np.ndarray, rng: np.random.Generator,
+                        frac: float = FEATURE_DROPOUT_FRAC) -> np.ndarray:
+    """Zero a random ``frac`` of region rows (train augmentation,
+    reference: core/data/load_data.py:239-243)."""
+    n = feat.shape[0]
+    drop = rng.choice(n, size=int(n * frac), replace=False)
+    out = feat.copy()
+    out[drop] = 0.0
+    return out
+
+
+class MIMICDataset:
+    def __init__(self, cfg, run_mode: Optional[str] = None, seed: int = 0):
+        self.cfg = cfg
+        self.run_mode = run_mode or cfg.run_mode
+        self._rng = np.random.default_rng(seed)
+
+        import h5py  # lazy: only MIMIC flows need it
+
+        f1 = h5py.File(cfg.cxr_img_feat_path, "r")
+        self.image_features = f1["image_features"]
+        self.image_bb = f1.get("image_bb")
+        self.spatial_features = f1.get("spatial_features")
+
+        with open(cfg.mimic_ans_dict_path["ans2idx"], "rb") as f:
+            self.ans_to_ix = pickle.load(f)
+        with open(cfg.mimic_ans_dict_path["idx2ans"], "rb") as f:
+            self.ix_to_ans = pickle.load(f)
+        self.ans_size = len(self.ans_to_ix)
+
+        split_key = self.run_mode if self.run_mode in ("train", "val", "test") else "val"
+        with open(cfg.mimic_qa_path[split_key], "rb") as f:
+            self.qa = pickle.load(f)
+        self.data_size = len(self.qa)
+
+        self.token_to_ix, self.pretrained_emb = text_mod.build_vocab(
+            [q["question"] for q in self.qa],
+            glove_lookup=text_mod.spacy_glove_lookup() if cfg.use_glove else None,
+            embed_dim=cfg.word_embed_size)
+        self.token_size = len(self.token_to_ix)
+
+    def example(self, idx: int) -> Dict[str, np.ndarray]:
+        qa = self.qa[idx]
+        ques = text_mod.encode_question(
+            qa["question"], self.token_to_ix, self.cfg.max_token)
+        target = ans_mod.multi_hot(qa["answer"]["labels"], self.ans_size)
+
+        feat = np.asarray(self.image_features[qa["image"]], np.float32)
+        if self.run_mode == "train":
+            feat = feature_row_dropout(l2_normalize_rows(feat), self._rng)
+        img = feat_mod.pad_img_feat(feat, self.cfg.img_feat_pad_size)
+        return {"img": img.astype(np.float32), "ques": ques,
+                "target": target, "qid": np.int64(idx)}
+
+    def __len__(self) -> int:
+        return self.data_size
+
+
+class SyntheticMIMICDataset:
+    """In-memory stand-in with the MIMICDataset interface (15 labels)."""
+
+    def __init__(self, cfg, size: int = 128, answer_size: int = 15,
+                 token_size: int = 120, seed: int = 0,
+                 run_mode: Optional[str] = None):
+        self.cfg = cfg
+        self.run_mode = run_mode or cfg.run_mode
+        self.data_size = size
+        self.ans_size = answer_size
+        self.token_size = token_size
+        self.token_to_ix = {"PAD": 0, "UNK": 1}
+        self.ans_to_ix = {f"label{i}": i for i in range(answer_size)}
+        self.ix_to_ans = {i: f"label{i}" for i in range(answer_size)}
+        self.pretrained_emb = np.random.default_rng(seed).normal(
+            0, 1, (token_size, cfg.word_embed_size)).astype(np.float32)
+        self._seed = seed
+
+    def example(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self._seed * 7919 + idx)
+        R, F = self.cfg.img_feat_pad_size, self.cfg.img_feat_size
+        feat = rng.normal(size=(R, F)).astype(np.float32)
+        if self.run_mode == "train":
+            feat = feature_row_dropout(l2_normalize_rows(feat), rng)
+        ques = np.zeros(self.cfg.max_token, np.int32)
+        n = rng.integers(3, self.cfg.max_token + 1)
+        ques[:n] = rng.integers(1, self.token_size, n)
+        target = np.zeros(self.ans_size, np.float32)
+        target[rng.integers(0, self.ans_size, 2)] = 1.0
+        return {"img": feat, "ques": ques, "target": target,
+                "qid": np.int64(idx)}
+
+    def __len__(self) -> int:
+        return self.data_size

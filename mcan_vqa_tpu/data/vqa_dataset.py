@@ -1,0 +1,177 @@
+"""VQA-v2 dataset: question/annotation loading, vocab, feature access.
+
+Covers the reference's CustomDataset semantics
+(reference: core/data/load_data.py:21-154):
+  * split lists 'train+val+vg' etc.; train sizes by annotations, eval by
+    questions
+  * vocabulary built over train+val+test+VG question union (insertion order)
+  * frozen published answer dict (3129 answers)
+  * features from per-image .npz (optionally preloaded to RAM)
+
+TPU-first additions: vocab cached to disk (no spaCy at train time), features
+served from the packed fp16 memmap cache when present (built once via
+``PackedFeatureCache.build``), and a fully synthetic in-memory variant for
+tests/smoke runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mcan_vqa_tpu.data import answers as ans_mod
+from mcan_vqa_tpu.data import features as feat_mod
+from mcan_vqa_tpu.data import text as text_mod
+
+
+class VQADataset:
+    def __init__(self, cfg, run_mode: Optional[str] = None):
+        self.cfg = cfg
+        self.run_mode = run_mode or cfg.run_mode
+        split_key = "train" if self.run_mode == "train" else self.run_mode
+        split_map = {"train": cfg.train_split, "val": "val", "test": "test",
+                     "visualize": "val"}
+        self.split_list = [s for s in split_map[split_key].split("+")]
+
+        # ---- questions / annotations ----
+        self.ques_list: List[dict] = []
+        self.ans_list: List[dict] = []
+        for split in self.split_list:
+            self.ques_list += self._load_json(cfg.question_path[split])["questions"]
+            if split in cfg.answer_path and os.path.exists(cfg.answer_path[split]):
+                self.ans_list += self._load_json(cfg.answer_path[split])["annotations"]
+
+        self.qid_to_ques = {str(q["question_id"]): q for q in self.ques_list}
+
+        # train indexes by annotation, eval by question
+        # (reference: core/data/load_data.py:58-61)
+        self.data_size = (len(self.ans_list) if self.run_mode == "train"
+                          else len(self.ques_list))
+
+        # ---- vocabulary (cached; stat corpus = all four question files) ----
+        self.token_to_ix, self.pretrained_emb = self._build_or_load_vocab()
+        self.token_size = len(self.token_to_ix)
+
+        # ---- answer dict ----
+        self.ans_to_ix, self.ix_to_ans = ans_mod.load_answer_dict()
+        self.ans_size = len(self.ans_to_ix)
+
+        # ---- features ----
+        self._packed: Dict[str, feat_mod.PackedFeatureCache] = {}
+        self._npz_paths: Dict[str, str] = {}
+        self._preloaded: Dict[str, np.ndarray] = {}
+        for split in self.split_list:
+            if split not in cfg.img_feat_path:
+                continue
+            cache_dir = os.path.join(cfg.feature_cache_path, split)
+            if os.path.exists(os.path.join(cache_dir, "index.json")):
+                self._packed[split] = feat_mod.PackedFeatureCache(cache_dir)
+            elif os.path.isdir(cfg.img_feat_path[split]):
+                self._npz_paths.update(
+                    feat_mod.glob_feature_paths(cfg.img_feat_path[split]))
+        if cfg.preload and self._npz_paths:
+            for iid, p in self._npz_paths.items():
+                self._preloaded[iid] = feat_mod.load_npz_feature(p)
+
+    @staticmethod
+    def _load_json(path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
+
+    def _build_or_load_vocab(self) -> Tuple[Dict[str, int], np.ndarray]:
+        cache = self.cfg.vocab_cache_path
+        if cache and os.path.exists(cache):
+            return text_mod.load_vocab(cache)
+        stat_qs = []
+        for key in ("train", "val", "test", "vg"):
+            p = self.cfg.question_path.get(key)
+            if p and os.path.exists(p):
+                stat_qs += [q["question"]
+                            for q in self._load_json(p)["questions"]]
+        if not stat_qs:
+            stat_qs = [q["question"] for q in self.ques_list]
+        lookup = text_mod.spacy_glove_lookup() if self.cfg.use_glove else None
+        tok, emb = text_mod.build_vocab(stat_qs, glove_lookup=lookup,
+                                        embed_dim=self.cfg.word_embed_size)
+        if cache:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            text_mod.save_vocab(cache, tok, emb)
+        return tok, emb
+
+    # ------------------------------------------------------------------
+    def image_feature(self, image_id) -> np.ndarray:
+        iid = str(image_id)
+        if self._preloaded:
+            feat = self._preloaded[iid]
+        else:
+            for cache in self._packed.values():
+                if iid in cache:
+                    return cache.get_padded(iid, self.cfg.img_feat_pad_size)
+            feat = feat_mod.load_npz_feature(self._npz_paths[iid])
+        return feat_mod.pad_img_feat(feat, self.cfg.img_feat_pad_size)
+
+    def example(self, idx: int) -> Dict[str, np.ndarray]:
+        """One example; train mode includes the soft-score target
+        (reference: core/data/load_data.py:99-150)."""
+        if self.run_mode == "train":
+            ann = self.ans_list[idx]
+            ques = self.qid_to_ques[str(ann["question_id"])]
+            return {
+                "img": self.image_feature(ann["image_id"]).astype(np.float32),
+                "ques": text_mod.encode_question(
+                    ques["question"], self.token_to_ix, self.cfg.max_token),
+                "target": ans_mod.soft_scores(ann["answers"], self.ans_to_ix),
+                "qid": np.int64(ann["question_id"]),
+            }
+        ques = self.ques_list[idx]
+        return {
+            "img": self.image_feature(ques["image_id"]).astype(np.float32),
+            "ques": text_mod.encode_question(
+                ques["question"], self.token_to_ix, self.cfg.max_token),
+            "qid": np.int64(ques["question_id"]),
+        }
+
+    def __len__(self) -> int:
+        return self.data_size
+
+
+class SyntheticVQADataset:
+    """Deterministic in-memory dataset with the VQADataset interface, for
+    tests, smoke runs, and benchmarking without the 60GB feature dump."""
+
+    def __init__(self, cfg, size: int = 256, token_size: int = 200,
+                 answer_size: int = 64, seed: int = 0,
+                 run_mode: Optional[str] = None):
+        self.cfg = cfg
+        self.run_mode = run_mode or cfg.run_mode
+        self.data_size = size
+        self.token_size = token_size
+        self.ans_size = answer_size
+        self.token_to_ix = {"PAD": 0, "UNK": 1}
+        self.ans_to_ix = {str(i): i for i in range(answer_size)}
+        self.ix_to_ans = {str(i): str(i) for i in range(answer_size)}
+        self.pretrained_emb = np.random.default_rng(seed).normal(
+            0, 1, (token_size, cfg.word_embed_size)).astype(np.float32)
+        self._rng_seed = seed
+
+    def example(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self._rng_seed * 100003 + idx)
+        R, F = self.cfg.img_feat_pad_size, self.cfg.img_feat_size
+        img = rng.normal(size=(R, F)).astype(np.float32)
+        img[rng.integers(max(1, R // 2), R + 1):] = 0.0
+        ques = np.zeros(self.cfg.max_token, np.int32)
+        n = rng.integers(3, self.cfg.max_token + 1)
+        ques[:n] = rng.integers(1, self.token_size, n)
+        out = {"img": img, "ques": ques, "qid": np.int64(idx)}
+        if self.run_mode == "train":
+            # learnable signal: target class tied to the first token
+            target = np.zeros(self.ans_size, np.float32)
+            target[int(ques[0]) % self.ans_size] = 1.0
+            out["target"] = target
+        return out
+
+    def __len__(self) -> int:
+        return self.data_size

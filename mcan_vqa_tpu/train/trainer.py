@@ -1,0 +1,265 @@
+"""Training/eval orchestration — the reference's Execution layer rebuilt
+(reference: core/exec.py:27-426 Execution, 429-754 ExecuteMIMIC).
+
+Differences by design (TPU-first; quirks NOT reproduced, see SURVEY.md §2):
+  * checkpoints are written EVERY epoch (the reference only saves after the
+    final epoch, core/exec.py:240-253, contradicting its own README)
+  * evaluation never shuffles or drops examples (the reference reuses its
+    always-shuffling, drop_last loader for eval, core/exec.py:375)
+  * one jitted, mesh-sharded train step; gradient accumulation runs inside
+    the step (lax.scan), not as a host loop
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from mcan_vqa_tpu.data.pipeline import BatchLoader
+from mcan_vqa_tpu.evals import vqa_eval
+from mcan_vqa_tpu.evals.roc_auc import multilabel_roc_auc
+from mcan_vqa_tpu.models.net import build_mcan
+from mcan_vqa_tpu.parallel import sharding as shd
+from mcan_vqa_tpu.parallel.mesh import batch_sharding, make_mesh
+from mcan_vqa_tpu.train import checkpoint as ckpt_mod
+from mcan_vqa_tpu.train.optim import make_lr_schedule, make_optimizer
+from mcan_vqa_tpu.train.step import make_eval_step, make_train_step
+from mcan_vqa_tpu.train.train_state import TrainState
+from mcan_vqa_tpu.utils.logging import RunLogger, StepMeter
+from mcan_vqa_tpu.utils.profiling import StepTimer, trace
+
+
+class Trainer:
+    def __init__(self, cfg, train_dataset=None, eval_datasets: Optional[Dict] = None,
+                 use_pallas: bool = False):
+        self.cfg = cfg
+        self.train_dataset = train_dataset
+        self.eval_datasets = eval_datasets or {}
+
+        ref = train_dataset or next(iter(self.eval_datasets.values()))
+        self.token_size = ref.token_size
+        self.ans_size = ref.ans_size
+        self.ix_to_ans = getattr(ref, "ix_to_ans", None)
+        self.model = build_mcan(cfg, self.token_size, self.ans_size,
+                                pretrained_emb=getattr(ref, "pretrained_emb", None),
+                                use_pallas=use_pallas)
+
+        self.mesh = make_mesh(dict(cfg.mesh_shape))
+        data_size = len(train_dataset) if train_dataset else cfg.batch_size
+        self.lr_schedule = make_lr_schedule(
+            cfg.lr_base, data_size, cfg.batch_size,
+            decay_epochs=tuple(cfg.lr_decay_list),
+            decay_rate=cfg.lr_decay_rate)
+        self.tx = make_optimizer(cfg, data_size)
+        self.state: Optional[TrainState] = None
+        self._jit_train = None
+        self._jit_eval = None
+        self.logger = RunLogger(cfg.log_path, cfg.version, cfg.to_dict(),
+                                echo=cfg.verbose)
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        ds = self.train_dataset or next(iter(self.eval_datasets.values()))
+        ex = ds.example(0)
+        img = np.zeros((1,) + ex["img"].shape, np.float32)
+        ques = np.zeros((1,) + ex["ques"].shape, np.int32)
+        return jax.jit(self.model.init)(
+            {"params": jax.random.PRNGKey(self.cfg.seed)}, img, ques)["params"]
+
+    def ensure_state(self, resume: Optional[bool] = None) -> TrainState:
+        if self.state is not None:
+            return self.state
+        cfg = self.cfg
+        params = self._init_params()
+        state = TrainState.create(params, self.tx, seed=cfg.seed)
+
+        do_resume = cfg.resume if resume is None else resume
+        if do_resume:
+            state = self._resume(state)
+        self.state = shd.shard_state(self.mesh, state)
+        return self.state
+
+    def _resume(self, state: TrainState) -> TrainState:
+        cfg = self.cfg
+        if cfg.ckpt_path:
+            if cfg.ckpt_path.endswith((".pkl", ".pt", ".pth")):
+                params, _ = ckpt_mod.import_torch_checkpoint(cfg.ckpt_path)
+                params = _merge_compatible(state.params, params, self.logger)
+                # reference replays the warmup counter from the epoch
+                # (core/exec.py:90-94); torch ckpts carry no step, use epoch.
+                step = int(len(self.train_dataset or []) / cfg.batch_size
+                           * cfg.ckpt_epoch)
+                return TrainState.create(params, self.tx, seed=cfg.seed,
+                                         step=step)
+            template = {"params": jax.device_get(state.params),
+                        "opt_state": jax.device_get(state.opt_state),
+                        "step": 0}
+            restored = ckpt_mod.restore_checkpoint(
+                os.path.dirname(cfg.ckpt_path), "",  # explicit dir
+                cfg.ckpt_epoch, template=template)
+        else:
+            # restore with a template so optax state keeps its NamedTuple
+            # structure (orbax would otherwise return plain dicts)
+            template = {"params": jax.device_get(state.params),
+                        "opt_state": jax.device_get(state.opt_state),
+                        "step": 0}
+            restored = ckpt_mod.restore_checkpoint(
+                cfg.ckpts_dir, cfg.ckpt_version, cfg.ckpt_epoch,
+                template=template)
+        return TrainState(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=np.int32(restored["step"]),
+            dropout_rng=jax.random.PRNGKey(cfg.seed))
+
+    def warm_start(self, path: str) -> None:
+        """Load shape-compatible params from a checkpoint (MIMIC warm-start
+        from the VQA zoo, reference: core/exec.py:468-475)."""
+        state = self.ensure_state(resume=False)
+        if path.endswith((".pkl", ".pt", ".pth")):
+            params, _ = ckpt_mod.import_torch_checkpoint(path)
+        else:
+            params = ckpt_mod.restore_checkpoint(
+                os.path.dirname(path), "", 0)["params"]
+        merged = _merge_compatible(jax.device_get(state.params), params,
+                                   self.logger)
+        self.state = shd.shard_state(
+            self.mesh, TrainState.create(merged, self.tx, seed=self.cfg.seed))
+
+    # ------------------------------------------------------------------
+    def train(self, start_epoch: int = 0) -> TrainState:
+        cfg = self.cfg
+        state = self.ensure_state()
+        if self._jit_train is None:
+            step_fn = make_train_step(
+                self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
+                reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule)
+            self._jit_train = shd.jit_train_step(
+                step_fn, self.mesh, jax.device_get(state),
+                donate=cfg.donate_buffers)
+
+        loader = BatchLoader(
+            self.train_dataset, cfg.batch_size, shuffle=True, drop_last=True,
+            seed=cfg.seed, num_workers=cfg.num_workers,
+            sharding=batch_sharding(self.mesh))
+
+        if cfg.resume:
+            start_epoch = max(start_epoch, cfg.ckpt_epoch)
+
+        with trace(cfg.profile_dir):
+            for epoch in range(start_epoch, cfg.max_epoch):
+                loader.set_epoch(epoch)
+                t0 = time.time()
+                meter = StepMeter(len(loader), enabled=cfg.verbose)
+                timer = StepTimer()
+                loss_sum, n_steps = 0.0, 0
+                for batch in loader:
+                    batch = {k: batch[k] for k in ("img", "ques", "target")}
+                    state, metrics = self._jit_train(state, batch)
+                    loss_sum += float(metrics["loss"])
+                    n_steps += 1
+                    timer.tick()
+                    meter.update({"loss": metrics["loss"], "lr": metrics["lr"]})
+                self.state = state
+
+                epoch_metrics = {
+                    "loss": loss_sum / max(n_steps, 1),
+                    "lr": float(metrics["lr"]),
+                    "wall_s": time.time() - t0,
+                    "step_ema_s": timer.ema or 0.0,
+                }
+                ckpt_mod.save_checkpoint(state, cfg.ckpts_dir, cfg.version,
+                                         epoch + 1)
+                if cfg.eval_every_epoch:
+                    for name, ds in self.eval_datasets.items():
+                        res = self.evaluate(ds)
+                        for k, v in res.items():
+                            if isinstance(v, float):
+                                epoch_metrics[f"{name}/{k}"] = v
+                self.logger.epoch(epoch, epoch_metrics)
+        return state
+
+    # ------------------------------------------------------------------
+    def predict(self, dataset) -> Dict[str, np.ndarray]:
+        """Run inference: returns {'probs': [N, A], 'qids': [N]}."""
+        cfg = self.cfg
+        state = self.ensure_state()
+        if self._jit_eval is None:
+            self._jit_eval = shd.jit_eval_step(
+                make_eval_step(self.model), self.mesh,
+                jax.device_get(state))
+        loader = BatchLoader(
+            dataset, cfg.eval_batch_size, shuffle=False, drop_last=False,
+            seed=cfg.seed, num_workers=cfg.num_workers, pad_final=True,
+            sharding=batch_sharding(self.mesh))
+        probs_all, qids_all = [], []
+        for batch in loader:
+            probs = self._jit_eval(state.params, batch["img"], batch["ques"])
+            n = int(batch["n_valid"])
+            probs_all.append(np.asarray(probs)[:n])
+            qids_all.append(np.asarray(batch["qid"])[:n])
+        return {"probs": np.concatenate(probs_all),
+                "qids": np.concatenate(qids_all)}
+
+    def evaluate(self, dataset, dump_path: Optional[str] = None) -> Dict[str, Any]:
+        """ROC-AUC when the dataset carries targets (MIMIC flows,
+        reference: core/exec.py:399-408); VQA accuracy when ground-truth
+        annotations exist; EvalAI dump when dump_path is given."""
+        out = self.predict(dataset)
+        results: Dict[str, Any] = {}
+
+        answers = None
+        if self.ix_to_ans:
+            top = out["probs"].argmax(axis=1)
+            answers = [self.ix_to_ans.get(str(int(i)), str(int(i)))
+                       for i in top]
+        if dump_path and answers is not None:
+            vqa_eval.dump_results(out["qids"], answers, dump_path)
+            results["dump_path"] = dump_path
+
+        sample = dataset.example(0)
+        if "target" in sample:
+            targets = np.stack([dataset.example(i)["target"]
+                                for i in range(len(dataset))])
+            roc = multilabel_roc_auc(targets > 0.5, out["probs"])
+            results["roc_micro"] = roc["micro"]
+            results["roc_macro"] = roc["macro"]
+
+        ans_list = getattr(dataset, "ans_list", None)
+        if ans_list and answers is not None:
+            gts = {a["question_id"]: {
+                "answers": [x["answer"] for x in a["answers"]],
+                "question_type": a.get("question_type", "unknown"),
+                "answer_type": a.get("answer_type", "unknown")}
+                for a in ans_list}
+            res_map = dict(zip((int(q) for q in out["qids"]), answers))
+            common = {q: g for q, g in gts.items() if q in res_map}
+            if common:
+                acc = vqa_eval.evaluate(common, res_map)
+                results["accuracy"] = acc["overall"]
+                results["perAnswerType"] = acc["perAnswerType"]
+        return results
+
+
+def _merge_compatible(template: Dict, incoming: Dict, logger=None,
+                      path: str = "") -> Dict:
+    """Copy incoming params over the template where shapes match; keep the
+    template (and log) where they don't (e.g. vocab-size mismatch on
+    MIMIC warm-start)."""
+    merged = {}
+    for k, tv in template.items():
+        iv = incoming.get(k)
+        if isinstance(tv, dict):
+            merged[k] = _merge_compatible(tv, iv or {}, logger, f"{path}/{k}")
+        elif iv is not None and np.shape(iv) == np.shape(tv):
+            merged[k] = np.asarray(iv)
+        else:
+            if logger is not None:
+                logger.write(f"warm-start skip {path}/{k}: "
+                             f"{None if iv is None else np.shape(iv)} vs "
+                             f"{np.shape(tv)}")
+            merged[k] = tv
+    return merged

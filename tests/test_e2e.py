@@ -1,0 +1,164 @@
+"""End-to-end tests: synthetic convergence through the Trainer, CLI smoke,
+pipeline behavior, and the visualization renderer."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mcan_vqa_tpu.configs import Config
+from mcan_vqa_tpu.data.pipeline import BatchLoader
+from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+
+
+def _tiny_cfg(tmp_path, **kw):
+    base = dict(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                flat_mlp_size=16, batch_size=16, lr_base=3e-3, max_epoch=2,
+                num_workers=2, compute_dtype="float32", use_glove=False,
+                ckpts_dir=str(tmp_path / "ckpts"),
+                log_path=str(tmp_path / "log"),
+                result_path=str(tmp_path / "results"))
+    base.update(kw)
+    return Config(**base).finalize()
+
+
+class TestBatchLoader:
+    def test_shapes_and_count(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        ds = SyntheticVQADataset(cfg, size=50, run_mode="train")
+        loader = BatchLoader(ds, 16, shuffle=True, drop_last=True, seed=1)
+        batches = list(loader)
+        assert len(batches) == 3  # 50 // 16
+        assert batches[0]["img"].shape == (16, 8, 16)
+        assert batches[0]["ques"].shape == (16, 6)
+        assert batches[0]["target"].shape[0] == 16
+
+    def test_eval_covers_everything_in_order(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        ds = SyntheticVQADataset(cfg, size=50, run_mode="val")
+        loader = BatchLoader(ds, 16, shuffle=False, drop_last=False,
+                             pad_final=True)
+        qids, n_valid_total = [], 0
+        for b in loader:
+            n = int(b["n_valid"])
+            n_valid_total += n
+            qids += list(b["qid"][:n])
+            assert b["img"].shape[0] == 16  # fixed shape for jit
+        assert n_valid_total == 50
+        assert qids == list(range(50))
+
+    def test_shuffle_differs_by_epoch(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        ds = SyntheticVQADataset(cfg, size=64, run_mode="train")
+        loader = BatchLoader(ds, 16, shuffle=True, drop_last=True, seed=1)
+        e0 = [tuple(b["qid"]) for b in loader]
+        e1 = [tuple(b["qid"]) for b in loader]
+        assert e0 != e1
+
+
+class TestTrainerE2E:
+    def test_synthetic_convergence_and_artifacts(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        from mcan_vqa_tpu.train.trainer import Trainer
+        train_ds = SyntheticVQADataset(cfg, size=128, token_size=40,
+                                       answer_size=8, run_mode="train")
+        val_ds = SyntheticVQADataset(cfg, size=32, token_size=40,
+                                     answer_size=8, run_mode="train")
+        val_ds.run_mode = "val"
+        trainer = Trainer(cfg, train_dataset=train_ds,
+                          eval_datasets={"val": val_ds})
+        trainer.train()
+
+        # per-epoch checkpoints exist (restores upstream behavior)
+        for e in (1, 2):
+            assert os.path.isdir(os.path.join(cfg.ckpts_dir,
+                                              f"ckpt_{cfg.version}",
+                                              f"epoch{e}"))
+        # log file with config dump + epoch lines
+        log = open(os.path.join(cfg.log_path,
+                                f"log_run_{cfg.version}.txt")).read()
+        assert "epoch 0:" in log and "epoch 1:" in log
+
+        # the synthetic target is learnable -> train-set eval beats chance
+        res = trainer.evaluate(train_ds_as_eval(cfg, train_ds))
+        assert res["roc_micro"] > 0.7
+
+    def test_resume_from_checkpoint(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path, max_epoch=1)
+        from mcan_vqa_tpu.train.trainer import Trainer
+        ds = SyntheticVQADataset(cfg, size=64, token_size=40, answer_size=8,
+                                 run_mode="train")
+        Trainer(cfg, train_dataset=ds).train()
+
+        cfg2 = _tiny_cfg(tmp_path, max_epoch=2, resume=True, ckpt_epoch=1)
+        t2 = Trainer(cfg2, train_dataset=ds)
+        state = t2.ensure_state()
+        assert int(state.step) == 4  # 64/16 steps after 1 epoch
+        t2.train()
+        assert os.path.isdir(os.path.join(cfg.ckpts_dir,
+                                          f"ckpt_{cfg.version}", "epoch2"))
+
+
+def train_ds_as_eval(cfg, train_ds):
+    ds = SyntheticVQADataset(cfg, size=train_ds.data_size, token_size=40,
+                             answer_size=8, run_mode="train")
+    return ds
+
+
+class TestCLI:
+    def test_run_vqa_synthetic_train(self, tmp_path, capsys):
+        from mcan_vqa_tpu.cli.run_vqa import main
+        rc = main([
+            "--run=train", "--model=small", "--synthetic",
+            "--synthetic_size=64", "--batch_size=16", "--max_epoch=1",
+            "--hidden_size=32", "--layer=1", "--multi_head=4",
+            "--img_feat_size=16", "--img_feat_pad_size=8", "--max_token=6",
+            "--flat_out_size=32", "--flat_mlp_size=16",
+            "--compute_dtype=float32", "--verbose=False",
+            f"--ckpts_dir={tmp_path}/ckpts", f"--log_path={tmp_path}/log",
+            f"--result_path={tmp_path}/results",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "final val:" in out
+
+    def test_run_vqa_missing_paths_fails_cleanly(self, tmp_path, capsys):
+        from mcan_vqa_tpu.cli.run_vqa import main
+        rc = main(["--run=val", "--model=small",
+                   f"--ckpts_dir={tmp_path}/c", f"--log_path={tmp_path}/l",
+                   f"--result_path={tmp_path}/r"])
+        assert rc == 1
+        assert "missing dataset paths" in capsys.readouterr().err
+
+    def test_run_mimic_synthetic(self, tmp_path, capsys):
+        from mcan_vqa_tpu.cli.run_mimic import main
+        rc = main([
+            "--run=train", "--model=small", "--synthetic",
+            "--synthetic_size=48", "--batch_size=16", "--max_epoch=1",
+            "--layer=1", "--hidden_size=32", "--multi_head=4",
+            "--img_feat_size=16", "--img_feat_pad_size=8", "--max_token=6",
+            "--flat_out_size=32", "--flat_mlp_size=16",
+            "--compute_dtype=float32", "--verbose=False",
+            f"--ckpts_dir={tmp_path}/ckpts", f"--log_path={tmp_path}/log",
+            f"--result_path={tmp_path}/results",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "val:" in out and "test:" in out
+
+
+class TestVisualization:
+    def test_renders_png(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        from mcan_vqa_tpu.train.trainer import Trainer
+        from mcan_vqa_tpu.utils.visualize import run_visualization
+        ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=8,
+                                 run_mode="val")
+        trainer = Trainer(cfg, eval_datasets={"val": ds})
+        trainer.ensure_state(resume=False)
+        n = run_visualization(trainer, ds, str(tmp_path / "viz"), limit=2)
+        assert n == 2
+        assert len(glob.glob(str(tmp_path / "viz" / "*.png"))) == 2
