@@ -104,11 +104,12 @@ def jit_train_step(train_step, mesh: Mesh, state, donate: bool = True):
     )
 
 
-def jit_eval_step(eval_step, mesh: Mesh, state):
+def jit_eval_step(eval_step, mesh: Mesh, state, image_only: bool = False):
     param_sh = make_param_shardings(mesh, state.params)
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    n_inputs = 1 if image_only else 2
     return jax.jit(
         eval_step,
-        in_shardings=(param_sh, data_sh, data_sh),
+        in_shardings=(param_sh,) + (data_sh,) * n_inputs,
         out_shardings=data_sh,
     )

@@ -47,34 +47,52 @@ def l1_l2_penalty(params) -> jnp.ndarray:
     return l1 + l2
 
 
+def smooth_l1_penalty(params) -> jnp.ndarray:
+    """sum over params of mean Huber(p, 0) — the classifier flow's
+    regularizer (reference: core/exec.py:849, 922-926; torch SmoothL1Loss
+    with default mean reduction against a zero target)."""
+    def huber_mean(p):
+        a = jnp.abs(p)
+        return jnp.mean(jnp.where(a < 1.0, 0.5 * p * p, a - 0.5))
+    return sum(huber_mean(p) for p in jax.tree.leaves(params))
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
     grad_accu_steps: int = 1,
     reg_factor: float = 0.0,
     lr_schedule: Optional[Callable] = None,
+    image_only: bool = False,
+    reg_mode: str = "l1l2",
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the pure train step: (state, batch) -> (state, metrics).
 
     batch = {"img": [B, R, F] f32, "ques": [B, T] i32, "target": [B, A] f32}
-    with B = grad_accu_steps * sub_batch_size.
+    with B = grad_accu_steps * sub_batch_size. image_only drops "ques"
+    (ClassifierNet flow); reg_mode selects the penalty: "l1l2" (MIMIC VQA,
+    core/exec.py:598-607) or "smooth_l1" (classifier, core/exec.py:922-926).
     """
+    penalty = {"l1l2": l1_l2_penalty, "smooth_l1": smooth_l1_penalty}[reg_mode]
 
-    def loss_fn(params, img, ques, target, rng):
-        out = model.apply({"params": params}, img, ques,
+    def loss_fn(params, inputs, target, rng):
+        out = model.apply({"params": params}, *inputs,
                           deterministic=False, rngs={"dropout": rng})
         loss = bce_with_logits_sum(out["logits"], target)
         if reg_factor > 0.0:
-            loss = loss + reg_factor * l1_l2_penalty(params)
+            loss = loss + reg_factor * penalty(params)
         return loss
 
     grad_fn = jax.value_and_grad(loss_fn)
+
+    def batch_inputs(batch):
+        return (batch["img"],) if image_only else (batch["img"], batch["ques"])
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         step_rng = jax.random.fold_in(state.dropout_rng, state.step)
 
         if grad_accu_steps == 1:
-            loss, grads = grad_fn(state.params, batch["img"], batch["ques"],
+            loss, grads = grad_fn(state.params, batch_inputs(batch),
                                   batch["target"], step_rng)
         else:
             def reshape(x):
@@ -86,7 +104,7 @@ def make_train_step(
             def body(carry, xs):
                 loss_acc, grads_acc = carry
                 mb, rng = xs
-                loss, grads = grad_fn(state.params, mb["img"], mb["ques"],
+                loss, grads = grad_fn(state.params, batch_inputs(mb),
                                       mb["target"], rng)
                 return (loss_acc + loss,
                         jax.tree.map(jnp.add, grads_acc, grads)), None
@@ -112,13 +130,19 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model) -> Callable:
-    """(params, batch) -> sigmoid probabilities [B, A]
+def make_eval_step(model, image_only: bool = False) -> Callable:
+    """(params, img[, ques]) -> sigmoid probabilities [B, A]
     (the boundary where the reference's in-graph sigmoid lives,
     reference: core/model/net.py:373)."""
 
-    def eval_step(params, img, ques):
-        out = model.apply({"params": params}, img, ques, deterministic=True)
-        return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+    if image_only:
+        def eval_step(params, img):
+            out = model.apply({"params": params}, img, deterministic=True)
+            return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+    else:
+        def eval_step(params, img, ques):
+            out = model.apply({"params": params}, img, ques,
+                              deterministic=True)
+            return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
 
     return eval_step

@@ -22,7 +22,7 @@ import numpy as np
 from mcan_vqa_tpu.data.pipeline import BatchLoader
 from mcan_vqa_tpu.evals import vqa_eval
 from mcan_vqa_tpu.evals.roc_auc import multilabel_roc_auc
-from mcan_vqa_tpu.models.net import build_mcan
+from mcan_vqa_tpu.models.net import ClassifierNet, build_mcan
 from mcan_vqa_tpu.parallel import sharding as shd
 from mcan_vqa_tpu.parallel.mesh import batch_sharding, make_mesh
 from mcan_vqa_tpu.train import checkpoint as ckpt_mod
@@ -35,18 +35,39 @@ from mcan_vqa_tpu.utils.profiling import StepTimer, trace
 
 class Trainer:
     def __init__(self, cfg, train_dataset=None, eval_datasets: Optional[Dict] = None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, task: str = "vqa"):
+        """task: "vqa" (MCANet, img+ques) or "classify" (ClassifierNet,
+        image-only multi-label; reference: core/exec.py:757-1066)."""
         self.cfg = cfg
+        self.task = task
+        self.image_only = task == "classify"
+        if cfg.debug_nans:
+            # TPU-native analogue of the reference's cudnn.deterministic
+            # debugging posture (cfgs/base_cfgs.py:202)
+            jax.config.update("jax_debug_nans", True)
         self.train_dataset = train_dataset
         self.eval_datasets = eval_datasets or {}
 
         ref = train_dataset or next(iter(self.eval_datasets.values()))
-        self.token_size = ref.token_size
+        self.token_size = getattr(ref, "token_size", 2)
         self.ans_size = ref.ans_size
         self.ix_to_ans = getattr(ref, "ix_to_ans", None)
-        self.model = build_mcan(cfg, self.token_size, self.ans_size,
-                                pretrained_emb=getattr(ref, "pretrained_emb", None),
-                                use_pallas=use_pallas)
+        if self.image_only:
+            import jax.numpy as jnp
+            self.model = ClassifierNet(
+                answer_size=self.ans_size, hidden_size=cfg.hidden_size,
+                num_layers=cfg.layer, num_heads=cfg.multi_head,
+                ff_size=cfg.ff_size, img_feat_size=cfg.img_feat_size,
+                flat_mlp_size=cfg.flat_mlp_size,
+                flat_glimpses=cfg.flat_glimpses,
+                flat_out_size=cfg.flat_out_size,
+                dropout_rate=cfg.dropout_rate,
+                dtype=jnp.dtype(cfg.compute_dtype), use_pallas=use_pallas)
+        else:
+            self.model = build_mcan(
+                cfg, self.token_size, self.ans_size,
+                pretrained_emb=getattr(ref, "pretrained_emb", None),
+                use_pallas=use_pallas)
 
         self.mesh = make_mesh(dict(cfg.mesh_shape))
         data_size = len(train_dataset) if train_dataset else cfg.batch_size
@@ -66,9 +87,10 @@ class Trainer:
         ds = self.train_dataset or next(iter(self.eval_datasets.values()))
         ex = ds.example(0)
         img = np.zeros((1,) + ex["img"].shape, np.float32)
-        ques = np.zeros((1,) + ex["ques"].shape, np.int32)
+        inputs = (img,) if self.image_only else \
+            (img, np.zeros((1,) + ex["ques"].shape, np.int32))
         return jax.jit(self.model.init)(
-            {"params": jax.random.PRNGKey(self.cfg.seed)}, img, ques)["params"]
+            {"params": jax.random.PRNGKey(self.cfg.seed)}, *inputs)["params"]
 
     def ensure_state(self, resume: Optional[bool] = None) -> TrainState:
         if self.state is not None:
@@ -136,7 +158,9 @@ class Trainer:
         if self._jit_train is None:
             step_fn = make_train_step(
                 self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
-                reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule)
+                reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule,
+                image_only=self.image_only,
+                reg_mode="smooth_l1" if self.image_only else "l1l2")
             self._jit_train = shd.jit_train_step(
                 step_fn, self.mesh, jax.device_get(state),
                 donate=cfg.donate_buffers)
@@ -155,14 +179,26 @@ class Trainer:
                 t0 = time.time()
                 meter = StepMeter(len(loader), enabled=cfg.verbose)
                 timer = StepTimer()
+                keys = ("img", "target") if self.image_only else \
+                    ("img", "ques", "target")
                 loss_sum, n_steps = 0.0, 0
                 for batch in loader:
-                    batch = {k: batch[k] for k in ("img", "ques", "target")}
+                    batch = {k: batch[k] for k in keys}
                     state, metrics = self._jit_train(state, batch)
                     loss_sum += float(metrics["loss"])
                     n_steps += 1
                     timer.tick()
                     meter.update({"loss": metrics["loss"], "lr": metrics["lr"]})
+                    # classifier flow: periodic in-epoch eval
+                    # (reference: core/exec.py:940-951)
+                    if (self.image_only and cfg.eval_interval > 0
+                            and n_steps % cfg.eval_interval == 0
+                            and self.eval_datasets):
+                        self.state = state
+                        for name, ds in self.eval_datasets.items():
+                            r = self.evaluate(ds)
+                            self.logger.write(
+                                f"  [step {n_steps}] {name}: {r}")
                 self.state = state
 
                 epoch_metrics = {
@@ -189,15 +225,18 @@ class Trainer:
         state = self.ensure_state()
         if self._jit_eval is None:
             self._jit_eval = shd.jit_eval_step(
-                make_eval_step(self.model), self.mesh,
-                jax.device_get(state))
+                make_eval_step(self.model, image_only=self.image_only),
+                self.mesh, jax.device_get(state),
+                image_only=self.image_only)
         loader = BatchLoader(
             dataset, cfg.eval_batch_size, shuffle=False, drop_last=False,
             seed=cfg.seed, num_workers=cfg.num_workers, pad_final=True,
             sharding=batch_sharding(self.mesh))
         probs_all, qids_all = [], []
         for batch in loader:
-            probs = self._jit_eval(state.params, batch["img"], batch["ques"])
+            inputs = (batch["img"],) if self.image_only else \
+                (batch["img"], batch["ques"])
+            probs = self._jit_eval(state.params, *inputs)
             n = int(batch["n_valid"])
             probs_all.append(np.asarray(probs)[:n])
             qids_all.append(np.asarray(batch["qid"])[:n])
