@@ -94,6 +94,36 @@ class PackedFeatureCache:
         out[:n] = self._mm[start : start + n]
         return out
 
+    def native_batcher(self, n_threads: int = 0):
+        """Lazily build the C++ gather+pad assembler over this cache's
+        features.bin (None when no toolchain is available)."""
+        if not hasattr(self, "_native"):
+            try:
+                from mcan_vqa_tpu.data.native_batcher import NativeBatcher
+                self._native = NativeBatcher(
+                    os.path.join(self.cache_dir, "features.bin"),
+                    self._mm.shape[0], self.feat_dim, n_threads)
+            except Exception:
+                self._native = None
+        return self._native
+
+    def gather_pad_batch(self, iids, pad_size: int) -> np.ndarray:
+        """Assemble fp32 [B, pad_size, feat_dim] for a batch of image ids —
+        one native call (parallel C++ threads) when available."""
+        starts = np.empty(len(iids), np.uint64)
+        lens = np.empty(len(iids), np.uint32)
+        for i, iid in enumerate(iids):
+            s, n = self.index[str(iid)]
+            starts[i], lens[i] = s, n
+        native = self.native_batcher()
+        if native is not None:
+            return native.gather_pad(starts, lens, pad_size)
+        out = np.zeros((len(iids), pad_size, self.feat_dim), np.float32)
+        for i, (s, n) in enumerate(zip(starts, lens)):
+            n = min(int(n), pad_size)
+            out[i, :n] = self._mm[int(s): int(s) + n]
+        return out
+
     @staticmethod
     def build(npz_dir_or_paths, cache_dir: str, feat_dim: int = 2048,
               log_every: int = 5000) -> "PackedFeatureCache":

@@ -63,6 +63,17 @@ class BatchLoader:
         return idx
 
     def _assemble(self, indices: np.ndarray) -> Dict[str, Any]:
+        # whole-batch fast path (native C++ gather+pad) when the dataset
+        # provides it
+        if hasattr(self.dataset, "batch_examples"):
+            n_valid = len(indices)
+            if self.pad_final and n_valid < self.batch_size:
+                indices = np.concatenate(
+                    [indices,
+                     np.repeat(indices[-1], self.batch_size - n_valid)])
+            batch = self.dataset.batch_examples(indices)
+            batch["n_valid"] = np.int32(n_valid)
+            return batch
         examples = [self.dataset.example(int(i)) for i in indices]
         n_valid = len(examples)
         if self.pad_final and n_valid < self.batch_size:

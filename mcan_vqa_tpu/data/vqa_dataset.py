@@ -137,6 +137,47 @@ class VQADataset:
     def __len__(self) -> int:
         return self.data_size
 
+    def batch_examples(self, indices) -> Dict[str, np.ndarray]:
+        """Whole-batch assembly. When every image is served by one packed
+        cache, features come from a single native C++ gather+pad call
+        (mcan_vqa_tpu/native/batcher.cpp); text/targets are cheap host work.
+        """
+        records = []
+        for i in indices:
+            i = int(i)
+            if self.run_mode == "train":
+                ann = self.ans_list[i]
+                records.append((ann["image_id"],
+                                self.qid_to_ques[str(ann["question_id"])],
+                                ann))
+            else:
+                q = self.ques_list[i]
+                records.append((q["image_id"], q, None))
+
+        img = None
+        if len(self._packed) == 1 and not self._preloaded:
+            cache = next(iter(self._packed.values()))
+            iids = [str(r[0]) for r in records]
+            if all(iid in cache for iid in iids):
+                img = cache.gather_pad_batch(iids, self.cfg.img_feat_pad_size)
+        if img is None:
+            img = np.stack([self.image_feature(r[0]).astype(np.float32)
+                            for r in records])
+
+        batch = {
+            "img": img,
+            "ques": np.stack([text_mod.encode_question(
+                r[1]["question"], self.token_to_ix, self.cfg.max_token)
+                for r in records]),
+            "qid": np.asarray([r[1]["question_id"] for r in records],
+                              np.int64),
+        }
+        if self.run_mode == "train":
+            batch["target"] = np.stack(
+                [ans_mod.soft_scores(r[2]["answers"], self.ans_to_ix)
+                 for r in records])
+        return batch
+
 
 class SyntheticVQADataset:
     """Deterministic in-memory dataset with the VQADataset interface, for
