@@ -39,8 +39,7 @@ def main() -> None:
     B = int(os.environ.get("BENCH_BATCH", "512"))
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    model = build_mcan(cfg, token_size=20000, answer_size=3129,
-                       use_pallas=use_pallas)
+    model = build_mcan(cfg, token_size=20000, answer_size=3129)
 
     rng = np.random.default_rng(0)
     img = rng.normal(size=(B, cfg.img_feat_pad_size, cfg.img_feat_size)
@@ -54,13 +53,22 @@ def main() -> None:
     for i, n in enumerate(q_lens):
         ques[i, n:] = 0
 
-    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img, ques)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, img, ques)["params"]
+
+    if use_pallas:
+        from mcan_vqa_tpu.ops.serving import make_serving_fn
+        forward = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=True)
+    else:
+        def forward(params, img, ques):
+            return model.apply({"params": params}, img, ques,
+                               deterministic=True)["logits"]
 
     @functools.partial(jax.jit, static_argnames="n")
     def bench_loop(params, img, ques, n):
         def body(carry, _):
-            out = model.apply(params, img + carry, ques, deterministic=True)
-            probs = jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+            logits = forward(params, img + carry, ques)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             # scalar loop-carry: forces sequential execution, ~0 numerically
             return jnp.max(probs) * jnp.float32(1e-30), None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)

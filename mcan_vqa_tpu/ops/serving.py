@@ -1,0 +1,152 @@
+"""Fused serving engine: raw-params MCAN inference with Pallas kernels.
+
+The linen module tree (models/net.py) is the training-time source of truth;
+this module is the production *serving* path: one jitted function over the
+raw parameter pytree that
+  * runs every attention block through the fused masked-attention kernel
+    (ops/masked_attention.py) — the [B, H, L, L] score tensors never touch
+    HBM,
+  * runs both AttFlat heads through the fused pooling kernel (ops/attflat.py),
+  * keeps all Dense/LSTM matmuls in bf16 on the MXU.
+
+Golden-tested against ``model.apply`` (tests/test_serving.py); the bench's
+serving number runs through here when BENCH_PALLAS=1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from mcan_vqa_tpu.models.layers import make_mask
+from mcan_vqa_tpu.ops.attflat import attflat_pallas
+from mcan_vqa_tpu.ops.masked_attention import (
+    masked_attention_pallas, masked_attention_xla)
+
+BF16 = jnp.bfloat16
+
+
+def _dense(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x.astype(BF16), p["kernel"].astype(BF16),
+                   preferred_element_type=jnp.float32) + p["bias"]
+
+
+def _std_layer_norm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    dim = x.shape[-1]
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    centered = x32 - mean
+    var = jnp.sum(centered * centered, axis=-1, keepdims=True) / (dim - 1)
+    return p["scale"] * centered / (jnp.sqrt(var) + 1e-6) + p["bias"]
+
+
+def _mlp(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    h = jax.nn.relu(_dense(p["FCLayer_0"]["Dense_0"], x))
+    return _dense(p["Dense_0"], h)
+
+
+def _lstm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    B, L, _ = x.shape
+    H = p["w_hh"].shape[0]
+    x_proj = (jnp.dot(x.astype(BF16), p["w_ih"].astype(BF16),
+                      preferred_element_type=jnp.float32)
+              + p["b_ih"] + p["b_hh"])
+    w_hh = p["w_hh"].astype(BF16)
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + jnp.dot(h.astype(BF16), w_hh,
+                               preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32))
+    _, hs = jax.lax.scan(step, init, jnp.swapaxes(x_proj, 0, 1))
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
+           interpret: bool):
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    Dh = D // num_heads
+
+    def split(x, L):
+        return x.reshape(B, L, num_heads, Dh).transpose(0, 2, 1, 3)
+
+    vp = split(_dense(p["linear_v"], v), Lk)
+    kp = split(_dense(p["linear_k"], k), Lk)
+    qp = split(_dense(p["linear_q"], q), Lq)
+    if use_pallas:
+        atted = masked_attention_pallas(qp, kp, vp, mask, interpret=interpret)
+    else:
+        atted = masked_attention_xla(qp, kp, vp, mask)
+    atted = atted.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return _dense(p["linear_merge"], atted)
+
+
+def _attflat(p, x, mask, use_pallas: bool, interpret: bool):
+    if use_pallas:
+        out, att = attflat_pallas(
+            x, mask,
+            p["mlp"]["FCLayer_0"]["Dense_0"]["kernel"],
+            p["mlp"]["FCLayer_0"]["Dense_0"]["bias"],
+            p["mlp"]["Dense_0"]["kernel"], p["mlp"]["Dense_0"]["bias"],
+            p["linear_merge"]["kernel"], p["linear_merge"]["bias"],
+            interpret=interpret)
+        return out, att
+    logits = _mlp(p["mlp"], x)
+    logits = jnp.where(mask[:, 0, 0, :, None], -1e9, logits)
+    att = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    pooled = jnp.einsum("blg,bld->bgd", att.astype(BF16), x.astype(BF16),
+                        preferred_element_type=jnp.float32)
+    pooled = pooled.reshape(x.shape[0], -1)
+    return _dense(p["linear_merge"], pooled), att
+
+
+def make_serving_fn(num_layers: int, num_heads: int,
+                    use_pallas: bool = True, interpret: bool = False):
+    """Build forward(params, img_feat, ques_ix) -> logits [B, A].
+
+    params: the MCANet param pytree (model.init(...)['params'] or a
+    checkpoint import).
+    """
+
+    def forward(params, img_feat, ques_ix):
+        q_mask = make_mask(ques_ix[..., None])
+        v_mask = make_mask(img_feat)
+
+        q = jnp.take(params["embedding"]["embedding"], ques_ix, axis=0)
+        q = _lstm(params["lstm"], q)
+        v = _dense(params["img_feat_linear"], img_feat)
+
+        bb = params["backbone"]
+        for i in range(num_layers):
+            p = bb[f"enc_{i}"]
+            att = _mhatt(p["mhatt"], q, q, q, q_mask, num_heads,
+                         use_pallas, interpret)
+            q = _std_layer_norm(p["norm1"], q + att)
+            q = _std_layer_norm(p["norm2"], q + _mlp(p["ffn"]["mlp"], q))
+        for i in range(num_layers):
+            p = bb[f"dec_{i}"]
+            att = _mhatt(p["mhatt1"], v, v, v, v_mask, num_heads,
+                         use_pallas, interpret)
+            v = _std_layer_norm(p["norm1"], v + att)
+            att = _mhatt(p["mhatt2"], q, q, v, q_mask, num_heads,
+                         use_pallas, interpret)
+            v = _std_layer_norm(p["norm2"], v + att)
+            v = _std_layer_norm(p["norm3"], v + _mlp(p["ffn"]["mlp"], v))
+
+        lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
+                                use_pallas, interpret)
+        img_flat, _ = _attflat(params["attflat_img"], v, v_mask,
+                               use_pallas, interpret)
+        fused = _std_layer_norm(params["proj_norm"], lang_flat + img_flat)
+        return _dense(params["proj"], fused)
+
+    return forward

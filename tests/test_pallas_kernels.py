@@ -1,0 +1,103 @@
+"""Pallas kernel parity tests (interpreter mode on CPU; the same kernels run
+compiled on TPU via the bench/serving path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcan_vqa_tpu.ops.attflat import attflat_pallas
+from mcan_vqa_tpu.ops.masked_attention import (
+    masked_attention_pallas, masked_attention_xla)
+
+
+class TestMaskedAttentionPallas:
+    def _case(self, B=2, H=4, Lq=14, Lk=60, Dh=64, seed=0, mask_frac=0.3):
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(B, H, Lq, Dh)).astype(np.float32)
+        k = rng.normal(size=(B, H, Lk, Dh)).astype(np.float32)
+        v = rng.normal(size=(B, H, Lk, Dh)).astype(np.float32)
+        mask = np.zeros((B, 1, 1, Lk), bool)
+        for b in range(B):
+            n = int(Lk * (1 - mask_frac)) + b
+            mask[b, ..., n:] = True
+        return q, k, v, mask
+
+    def test_matches_xla_path(self):
+        q, k, v, mask = self._case()
+        ours = masked_attention_pallas(q, k, v, jnp.asarray(mask),
+                                       interpret=True)
+        ref = masked_attention_xla(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(mask),
+                                   compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_no_mask(self):
+        q, k, v, _ = self._case(Lk=16)
+        ours = masked_attention_pallas(q, k, v, None, interpret=True)
+        ref = masked_attention_xla(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), None,
+                                   compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_masked_positions_ignored(self):
+        """Garbage in masked K/V rows must not leak into the output."""
+        q, k, v, mask = self._case(B=1)
+        k2, v2 = k.copy(), v.copy()
+        k2[:, :, mask[0, 0, 0]] = 1e4
+        v2[:, :, mask[0, 0, 0]] = -1e4
+        a = masked_attention_pallas(q, k, v, jnp.asarray(mask), interpret=True)
+        b = masked_attention_pallas(q, k2, v2, jnp.asarray(mask),
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+class TestAttFlatPallas:
+    def _params(self, D=64, M=32, G=1, O=48, seed=1):
+        rng = np.random.default_rng(seed)
+        return (rng.normal(size=(D, M)).astype(np.float32) * 0.1,
+                rng.normal(size=(M,)).astype(np.float32) * 0.1,
+                rng.normal(size=(M, G)).astype(np.float32) * 0.1,
+                rng.normal(size=(G,)).astype(np.float32) * 0.1,
+                rng.normal(size=(G * D, O)).astype(np.float32) * 0.1,
+                rng.normal(size=(O,)).astype(np.float32) * 0.1)
+
+    def _xla_ref(self, x, mask, w1, b1, w2, b2, wm, bm):
+        h = jax.nn.relu(x @ w1 + b1)
+        logits = h @ w2 + b2
+        logits = jnp.where(mask[:, 0, 0, :, None], -1e9, logits)
+        att = jax.nn.softmax(logits, axis=1)
+        pooled = jnp.einsum("blg,bld->bgd", att, x).reshape(x.shape[0], -1)
+        return pooled @ wm + bm, att
+
+    @pytest.mark.parametrize("G", [1, 2])
+    def test_matches_xla(self, G):
+        rng = np.random.default_rng(0)
+        B, L, D = 3, 14, 64
+        x = rng.normal(size=(B, L, D)).astype(np.float32)
+        mask = np.zeros((B, 1, 1, L), bool)
+        mask[0, ..., 9:] = True
+        mask[2, ..., 4:] = True
+        params = self._params(D=D, G=G)
+        out, att = attflat_pallas(x, jnp.asarray(mask), *params,
+                                  interpret=True)
+        ref_out, ref_att = self._xla_ref(jnp.asarray(x), jnp.asarray(mask),
+                                         *map(jnp.asarray, params))
+        np.testing.assert_allclose(np.asarray(att), np.asarray(ref_att),
+                                   atol=1e-2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=5e-2, rtol=2e-2)
+
+    def test_pad_rows_zero_attention(self):
+        rng = np.random.default_rng(2)
+        B, L, D = 1, 8, 64
+        x = rng.normal(size=(B, L, D)).astype(np.float32)
+        mask = np.zeros((B, 1, 1, L), bool)
+        mask[0, ..., 5:] = True
+        _, att = attflat_pallas(x, jnp.asarray(mask), *self._params(D=D),
+                                interpret=True)
+        assert np.asarray(att)[0, 5:].max() < 1e-6
+        np.testing.assert_allclose(np.asarray(att).sum(axis=1), 1.0,
+                                   atol=1e-5)

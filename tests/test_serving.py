@@ -1,0 +1,62 @@
+"""Golden test: the fused serving engine reproduces model.apply logits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcan_vqa_tpu.configs import Config
+from mcan_vqa_tpu.models.net import build_mcan
+from mcan_vqa_tpu.ops.serving import make_serving_fn
+
+
+def _setup(compute_dtype="float32"):
+    cfg = Config(hidden_size=64, layer=2, multi_head=4, img_feat_size=32,
+                 img_feat_pad_size=12, max_token=7, flat_out_size=48,
+                 flat_mlp_size=24, compute_dtype=compute_dtype,
+                 use_glove=False).finalize()
+    model = build_mcan(cfg, token_size=50, answer_size=20)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(3, 12, 32)).astype(np.float32)
+    img[0, 8:] = 0.0
+    ques = rng.integers(1, 50, size=(3, 7)).astype(np.int32)
+    ques[1, 4:] = 0
+    params = model.init({"params": jax.random.PRNGKey(0)}, img, ques)["params"]
+    return cfg, model, params, img, ques
+
+
+class TestServingEngine:
+    def test_xla_serving_matches_model(self):
+        cfg, model, params, img, ques = _setup()
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_pallas_serving_matches_model(self):
+        cfg, model, params, img, ques = _setup()
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=True,
+                              interpret=True)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_answers_agree_fp32(self):
+        """Top-1 answers agree between serving engine and model."""
+        cfg, model, params, img, ques = _setup()
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=True,
+                              interpret=True)
+        ours = np.asarray(fwd(params, img, ques)).argmax(-1)
+        ref = np.asarray(model.apply({"params": params}, img, ques,
+                                     deterministic=True)["logits"]).argmax(-1)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_jittable(self):
+        cfg, model, params, img, ques = _setup()
+        fwd = jax.jit(make_serving_fn(cfg.layer, cfg.multi_head,
+                                      use_pallas=False))
+        out = fwd(params, img, ques)
+        assert out.shape == (3, 20)
