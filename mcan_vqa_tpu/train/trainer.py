@@ -250,6 +250,16 @@ class Trainer:
         out = self.predict(dataset)
         results: Dict[str, Any] = {}
 
+        # prediction-vector dump for ensembling (reference test_save_pred,
+        # cfgs/base_cfgs.py:57, exec.py eval pred path)
+        if self.cfg.test_save_pred:
+            os.makedirs(self.cfg.pred_path, exist_ok=True)
+            pred_file = os.path.join(
+                self.cfg.pred_path, f"pred_run_{self.cfg.version}.npz")
+            np.savez_compressed(pred_file, probs=out["probs"],
+                                qids=out["qids"])
+            results["pred_path"] = pred_file
+
         answers = None
         if self.ix_to_ans:
             top = out["probs"].argmax(axis=1)
