@@ -28,6 +28,9 @@ _NEG_INF = -1e9
 
 def _attflat_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     wm_ref, bm_ref, out_ref, att_ref):
+    # Blocks: x [1,L,D]; mask [1,1,L] int8; out [1,1,O]; att [1,L,G];
+    # weights replicated full. 3D shapes keep the TPU (sublane, lane)
+    # tiling rule satisfied: each block's last two dims equal the array's.
     x = x_ref[0].astype(jnp.bfloat16)                    # [L, D]
     h = jnp.maximum(
         jnp.dot(x, w1_ref[:].astype(jnp.bfloat16),
@@ -35,7 +38,7 @@ def _attflat_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     logits = jnp.dot(h.astype(jnp.bfloat16),
                      w2_ref[:].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32) + b2_ref[:]  # [L, G]
-    pad = mask_ref[0].astype(jnp.float32)[:, None]       # [L, 1]
+    pad = mask_ref[0, 0].astype(jnp.float32)[:, None]    # [L, 1]
     logits = logits + pad * _NEG_INF
     m = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - m)
@@ -47,7 +50,7 @@ def _attflat_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     flat = pooled.reshape(1, -1).astype(jnp.bfloat16)    # [1, G*D]
     out = jnp.dot(flat, wm_ref[:].astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32) + bm_ref[:]
-    out_ref[0] = out[0]
+    out_ref[0, 0] = out[0]
     att_ref[0] = att
 
 
@@ -63,7 +66,7 @@ def attflat_pallas(x, mask, w1, b1, w2, b2, wm, bm, interpret: bool = False):
     B, L, D = x.shape
     G = w2.shape[1]
     O = wm.shape[1]
-    pad = mask[:, 0, 0, :].astype(jnp.int8)  # [B, L]
+    pad = mask[:, 0, :, :].astype(jnp.int8)  # [B, 1, L]
 
     rep = lambda *_: (0, 0)
     out, att = pl.pallas_call(
@@ -72,7 +75,8 @@ def attflat_pallas(x, mask, w1, b1, w2, b2, wm, bm, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((D, w1.shape[1]), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((w1.shape[1],), lambda b: (0,),
                          memory_space=pltpu.VMEM),
@@ -82,14 +86,15 @@ def attflat_pallas(x, mask, w1, b1, w2, b2, wm, bm, interpret: bool = False):
             pl.BlockSpec((O,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, O), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, O), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, G), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, O), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, O), jnp.float32),
             jax.ShapeDtypeStruct((B, L, G), jnp.float32),
         ),
         interpret=interpret,
     )(x, pad, w1, b1, w2, b2, wm, bm)
-    return out, att
+    return out[:, 0], att
