@@ -73,6 +73,7 @@ class Config:
     compute_dtype: str = "bfloat16"   # matmul compute dtype; params stay fp32
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1, "model": 1})
     donate_buffers: bool = True
+    use_remat: bool = False          # rematerialize SA/SGA blocks (memory)
     debug_nans: bool = False
     profile_dir: str = ""             # if set, jax.profiler traces go here
 

@@ -79,6 +79,11 @@ class PackedFeatureCache:
             mode="r",
             shape=(meta["total_rows"], self.feat_dim),
         )
+        bbox_path = os.path.join(cache_dir, "bbox.bin")
+        self._bbox = None
+        if os.path.exists(bbox_path):
+            self._bbox = np.memmap(bbox_path, dtype=np.float32, mode="r",
+                                   shape=(meta["total_rows"], 4))
 
     def __contains__(self, iid: str) -> bool:
         return iid in self.index
@@ -93,6 +98,17 @@ class PackedFeatureCache:
         out = np.zeros((pad_size, self.feat_dim), dtype=dtype)
         out[:n] = self._mm[start : start + n]
         return out
+
+    def get_bboxes(self, iid: str, pad_size: Optional[int] = None):
+        """Region bounding boxes [n, 4] (None if the cache was packed
+        without them); used by the visualization flow."""
+        if self._bbox is None:
+            return None
+        start, n = self.index[iid]
+        boxes = np.asarray(self._bbox[start : start + n])
+        if pad_size is not None:
+            boxes = pad_img_feat(boxes[:pad_size], pad_size)
+        return boxes
 
     def native_batcher(self, n_threads: int = 0):
         """Lazily build the C++ gather+pad assembler over this cache's
@@ -148,13 +164,22 @@ class PackedFeatureCache:
             os.path.join(cache_dir, "features.bin"),
             dtype=np.float16, mode="w+", shape=(max(total, 1), feat_dim),
         )
+        bb = None
         for i, p in enumerate(paths):
-            feat = load_npz_feature(p)
             start, n = index[iid_from_path(p)]
-            mm[start : start + n] = feat.astype(np.float16)
+            with np.load(p) as z:
+                mm[start : start + n] = z["x"].transpose(1, 0).astype(np.float16)
+                if "bbox" in z.files:
+                    if bb is None:
+                        bb = np.memmap(os.path.join(cache_dir, "bbox.bin"),
+                                       dtype=np.float32, mode="w+",
+                                       shape=(max(total, 1), 4))
+                    bb[start : start + n] = z["bbox"][:, :4]
             if log_every and i % log_every == 0:
                 print(f"packing features: {i}/{len(paths)}", flush=True)
         mm.flush()
+        if bb is not None:
+            bb.flush()
 
         with open(os.path.join(cache_dir, "index.json"), "w") as f:
             json.dump({"feat_dim": feat_dim, "total_rows": max(total, 1),

@@ -137,6 +137,30 @@ class VQADataset:
     def __len__(self) -> int:
         return self.data_size
 
+    def bboxes(self, idx: int):
+        """Region boxes [R, 4] for visualization (None when unavailable)."""
+        rec = (self.ans_list[idx] if self.run_mode == "train"
+               else self.ques_list[idx])
+        iid = str(rec["image_id"])
+        for cache in self._packed.values():
+            if iid in cache:
+                return cache.get_bboxes(iid, self.cfg.img_feat_pad_size)
+        path = self._npz_paths.get(iid)
+        if path:
+            with np.load(path) as z:
+                if "bbox" in z.files:
+                    return feat_mod.pad_img_feat(
+                        z["bbox"][:, :4].astype(np.float32),
+                        self.cfg.img_feat_pad_size)
+        return None
+
+    def question_tokens(self, idx: int):
+        rec = (self.ans_list[idx] if self.run_mode == "train"
+               else self.ques_list[idx])
+        if self.run_mode == "train":
+            rec = self.qid_to_ques[str(rec["question_id"])]
+        return text_mod.clean_question(rec["question"])
+
     def batch_examples(self, indices) -> Dict[str, np.ndarray]:
         """Whole-batch assembly. When every image is served by one packed
         cache, features come from a single native C++ gather+pad call

@@ -90,7 +90,13 @@ class SGA(nn.Module):
 
 class MCAEncoderDecoder(nn.Module):
     """MCA_ED: L x SA over the question, then L x SGA over image regions
-    guided by the final question encoding (reference: core/model/mca.py:171-186)."""
+    guided by the final question encoding (reference: core/model/mca.py:171-186).
+
+    use_remat trades FLOPs for HBM: each SA/SGA block's activations are
+    rematerialized in the backward pass (jax.checkpoint), cutting stored
+    activations per layer — relevant for MCAN-large (hidden 1024) at big
+    batch sizes.
+    """
 
     num_layers: int
     hidden_size: int
@@ -99,16 +105,24 @@ class MCAEncoderDecoder(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_remat: bool = False
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
         kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
                   ff_size=self.ff_size, dropout_rate=self.dropout_rate,
                   dtype=self.dtype, use_pallas=self.use_pallas)
+        sa_cls, sga_cls = SA, SGA
+        if self.use_remat:
+            # static_argnums counts the bound module as arg 0, so
+            # `deterministic` sits at 3 (SA) / 5 (SGA)
+            sa_cls = nn.remat(SA, static_argnums=(3,))
+            sga_cls = nn.remat(SGA, static_argnums=(5,))
         for i in range(self.num_layers):
-            x = SA(name=f"enc_{i}", **kw)(x, x_mask, deterministic)
+            x = sa_cls(name=f"enc_{i}", **kw)(x, x_mask, deterministic)
         for i in range(self.num_layers):
-            y = SGA(name=f"dec_{i}", **kw)(y, x, y_mask, x_mask, deterministic)
+            y = sga_cls(name=f"dec_{i}", **kw)(y, x, y_mask, x_mask,
+                                               deterministic)
         return x, y
 
 

@@ -80,6 +80,7 @@ class MCANet(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_remat: bool = False
     # GloVe init: a callable (key, shape, dtype) -> array, or None for N(0,1).
     # A callable (not the raw matrix) so the module stays hashable for jit.
     emb_init_fn: Optional[Any] = None
@@ -103,7 +104,8 @@ class MCANet(nn.Module):
             num_layers=self.num_layers, hidden_size=self.hidden_size,
             num_heads=self.num_heads, ff_size=self.ff_size,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="backbone",
+            use_pallas=self.use_pallas, use_remat=self.use_remat,
+            name="backbone",
         )(q, v, q_mask, v_mask, deterministic)
 
         flat_kw = dict(hidden_size=self.hidden_size,
@@ -189,5 +191,6 @@ def build_mcan(cfg, token_size: int, answer_size: int,
         dropout_rate=cfg.dropout_rate,
         dtype=jnp.dtype(cfg.compute_dtype),
         use_pallas=use_pallas,
+        use_remat=getattr(cfg, "use_remat", False),
         emb_init_fn=emb_init_fn,
     )

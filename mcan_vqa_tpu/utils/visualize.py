@@ -120,6 +120,9 @@ def run_visualization(trainer, dataset, out_dir: str, limit: int = 8) -> int:
         ans = None
         if trainer.ix_to_ans:
             ans = trainer.ix_to_ans.get(str(int(probs[i].argmax())))
+        bboxes = dataset.bboxes(i) if hasattr(dataset, "bboxes") else None
+        toks = (dataset.question_tokens(i)
+                if hasattr(dataset, "question_tokens") else None)
         visualize_example(out, i, os.path.join(out_dir, f"example_{i}.png"),
-                          answer=ans)
+                          question_tokens=toks, answer=ans, bboxes=bboxes)
     return n
