@@ -41,20 +41,25 @@ def main() -> None:
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     model = build_mcan(cfg, token_size=20000, answer_size=3129)
 
-    rng = np.random.default_rng(0)
-    img = rng.normal(size=(B, cfg.img_feat_pad_size, cfg.img_feat_size)
-                     ).astype(np.float32)
-    # realistic padding: 10..60 valid regions per item (reference README:52)
-    n_valid = rng.integers(10, 61, size=B)
-    for i, n in enumerate(n_valid):
-        img[i, n:] = 0.0
-    ques = rng.integers(1, 20000, size=(B, cfg.max_token)).astype(np.int32)
-    q_lens = rng.integers(3, 15, size=B)
-    for i, n in enumerate(q_lens):
-        ques[i, n:] = 0
+    # Generate inputs ON DEVICE: host->HBM uploads ride a slow relay in this
+    # environment, and a [B, 60, 2048] fp32 batch is hundreds of MB.
+    @jax.jit
+    def make_inputs(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        R, F, T = cfg.img_feat_pad_size, cfg.img_feat_size, cfg.max_token
+        img = jax.random.normal(k1, (B, R, F), jnp.float32)
+        # realistic padding: 10..60 valid regions (reference README:52)
+        n_valid = jax.random.randint(k2, (B, 1), 10, R + 1)
+        img = img * (jnp.arange(R)[None, :, None] < n_valid[..., None])
+        ques = jax.random.randint(k3, (B, cfg.max_token), 1, 20000,
+                                  jnp.int32)
+        q_len = jax.random.randint(k4, (B, 1), 3, T + 1)
+        ques = ques * (jnp.arange(T)[None, :] < q_len)
+        return img, ques
 
+    img_d, ques_d = make_inputs(jax.random.PRNGKey(0))
     params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)}, img, ques)["params"]
+        {"params": jax.random.PRNGKey(0)}, img_d, ques_d)["params"]
 
     if use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn
@@ -73,9 +78,6 @@ def main() -> None:
             return jnp.max(probs) * jnp.float32(1e-30), None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return c
-
-    img_d = jax.device_put(img)
-    ques_d = jax.device_put(ques)
 
     # compile both program shapes
     float(bench_loop(params, img_d, ques_d, 1))

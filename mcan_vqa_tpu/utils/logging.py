@@ -36,6 +36,11 @@ class RunLogger:
         parts = ", ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
                           for k, v in metrics.items())
         self.write(f"epoch {epoch}: {parts}")
+        # machine-readable mirror (one JSON object per epoch)
+        with open(self.path.replace(".txt", ".jsonl"), "a") as f:
+            f.write(json.dumps({"epoch": epoch, **{
+                k: (float(v) if isinstance(v, (int, float)) else v)
+                for k, v in metrics.items()}}, default=str) + "\n")
 
 
 class StepMeter:

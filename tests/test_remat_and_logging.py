@@ -1,0 +1,65 @@
+"""Remat equivalence and metrics-JSONL logging tests."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from mcan_vqa_tpu.configs import Config
+from mcan_vqa_tpu.models.net import build_mcan
+from mcan_vqa_tpu.train.optim import make_optimizer
+from mcan_vqa_tpu.train.step import make_train_step
+from mcan_vqa_tpu.train.train_state import TrainState
+from mcan_vqa_tpu.utils.logging import RunLogger
+
+
+def _cfg(**kw):
+    base = dict(hidden_size=32, layer=2, multi_head=4, img_feat_size=16,
+                flat_out_size=32, flat_mlp_size=16, batch_size=8,
+                compute_dtype="float32", use_glove=False)
+    base.update(kw)
+    return Config(**base).finalize()
+
+
+class TestRemat:
+    def test_gradients_match_non_remat(self):
+        rng = np.random.default_rng(0)
+        batch = {"img": rng.normal(size=(8, 6, 16)).astype(np.float32),
+                 "ques": rng.integers(1, 30, (8, 5)).astype(np.int32),
+                 "target": (rng.random((8, 10)) < 0.2).astype(np.float32)}
+        m_plain = build_mcan(_cfg(use_remat=False), 30, 10)
+        m_remat = build_mcan(_cfg(use_remat=True), 30, 10)
+        params = m_plain.init({"params": jax.random.PRNGKey(0)},
+                              batch["img"], batch["ques"])["params"]
+        import optax
+        tx = optax.sgd(1.0)
+        s0 = TrainState.create(params, tx)
+        s1, m1 = jax.jit(make_train_step(m_plain, tx))(s0, batch)
+        s2, m2 = jax.jit(make_train_step(m_remat, tx))(s0, batch)
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-3
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
+    def test_remat_params_identical_structure(self):
+        """Remat must not change parameter names (checkpoint compat)."""
+        m_plain = build_mcan(_cfg(use_remat=False), 30, 10)
+        m_remat = build_mcan(_cfg(use_remat=True), 30, 10)
+        img = np.zeros((1, 6, 16), np.float32)
+        ques = np.zeros((1, 5), np.int32)
+        p1 = m_plain.init({"params": jax.random.PRNGKey(0)}, img, ques)
+        p2 = m_remat.init({"params": jax.random.PRNGKey(0)}, img, ques)
+        assert jax.tree_util.tree_structure(p1) == \
+            jax.tree_util.tree_structure(p2)
+
+
+class TestMetricsJsonl:
+    def test_epoch_writes_jsonl(self, tmp_path):
+        logger = RunLogger(str(tmp_path), "v1", {"seed": 1}, echo=False)
+        logger.epoch(0, {"loss": 1.5, "lr": 1e-4})
+        logger.epoch(1, {"loss": 1.2, "lr": 1e-4})
+        lines = open(tmp_path / "log_run_v1.jsonl").read().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[1])
+        assert rec["epoch"] == 1 and abs(rec["loss"] - 1.2) < 1e-9
