@@ -39,7 +39,9 @@ def main() -> None:
     B = int(os.environ.get("BENCH_BATCH", "512"))
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    model = build_mcan(cfg, token_size=20000, answer_size=3129)
+    use_packing = os.environ.get("BENCH_PACK", "0") == "1"
+    model = build_mcan(cfg, token_size=20000, answer_size=3129,
+                       use_packing=use_packing)
 
     # Generate inputs ON DEVICE: host->HBM uploads ride a slow relay in this
     # environment, and a [B, 60, 2048] fp32 batch is hundreds of MB.

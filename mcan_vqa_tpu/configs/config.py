@@ -74,6 +74,7 @@ class Config:
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1, "model": 1})
     donate_buffers: bool = True
     use_remat: bool = False          # rematerialize SA/SGA blocks (memory)
+    attention_packing: bool = False  # sample-pack attention to fill MXU tiles
     debug_nans: bool = False
     profile_dir: str = ""             # if set, jax.profiler traces go here
 

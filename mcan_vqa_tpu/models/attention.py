@@ -20,6 +20,9 @@ class MHAtt(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    # pack T samples along the sequence axis to fill MXU tiles
+    # (ops/packed_attention.py); only valid when Lq == Lk or mask covers k
+    use_packing: bool = False
 
     @nn.compact
     def __call__(self, v, k, q, mask, deterministic: bool = True):
@@ -39,12 +42,21 @@ class MHAtt(nn.Module):
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        atted = masked_attention(
-            qp, kp, vp, mask,
-            dropout_rate=rate, dropout_rng=dropout_rng,
-            compute_dtype=self.dtype,
-            use_pallas=self.use_pallas,
-        )  # [B, H, Lq, Dh] fp32
+        if self.use_packing and not self.use_pallas:
+            from mcan_vqa_tpu.ops.packed_attention import (
+                choose_pack, packed_masked_attention)
+            pack = choose_pack(B, max(Lq, Lk))
+            atted = packed_masked_attention(
+                qp, kp, vp, mask, pack=pack,
+                dropout_rate=rate, dropout_rng=dropout_rng,
+                compute_dtype=self.dtype)
+        else:
+            atted = masked_attention(
+                qp, kp, vp, mask,
+                dropout_rate=rate, dropout_rng=dropout_rng,
+                compute_dtype=self.dtype,
+                use_pallas=self.use_pallas,
+            )  # [B, H, Lq, Dh] fp32
 
         atted = atted.transpose(0, 2, 1, 3).reshape(B, Lq, self.hidden_size)
         return Dense(self.hidden_size, dtype=self.dtype, name="linear_merge")(atted)

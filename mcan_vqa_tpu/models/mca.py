@@ -43,6 +43,7 @@ class SA(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_packing: bool = False
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
@@ -50,6 +51,7 @@ class SA(nn.Module):
                                     deterministic=deterministic)(y)
         att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    use_packing=self.use_packing,
                     name="mhatt")(x, x, x, x_mask, deterministic)
         x = StdLayerNorm(name="norm1")(x + drop(att))
         ff = FFN(self.hidden_size, self.ff_size, self.dropout_rate,
@@ -70,12 +72,14 @@ class SGA(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_packing: bool = False
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
         drop = lambda z: nn.Dropout(self.dropout_rate,
                                     deterministic=deterministic)(z)
-        kw = dict(dtype=self.dtype, use_pallas=self.use_pallas)
+        kw = dict(dtype=self.dtype, use_pallas=self.use_pallas,
+                  use_packing=self.use_packing)
         self_att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
                          name="mhatt1", **kw)(x, x, x, x_mask, deterministic)
         x = StdLayerNorm(name="norm1")(x + drop(self_att))
@@ -106,12 +110,14 @@ class MCAEncoderDecoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     use_remat: bool = False
+    use_packing: bool = False
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
         kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
                   ff_size=self.ff_size, dropout_rate=self.dropout_rate,
-                  dtype=self.dtype, use_pallas=self.use_pallas)
+                  dtype=self.dtype, use_pallas=self.use_pallas,
+                  use_packing=self.use_packing)
         sa_cls, sga_cls = SA, SGA
         if self.use_remat:
             # static_argnums counts the bound module as arg 0, so
@@ -137,12 +143,14 @@ class MCAEncoder(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_packing: bool = False
 
     @nn.compact
     def __call__(self, y, y_mask, deterministic: bool = True):
         kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
                   ff_size=self.ff_size, dropout_rate=self.dropout_rate,
-                  dtype=self.dtype, use_pallas=self.use_pallas)
+                  dtype=self.dtype, use_pallas=self.use_pallas,
+                  use_packing=self.use_packing)
         for i in range(self.num_layers):
             y = SA(name=f"enc_{i}", **kw)(y, y_mask, deterministic)
         return y

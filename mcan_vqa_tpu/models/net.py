@@ -81,6 +81,7 @@ class MCANet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     use_remat: bool = False
+    use_packing: bool = False
     # GloVe init: a callable (key, shape, dtype) -> array, or None for N(0,1).
     # A callable (not the raw matrix) so the module stays hashable for jit.
     emb_init_fn: Optional[Any] = None
@@ -105,6 +106,7 @@ class MCANet(nn.Module):
             num_heads=self.num_heads, ff_size=self.ff_size,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
             use_pallas=self.use_pallas, use_remat=self.use_remat,
+            use_packing=self.use_packing,
             name="backbone",
         )(q, v, q_mask, v_mask, deterministic)
 
@@ -169,7 +171,8 @@ class ClassifierNet(nn.Module):
 
 def build_mcan(cfg, token_size: int, answer_size: int,
                pretrained_emb: Optional[np.ndarray] = None,
-               use_pallas: bool = False) -> MCANet:
+               use_pallas: bool = False,
+               use_packing: Optional[bool] = None) -> MCANet:
     """Construct MCANet from a Config (mirrors reference Net2 construction,
     core/exec.py:52-58)."""
     emb_init_fn = None
@@ -192,5 +195,7 @@ def build_mcan(cfg, token_size: int, answer_size: int,
         dtype=jnp.dtype(cfg.compute_dtype),
         use_pallas=use_pallas,
         use_remat=getattr(cfg, "use_remat", False),
+        use_packing=(getattr(cfg, "attention_packing", False)
+                     if use_packing is None else use_packing),
         emb_init_fn=emb_init_fn,
     )
