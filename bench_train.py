@@ -1,0 +1,91 @@
+"""Secondary benchmark: MCAN-small TRAINING throughput on one chip.
+
+(bench.py is the driver's headline serving metric; this measures the full
+jitted train step — forward, backward, AdamW — samples/sec/chip.)
+
+Same methodology as bench.py: on-device synthetic inputs, N steps chained
+inside one jitted lax.scan (the TrainState carry is the dependency), scalar
+fetch, 1-iter overhead subtracted.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.configs import Config
+    from mcan_vqa_tpu.models.net import build_mcan
+    from mcan_vqa_tpu.train.optim import make_lr_schedule, make_optimizer
+    from mcan_vqa_tpu.train.step import make_train_step
+    from mcan_vqa_tpu.train.train_state import TrainState
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    hidden = int(os.environ.get("BENCH_HIDDEN", "512"))
+    layers = int(os.environ.get("BENCH_LAYERS", "6"))
+    use_packing = os.environ.get("BENCH_PACK", "0") == "1"
+
+    cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
+                 flat_mlp_size=512, flat_out_size=512, batch_size=B,
+                 use_glove=False,
+                 attention_packing=use_packing).finalize()
+    model = build_mcan(cfg, token_size=20000, answer_size=3129)
+
+    @jax.jit
+    def make_batch(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        R, F, T = cfg.img_feat_pad_size, cfg.img_feat_size, cfg.max_token
+        img = jax.random.normal(k1, (B, R, F), jnp.float32)
+        ques = jax.random.randint(k2, (B, T), 1, 20000, jnp.int32)
+        target = (jax.random.uniform(k3, (B, 3129)) < 0.003).astype(jnp.float32)
+        return {"img": img, "ques": ques, "target": target}
+
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                 batch["img"], batch["ques"])["params"]
+    tx = make_optimizer(cfg, data_size=B * 100)
+    state = TrainState.create(params, tx, seed=cfg.seed)
+    step_fn = make_train_step(model, tx, grad_accu_steps=cfg.grad_accu_steps,
+                              lr_schedule=make_lr_schedule(
+                                  cfg.lr_base, B * 100, B))
+
+    @functools.partial(jax.jit, static_argnames="n", donate_argnums=(0,))
+    def bench_loop(state, batch, n):
+        def body(st, _):
+            st, metrics = step_fn(st, batch)
+            return st, metrics["loss"]
+        st, losses = jax.lax.scan(body, state, None, length=n)
+        return st, losses[-1]
+
+    s1, _ = bench_loop(state, batch, 1)           # compile n=1
+    sN, _ = bench_loop(s1, batch, n_iters + 1)    # compile n=N+1
+
+    t0 = time.perf_counter()
+    sN, l = bench_loop(sN, batch, 1)
+    float(l)
+    overhead = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sN, l = bench_loop(sN, batch, n_iters + 1)
+    float(l)
+    dt = time.perf_counter() - t0
+
+    per_step = max((dt - overhead) / n_iters, 1e-9)
+    print(json.dumps({
+        "metric": "mcan_small_train_throughput",
+        "value": round(B / per_step, 2),
+        "unit": "samples/sec/chip",
+        "step_ms": round(per_step * 1000, 2),
+        "packing": use_packing,
+    }))
+
+
+if __name__ == "__main__":
+    main()

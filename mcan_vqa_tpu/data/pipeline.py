@@ -34,9 +34,15 @@ class BatchLoader:
         prefetch: int = 2,
         sharding=None,
         pad_final: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         """pad_final: repeat-pad the last partial batch up to batch_size (for
-        fixed-shape jit'd eval; callers mask by the returned 'valid' count)."""
+        fixed-shape jit'd eval; callers mask by the returned 'valid' count).
+
+        process_index/process_count: multi-host pods — each host assembles
+        only its 1/process_count slice of every global batch (the per-host
+        rows of the batch-sharded global array)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,6 +52,9 @@ class BatchLoader:
         self.prefetch = max(1, prefetch)
         self.sharding = sharding
         self.pad_final = pad_final
+        self.process_index = process_index
+        self.process_count = process_count
+        assert batch_size % max(process_count, 1) == 0
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -102,6 +111,10 @@ class BatchLoader:
 
             def submit(bi):
                 sl = order[starts[bi]: starts[bi] + self.batch_size]
+                if self.process_count > 1:
+                    per = self.batch_size // self.process_count
+                    sl = sl[self.process_index * per:
+                            (self.process_index + 1) * per]
                 pending.put(pool.submit(self._assemble, sl))
 
             for bi in range(min(depth, n_batches)):

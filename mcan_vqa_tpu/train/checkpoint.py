@@ -70,6 +70,26 @@ def latest_epoch(ckpts_dir: str, version: str) -> Optional[int]:
     return max(epochs) if epochs else None
 
 
+def prune_checkpoints(ckpts_dir: str, version: str, keep_last: int) -> int:
+    """Keep only the newest ``keep_last`` epoch checkpoints; returns #removed.
+
+    Per-epoch saving (restored upstream behavior) would otherwise accumulate
+    13 full optimizer states per run.
+    """
+    import shutil
+
+    d = os.path.join(ckpts_dir, f"ckpt_{version}")
+    if keep_last <= 0 or not os.path.isdir(d):
+        return 0
+    epochs = sorted(int(m.group(1)) for n in os.listdir(d)
+                    if (m := re.fullmatch(r"epoch(\d+)", n)))
+    removed = 0
+    for e in epochs[:-keep_last]:
+        shutil.rmtree(os.path.join(d, f"epoch{e}"), ignore_errors=True)
+        removed += 1
+    return removed
+
+
 # ---------------------------------------------------------------------------
 # Reference torch-pickle interop
 # ---------------------------------------------------------------------------

@@ -209,6 +209,9 @@ class Trainer:
                 }
                 ckpt_mod.save_checkpoint(state, cfg.ckpts_dir, cfg.version,
                                          epoch + 1)
+                if cfg.keep_last_ckpts > 0:
+                    ckpt_mod.prune_checkpoints(cfg.ckpts_dir, cfg.version,
+                                               cfg.keep_last_ckpts)
                 if cfg.eval_every_epoch:
                     for name, ds in self.eval_datasets.items():
                         res = self.evaluate(ds)
