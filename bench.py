@@ -28,6 +28,15 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from mcan_vqa_tpu.configs import Config
