@@ -45,8 +45,8 @@ def main() -> None:
     cfg = Config(hidden_size=512, layer=6, multi_head=8, flat_mlp_size=512,
                  flat_glimpses=1, flat_out_size=512, use_glove=False).finalize()
 
-    B = int(os.environ.get("BENCH_BATCH", "512"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "60"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     use_packing = os.environ.get("BENCH_PACK", "0") == "1"
     model = build_mcan(cfg, token_size=20000, answer_size=3129,
