@@ -12,8 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Optional
-
 from mcan_vqa_tpu.configs import Config
 
 _YAML_DIR = os.path.join(os.path.dirname(os.path.dirname(

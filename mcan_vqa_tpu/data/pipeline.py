@@ -15,9 +15,8 @@ dropping data during evaluation, load_data.py:273-279 + core/exec.py:375).
 from __future__ import annotations
 
 import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 import numpy as np
 

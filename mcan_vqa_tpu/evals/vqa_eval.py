@@ -15,7 +15,7 @@ slots into the jitted eval loop's output without impedance.
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterable, List, Sequence
 
 from mcan_vqa_tpu.data.answers import process_digit_article, process_punctuation
 

@@ -15,7 +15,6 @@ serving number runs through here when BENCH_PALLAS=1.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax

@@ -17,8 +17,7 @@ micro-batch loss (reference: core/exec.py:598-607, 1298-1303).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
