@@ -1,0 +1,140 @@
+"""Ultimate parity test: our MCANet vs the ACTUAL reference PyTorch model.
+
+Imports the reference codebase (read-only mount at /root/reference) as the
+oracle — not a re-expression of its math, the real thing — builds Net2 with
+random weights, imports its state_dict through our checkpoint mapping, and
+compares logits. Skipped when the reference mount is absent.
+"""
+
+import os
+import sys
+import types
+
+import jax
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "core")),
+    reason="reference mount not available")
+
+
+@pytest.fixture(scope="module")
+def refnet_module():
+    sys.path.insert(0, REFERENCE)
+    try:
+        import core.model.net as refnet  # noqa: PLC0415
+        yield refnet
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def _opt(hidden=64, heads=4, layer=2, img_feat=32, flat_mlp=24, glimpses=1,
+         flat_out=48, emb=300):
+    o = types.SimpleNamespace()
+    o.hidden_size = hidden
+    o.multi_head = heads
+    o.hidden_size_head = hidden // heads
+    o.layer = layer
+    o.img_feat_size = img_feat
+    o.flat_mlp_size = flat_mlp
+    o.flat_glimpses = glimpses
+    o.flat_out_size = flat_out
+    o.word_embed_size = emb
+    o.dropout_rate = 0.0
+    o.use_glove = False
+    o.ff_size = hidden * 4
+    return o
+
+
+class TestAgainstRealReference:
+    def test_net2_logits_match(self, refnet_module):
+        """Random reference Net2 -> import weights -> identical probabilities."""
+        import torch
+
+        from mcan_vqa_tpu.configs import Config
+        from mcan_vqa_tpu.models.net import build_mcan
+        from mcan_vqa_tpu.train.checkpoint import import_torch_state_dict
+
+        torch.manual_seed(0)
+        opt = _opt()
+        token_size, answer_size = 40, 12
+        ref = refnet_module.Net2(opt, None, token_size, answer_size)
+        ref.eval()
+
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(3, 9, 32)).astype(np.float32)
+        img[1, 5:] = 0.0
+        ques = rng.integers(1, 40, size=(3, 6)).astype(np.int64)
+        ques[0, 4:] = 0
+        with torch.no_grad():
+            ref_probs = ref(torch.from_numpy(img),
+                            torch.from_numpy(ques))[0].numpy()
+
+        cfg = Config(hidden_size=64, multi_head=4, layer=2, img_feat_size=32,
+                     flat_mlp_size=24, flat_glimpses=1, flat_out_size=48,
+                     dropout_rate=0.0, compute_dtype="float32",
+                     use_glove=False).finalize()
+        model = build_mcan(cfg, token_size, answer_size)
+        params = import_torch_state_dict(ref.state_dict())
+        out = model.apply({"params": params}, img, ques.astype(np.int32))
+        ours = np.asarray(jax.nn.sigmoid(out["logits"]))
+
+        np.testing.assert_allclose(ours, ref_probs, atol=2e-5)
+
+    def test_net_variant_also_matches(self, refnet_module):
+        """The reference's Net (visualization variant) shares the layout."""
+        import torch
+
+        from mcan_vqa_tpu.configs import Config
+        from mcan_vqa_tpu.models.net import build_mcan
+        from mcan_vqa_tpu.train.checkpoint import import_torch_state_dict
+
+        torch.manual_seed(1)
+        opt = _opt()
+        ref = refnet_module.Net(opt, None, 40, 12)
+        ref.eval()
+        rng = np.random.default_rng(2)
+        img = rng.normal(size=(2, 9, 32)).astype(np.float32)
+        ques = rng.integers(1, 40, size=(2, 6)).astype(np.int64)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(img), torch.from_numpy(ques))
+            ref_probs = ref_out[0].numpy()
+            ref_vw = ref_out[3].numpy()
+
+        cfg = Config(hidden_size=64, multi_head=4, layer=2, img_feat_size=32,
+                     flat_mlp_size=24, flat_glimpses=1, flat_out_size=48,
+                     dropout_rate=0.0, compute_dtype="float32",
+                     use_glove=False).finalize()
+        model = build_mcan(cfg, 40, 12)
+        params = import_torch_state_dict(ref.state_dict())
+        out = model.apply({"params": params}, img, ques.astype(np.int32))
+        np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(out["logits"])),
+                                   ref_probs, atol=2e-5)
+        # attention weights for the visualization flow match too
+        np.testing.assert_allclose(np.asarray(out["v_w"]), ref_vw, atol=2e-5)
+
+    def test_schedule_matches_reference_optimizer(self):
+        """Our schedule == the real WarmupOptimizer.rate across 3 epochs."""
+        sys.path.insert(0, REFERENCE)
+        try:
+            from core.model.optim import WarmupOptimizer
+        finally:
+            sys.path.remove(REFERENCE)
+        from mcan_vqa_tpu.train.optim import make_lr_schedule
+
+        class _NoOptim:
+            param_groups = []
+            def step(self):
+                pass
+
+        ds, bs, lr = 1000, 64, 1e-4
+        wo = WarmupOptimizer(lr, _NoOptim(), ds, bs)
+        sched = make_lr_schedule(lr, ds, bs, decay_epochs=())
+        for count in range(60):
+            ref_rate = wo.rate(step=count + 1)
+            ours = float(sched(count))
+            assert abs(ours - ref_rate) / ref_rate < 1e-6, (count, ours,
+                                                            ref_rate)
