@@ -42,8 +42,12 @@ def main() -> None:
     from mcan_vqa_tpu.configs import Config
     from mcan_vqa_tpu.models.net import build_mcan
 
-    cfg = Config(hidden_size=512, layer=6, multi_head=8, flat_mlp_size=512,
-                 flat_glimpses=1, flat_out_size=512, use_glove=False).finalize()
+    model_size = os.environ.get("BENCH_MODEL", "small")
+    flat_out = {"small": 512, "large": 2048}[model_size]
+    hidden = {"small": 512, "large": 1024}[model_size]
+    cfg = Config(hidden_size=hidden, layer=6, multi_head=8, flat_mlp_size=512,
+                 flat_glimpses=1, flat_out_size=flat_out,
+                 use_glove=False).finalize()
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
     n_iters = int(os.environ.get("BENCH_ITERS", "60"))
@@ -120,7 +124,7 @@ def main() -> None:
             json.dump({"value": qps, "unit": "qa_pairs/sec/chip"}, f)
 
     print(json.dumps({
-        "metric": "mcan_small_vqa_inference_throughput",
+        "metric": f"mcan_{model_size}_vqa_inference_throughput",
         "value": round(qps, 2),
         "unit": "qa_pairs/sec/chip",
         "vs_baseline": round(qps / baseline, 4) if baseline else 1.0,
