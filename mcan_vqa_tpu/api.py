@@ -1,0 +1,102 @@
+"""High-level serving API: checkpoint in, answer strings out.
+
+The reference has no serving story (inference happens inside eval loops);
+production deployments need one. ``Predictor`` wraps: checkpoint loading
+(orbax or reference torch pickle), vocabulary encoding, the jitted forward,
+fixed-shape batching, and answer-string decoding.
+
+    from mcan_vqa_tpu.api import Predictor
+    p = Predictor.from_checkpoint("ckpts/small/epoch13.pkl", cfg, vocab)
+    answers = p.answer(["what color is the cat?"], image_features)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcan_vqa_tpu.data import answers as ans_mod
+from mcan_vqa_tpu.data import features as feat_mod
+from mcan_vqa_tpu.data import text as text_mod
+from mcan_vqa_tpu.models.net import build_mcan
+
+
+class Predictor:
+    def __init__(self, cfg, params, token_to_ix: Dict[str, int],
+                 ix_to_ans: Optional[Dict[str, str]] = None,
+                 max_batch: int = 64):
+        """max_batch: compiled batch shape; inputs are padded up to it
+        (one compilation, any request size <= max_batch)."""
+        self.cfg = cfg
+        self.token_to_ix = token_to_ix
+        if ix_to_ans is None:
+            _, ix_to_ans = ans_mod.load_answer_dict()
+        self.ix_to_ans = ix_to_ans
+        self.max_batch = max_batch
+
+        model = build_mcan(cfg, token_size=len(token_to_ix),
+                           answer_size=len(ix_to_ans))
+        self.params = params
+
+        def forward(params, img, ques):
+            out = model.apply({"params": params}, img, ques,
+                              deterministic=True)
+            return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+
+        self._forward = jax.jit(forward)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg, token_to_ix: Dict[str, int],
+                        ix_to_ans: Optional[Dict[str, str]] = None,
+                        epoch: Optional[int] = None,
+                        max_batch: int = 64) -> "Predictor":
+        """path: a reference .pkl/.pt, or an orbax checkpoint directory."""
+        from mcan_vqa_tpu.train import checkpoint as ckpt_mod
+
+        if path.endswith((".pkl", ".pt", ".pth")):
+            params, _ = ckpt_mod.import_torch_checkpoint(path)
+        else:
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(path)
+            params = restored["params"] if "params" in restored else restored
+        return cls(cfg, params, token_to_ix, ix_to_ans, max_batch)
+
+    # ------------------------------------------------------------------
+    def predict_probs(self, questions: Sequence[str],
+                      image_features: np.ndarray) -> np.ndarray:
+        """questions: N strings; image_features: [N, R<=pad, F] (zero rows
+        are padding). Returns probabilities [N, answer_size]."""
+        n = len(questions)
+        assert image_features.shape[0] == n
+        assert n <= self.max_batch, (n, self.max_batch)
+
+        ques = text_mod.encode_questions(
+            questions, self.token_to_ix, self.cfg.max_token)
+        img = np.stack([feat_mod.pad_img_feat(
+            np.asarray(f, np.float32), self.cfg.img_feat_pad_size)
+            for f in image_features])
+
+        if n < self.max_batch:
+            pad = self.max_batch - n
+            img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],
+                                                np.float32)])
+            ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
+                                                  np.int32)])
+        probs = self._forward(self.params, img, ques)
+        return np.asarray(probs)[:n]
+
+    def answer(self, questions: Sequence[str],
+               image_features: np.ndarray) -> List[Tuple[str, float]]:
+        """Top-1 answer string and its probability per question."""
+        probs = self.predict_probs(questions, image_features)
+        out = []
+        for row in probs:
+            ix = int(row.argmax())
+            out.append((self.ix_to_ans.get(str(ix), str(ix)),
+                        float(row[ix])))
+        return out

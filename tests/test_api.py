@@ -1,0 +1,86 @@
+"""Predictor API tests: checkpoint loading (both formats), fixed-shape
+batching, answer decoding."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcan_vqa_tpu.api import Predictor
+from mcan_vqa_tpu.configs import Config
+from mcan_vqa_tpu.data import text as text_mod
+from mcan_vqa_tpu.models.net import build_mcan
+from mcan_vqa_tpu.train import checkpoint as ckpt_mod
+from mcan_vqa_tpu.train.optim import make_optimizer
+from mcan_vqa_tpu.train.train_state import TrainState
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                 img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                 flat_mlp_size=16, compute_dtype="float32",
+                 use_glove=False).finalize()
+    tok, _ = text_mod.build_vocab(["what color is the cat dog red blue"])
+    ix_to_ans = {str(i): a for i, a in
+                 enumerate(["yes", "no", "red", "blue", "2"])}
+    model = build_mcan(cfg, token_size=len(tok), answer_size=5)
+    img = np.zeros((1, 8, 16), np.float32)
+    ques = np.zeros((1, 6), np.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, img,
+                        ques)["params"]
+    return cfg, tok, ix_to_ans, params
+
+
+class TestPredictor:
+    def test_answer_strings(self, setup):
+        cfg, tok, i2a, params = setup
+        p = Predictor(cfg, params, tok, i2a, max_batch=4)
+        feats = np.random.default_rng(0).normal(
+            size=(2, 5, 16)).astype(np.float32)
+        out = p.answer(["what color is the cat", "is the dog red"], feats)
+        assert len(out) == 2
+        for ans, prob in out:
+            assert ans in i2a.values()
+            assert 0.0 <= prob <= 1.0
+
+    def test_batch_padding_no_crosstalk(self, setup):
+        """Padding rows must not change real results; variable request sizes
+        reuse one compilation."""
+        cfg, tok, i2a, params = setup
+        p = Predictor(cfg, params, tok, i2a, max_batch=4)
+        feats = np.random.default_rng(1).normal(
+            size=(3, 6, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red", "what color"]
+        full = p.predict_probs(qs, feats)
+        single = p.predict_probs(qs[:1], feats[:1])
+        np.testing.assert_allclose(full[0], single[0], atol=1e-5)
+
+    def test_over_batch_rejected(self, setup):
+        cfg, tok, i2a, params = setup
+        p = Predictor(cfg, params, tok, i2a, max_batch=2)
+        feats = np.zeros((3, 5, 16), np.float32)
+        with pytest.raises(AssertionError):
+            p.predict_probs(["a", "b", "c"], feats)
+
+    def test_from_torch_checkpoint(self, setup, tmp_path):
+        cfg, tok, i2a, params = setup
+        pkl = str(tmp_path / "model.pkl")
+        ckpt_mod.export_torch_checkpoint(params, pkl)
+        p = Predictor.from_checkpoint(pkl, cfg, tok, i2a, max_batch=2)
+        feats = np.random.default_rng(2).normal(
+            size=(1, 5, 16)).astype(np.float32)
+        ref = Predictor(cfg, params, tok, i2a, max_batch=2)
+        np.testing.assert_allclose(
+            p.predict_probs(["what is this"], feats),
+            ref.predict_probs(["what is this"], feats), atol=1e-5)
+
+    def test_from_orbax_checkpoint(self, setup, tmp_path):
+        cfg, tok, i2a, params = setup
+        tx = make_optimizer(cfg, data_size=64)
+        state = TrainState.create(params, tx, seed=0)
+        path = ckpt_mod.save_checkpoint(state, str(tmp_path), "api", epoch=1)
+        p = Predictor.from_checkpoint(path, cfg, tok, i2a, max_batch=2)
+        feats = np.random.default_rng(3).normal(
+            size=(1, 5, 16)).astype(np.float32)
+        out = p.answer(["is this a cat"], feats)
+        assert len(out) == 1
