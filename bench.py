@@ -76,9 +76,14 @@ def main() -> None:
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, img_d, ques_d)["params"]
 
+    use_fused_qkv = os.environ.get("BENCH_SERVE", "1") == "1"
     if use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn
         forward = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=True)
+    elif use_fused_qkv:
+        from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+        params = prepare_params(params, cfg.layer)
+        forward = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False)
     else:
         def forward(params, img, ques):
             return model.apply({"params": params}, img, ques,

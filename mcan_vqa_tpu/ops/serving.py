@@ -69,6 +69,34 @@ def _lstm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(hs, 0, 1)
 
 
+def prepare_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """One-time param prep: fuse each attention block's projections.
+
+    Self-attention (q=k=v source): W_q|W_k|W_v -> one [D, 3D] kernel.
+    Cross-attention (k=v source): W_k|W_v -> one [D, 2D] kernel.
+    Fewer, larger matmuls per block — better MXU fill and fewer dispatches.
+    The returned tree is what ``make_serving_fn(..., fused_qkv=True)`` eats.
+    """
+    def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
+        # jnp (not np): params may live on device; keep the concat there
+        return {
+            "kernel": jnp.concatenate(
+                [block[n]["kernel"] for n in names], axis=1),
+            "bias": jnp.concatenate([block[n]["bias"] for n in names]),
+        }
+
+    out = jax.tree.map(lambda x: x, params)  # shallow-ish copy
+    bb = out["backbone"]
+    for i in range(num_layers):
+        enc = bb[f"enc_{i}"]["mhatt"]
+        enc["linear_qkv"] = fuse(enc, ("linear_q", "linear_k", "linear_v"))
+        dec1 = bb[f"dec_{i}"]["mhatt1"]
+        dec1["linear_qkv"] = fuse(dec1, ("linear_q", "linear_k", "linear_v"))
+        dec2 = bb[f"dec_{i}"]["mhatt2"]
+        dec2["linear_kv"] = fuse(dec2, ("linear_k", "linear_v"))
+    return out
+
+
 def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
            interpret: bool):
     B, Lq, D = q.shape
@@ -78,9 +106,19 @@ def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
     def split(x, L):
         return x.reshape(B, L, num_heads, Dh).transpose(0, 2, 1, 3)
 
-    vp = split(_dense(p["linear_v"], v), Lk)
-    kp = split(_dense(p["linear_k"], k), Lk)
-    qp = split(_dense(p["linear_q"], q), Lq)
+    if "linear_qkv" in p and q is k and k is v:
+        qkv = _dense(p["linear_qkv"], q)                 # [B, L, 3D]
+        qx, kx, vx = jnp.split(qkv, 3, axis=-1)
+        qp, kp, vp = split(qx, Lq), split(kx, Lk), split(vx, Lk)
+    elif "linear_kv" in p:
+        kv = _dense(p["linear_kv"], k)                   # [B, Lk, 2D]
+        kx, vx = jnp.split(kv, 2, axis=-1)
+        kp, vp = split(kx, Lk), split(vx, Lk)
+        qp = split(_dense(p["linear_q"], q), Lq)
+    else:
+        vp = split(_dense(p["linear_v"], v), Lk)
+        kp = split(_dense(p["linear_k"], k), Lk)
+        qp = split(_dense(p["linear_q"], q), Lq)
     if use_pallas:
         atted = masked_attention_pallas(qp, kp, vp, mask, interpret=interpret)
     else:

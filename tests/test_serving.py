@@ -60,3 +60,15 @@ class TestServingEngine:
                                       use_pallas=False))
         out = fwd(params, img, ques)
         assert out.shape == (3, 20)
+
+
+class TestFusedQKV:
+    def test_prepared_params_match(self):
+        from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+        cfg, model, params, img, ques = _setup()
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False)
+        ref = fwd(params, img, ques)
+        fused = prepare_params(params, cfg.layer)
+        out = fwd(fused, img, ques)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
