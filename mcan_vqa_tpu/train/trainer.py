@@ -153,8 +153,28 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, start_epoch: int = 0) -> TrainState:
+        """Epoch loop. Preemption-safe: SIGTERM/SIGINT request a checkpoint
+        at the next step boundary and a clean return (TPU pods get
+        preempted; the reference had no story beyond losing the run —
+        SURVEY.md §5 failure handling)."""
+        import signal
+
         cfg = self.cfg
         state = self.ensure_state()
+
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            stop_requested["flag"] = True
+            self.logger.write(f"signal {signum}: checkpoint-and-exit "
+                              f"requested")
+
+        old_handlers = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:
+            old_handlers = {}  # non-main thread: run without handlers
         if self._jit_train is None:
             step_fn = make_train_step(
                 self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
@@ -183,6 +203,8 @@ class Trainer:
                     ("img", "ques", "target")
                 loss_sum, n_steps = 0.0, 0
                 for batch in loader:
+                    if stop_requested["flag"]:
+                        break
                     batch = {k: batch[k] for k in keys}
                     state, metrics = self._jit_train(state, batch)
                     loss_sum += float(metrics["loss"])
@@ -212,6 +234,10 @@ class Trainer:
                 if cfg.keep_last_ckpts > 0:
                     ckpt_mod.prune_checkpoints(cfg.ckpts_dir, cfg.version,
                                                cfg.keep_last_ckpts)
+                if stop_requested["flag"]:
+                    self.logger.epoch(epoch, {**epoch_metrics,
+                                              "preempted_at_step": n_steps})
+                    break
                 if cfg.eval_every_epoch:
                     for name, ds in self.eval_datasets.items():
                         res = self.evaluate(ds)
@@ -219,6 +245,9 @@ class Trainer:
                             if isinstance(v, float):
                                 epoch_metrics[f"{name}/{k}"] = v
                 self.logger.epoch(epoch, epoch_metrics)
+        import signal as _sig
+        for sig, h in old_handlers.items():
+            _sig.signal(sig, h)
         return state
 
     # ------------------------------------------------------------------
