@@ -99,8 +99,11 @@ def _strip_module_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _to_np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-                      np.float32)
+    # np.array (copy!) — torch .numpy() returns a VIEW of the live tensor;
+    # without the copy, later in-place optimizer updates on the torch side
+    # would silently mutate the imported params.
+    return np.array(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                    np.float32)
 
 
 def torch_key_to_flax(key: str) -> Tuple[Tuple[str, ...], bool]:
