@@ -111,5 +111,7 @@ def dump_results(question_ids: Iterable[int], answers: Iterable[str],
     (reference upload format: results/result_test/, cfgs/path_cfgs.py:58)."""
     payload = [{"question_id": int(q), "answer": str(a)}
                for q, a in zip(question_ids, answers)]
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump(payload, f)
