@@ -1,0 +1,108 @@
+"""MIMIC real-format end-to-end: HDF5 feature bank + answer-dict pickles +
+QA-split pickles -> MIMICDataset -> Trainer -> ROC-AUC. Mirrors the reference
+data layout (core/data/load_data.py:157-264) at miniature scale."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from mcan_vqa_tpu.configs import Config
+
+N_IMG = 48
+N_LABELS = 6
+FEAT_DIM = 16
+N_REGIONS = 10
+
+
+@pytest.fixture(scope="module")
+def mimic_env(tmp_path_factory):
+    h5py = pytest.importorskip("h5py")
+    root = tmp_path_factory.mktemp("mimic_e2e")
+    rng = np.random.default_rng(0)
+
+    # feature bank: label l -> signature in feature column l
+    feats = rng.normal(0, 0.1, size=(N_IMG, N_REGIONS, FEAT_DIM)).astype(
+        np.float32)
+    labels = [sorted({int(i % N_LABELS), int((i * 7) % N_LABELS)})
+              for i in range(N_IMG)]
+    for i, ls in enumerate(labels):
+        for l in ls:
+            feats[i, :, l] += 4.0
+    bank = root / "cmb_bbox_features_full.hdf5"
+    with h5py.File(bank, "w") as f:
+        f.create_dataset("image_features", data=feats)
+        f.create_dataset("image_bb",
+                         data=rng.uniform(0, 1, (N_IMG, N_REGIONS, 4)))
+        f.create_dataset("spatial_features",
+                         data=rng.uniform(0, 1, (N_IMG, N_REGIONS, 6)))
+
+    ans2idx = {f"finding{l}": l for l in range(N_LABELS)}
+    idx2ans = {l: f"finding{l}" for l in range(N_LABELS)}
+    prefix = str(root / "mimic_")
+    with open(prefix + "ans2label_full.pkl", "wb") as f:
+        pickle.dump(ans2idx, f)
+    with open(prefix + "label2ans_full.pkl", "wb") as f:
+        pickle.dump(idx2ans, f)
+
+    def qa_split(indices):
+        return [{"question": "what findings are present in this image?",
+                 "image": int(i), "answer": {"labels": labels[i]}}
+                for i in indices]
+
+    with open(prefix + "dataset_train_full.pkl", "wb") as f:
+        pickle.dump(qa_split(range(0, 40)), f)
+    with open(prefix + "dataset_val_full.pkl", "wb") as f:
+        pickle.dump(qa_split(range(40, 48)), f)
+    with open(prefix + "dataset_test_full.pkl", "wb") as f:
+        pickle.dump(qa_split(range(40, 48)), f)
+
+    cfg = Config(
+        cxr_data_path=prefix, cxr_img_feat_path=str(bank),
+        img_feat_size=FEAT_DIM, img_feat_pad_size=N_REGIONS, max_token=8,
+        hidden_size=32, layer=1, multi_head=4, flat_out_size=32,
+        flat_mlp_size=16, batch_size=8, lr_base=3e-3, max_epoch=40,
+        use_glove=False, num_workers=2, eval_every_epoch=False,
+        verbose=False, compute_dtype="float32", lr_decay_list=[],
+        keep_last_ckpts=1,
+        ckpts_dir=str(root / "ckpts"), log_path=str(root / "log"),
+        result_path=str(root / "results"), pred_path=str(root / "pred"),
+        cache_path=str(root / "cache"),
+    ).finalize()
+    return root, cfg, labels
+
+
+class TestMIMICRealFormat:
+    def test_dataset_semantics(self, mimic_env):
+        from mcan_vqa_tpu.data.mimic import MIMICDataset
+        _, cfg, labels = mimic_env
+        ds = MIMICDataset(cfg, "train")
+        assert len(ds) == 40               # no test-split leakage into train
+        assert ds.ans_size == N_LABELS
+        ex = ds.example(0)
+        assert ex["img"].shape == (N_REGIONS, FEAT_DIM)
+        np.testing.assert_array_equal(
+            np.nonzero(ex["target"])[0], labels[0])
+        # train aug: ~30% region rows zeroed, rest L2-normalized
+        row_norms = np.linalg.norm(ex["img"], axis=1)
+        assert (row_norms == 0).sum() == int(N_REGIONS * 0.3)
+        np.testing.assert_allclose(row_norms[row_norms > 0], 1.0, atol=1e-5)
+
+    def test_val_has_no_augmentation(self, mimic_env):
+        from mcan_vqa_tpu.data.mimic import MIMICDataset
+        _, cfg, _ = mimic_env
+        ds = MIMICDataset(cfg, "val")
+        ex = ds.example(0)
+        assert (np.linalg.norm(ex["img"], axis=1) > 0).all()
+
+    def test_train_and_roc(self, mimic_env):
+        from mcan_vqa_tpu.data.mimic import MIMICDataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        _, cfg, _ = mimic_env
+        train_ds = MIMICDataset(cfg, "train")
+        val_ds = MIMICDataset(cfg, "val")
+        trainer = Trainer(cfg, train_dataset=train_ds)
+        trainer.train()
+        res = trainer.evaluate(val_ds)
+        assert res["roc_macro"] > 0.9, res
