@@ -61,8 +61,9 @@ def visualize_example(
     toks = question_tokens or [f"w{i}" for i in range(nq)]
     wmax = q_w[:nq].max() + 1e-9
     for i, tok in enumerate(toks[:nq]):
+        alpha = min(1.0, max(0.0, float(0.15 + 0.85 * q_w[i] / wmax)))
         ax.text(0.02 + (i % 5) * 0.2, 0.9 - (i // 5) * 0.18, tok,
-                alpha=float(0.15 + 0.85 * q_w[i] / wmax), fontsize=14)
+                alpha=alpha, fontsize=14)
     if answer:
         ax.text(0.02, 0.05, f"answer: {answer}", fontsize=12, color="tab:red")
 
