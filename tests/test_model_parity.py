@@ -184,3 +184,25 @@ class TestMakeMask:
         ids = jnp.asarray(np.array([[3, 5, 0, 0]], np.int32))
         m = np.asarray(make_mask(ids[..., None]))
         assert m[0, 0, 0].tolist() == [False, False, True, True]
+
+
+class TestMultiGlimpse:
+    def test_two_glimpse_attflat_model(self):
+        """flat_glimpses=2 (the knob the reference exposes but never uses
+        beyond 1) works through the full model."""
+        from mcan_vqa_tpu.configs import Config
+        from mcan_vqa_tpu.models.net import build_mcan
+        cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                     img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                     flat_mlp_size=16, flat_glimpses=2,
+                     compute_dtype="float32", use_glove=False).finalize()
+        model = build_mcan(cfg, 30, 10)
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(2, 8, 16)).astype(np.float32)
+        ques = rng.integers(1, 30, (2, 6)).astype(np.int32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, img, ques)
+        out = model.apply(params, img, ques)
+        assert out["logits"].shape == (2, 10)
+        assert out["q_w"].shape == (2, 6, 2)   # two glimpses
+        np.testing.assert_allclose(np.asarray(out["q_w"]).sum(axis=1), 1.0,
+                                   atol=1e-5)
