@@ -51,7 +51,8 @@ def main() -> None:
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
     n_iters = int(os.environ.get("BENCH_ITERS", "60"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    pallas_env = os.environ.get("BENCH_PALLAS", "0")
+    use_pallas = {"0": False, "1": True, "2": "batched"}[pallas_env]
     use_packing = os.environ.get("BENCH_PACK", "0") == "1"
     model = build_mcan(cfg, token_size=20000, answer_size=3129,
                        use_packing=use_packing)

@@ -133,6 +133,84 @@ def masked_attention_pallas(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Batch-blocked variant: TB batch rows x ALL heads per grid step
+# ---------------------------------------------------------------------------
+#
+# The per-(batch, head) kernel above launches B*H tiny programs; at MCAN
+# shapes the grid overhead dominates. This variant folds (TB, H) into the
+# matmul batch dimension inside one kernel invocation, cutting the grid from
+# B*H to B/TB steps.
+
+def _attn_kernel_batched(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                         scale: float, heads: int):
+    TB = q_ref.shape[0]
+    Lq, Dh = q_ref.shape[2], q_ref.shape[3]
+    Lk = k_ref.shape[2]
+    q = q_ref[:].astype(jnp.bfloat16).reshape(TB * heads, Lq, Dh)
+    k = k_ref[:].astype(jnp.bfloat16).reshape(TB * heads, Lk, Dh)
+    v = v_ref[:].astype(jnp.bfloat16).reshape(TB * heads, Lk, Dh)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale    # [TB*H, Lq, Lk]
+    pad = mask_ref[:].astype(jnp.float32)              # [TB, 1, Lk]
+    pad = jnp.repeat(pad, heads, axis=0)               # [TB*H, 1, Lk]
+    scores = scores + pad * _NEG_INF
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        att, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [TB*H, Lq, Dh]
+    o_ref[:] = out.reshape(TB, heads, Lq, Dh)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
+def masked_attention_pallas_batched(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention, batch-blocked: q,k,v [B, H, L, Dh]; mask [B,1,1,Lk]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    scale = 1.0 / (Dh ** 0.5)
+    while B % block_b:
+        block_b //= 2
+    block_b = max(block_b, 1)
+
+    if mask is None:
+        pad = jnp.zeros((B, 1, Lk), jnp.int8)
+    else:
+        pad = mask[:, 0].astype(jnp.int8)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_batched, scale=scale, heads=H),
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H, Lk, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H, Lk, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, Lk), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, Dh), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, pad)
+    return out
+
+
 def masked_attention(
     q, k, v, mask, *,
     dropout_rate: float = 0.0,

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from mcan_vqa_tpu.models.layers import make_mask
 from mcan_vqa_tpu.ops.attflat import attflat_pallas
 from mcan_vqa_tpu.ops.masked_attention import (
-    masked_attention_pallas, masked_attention_xla)
+    masked_attention_pallas, masked_attention_pallas_batched,
+    masked_attention_xla)
 
 BF16 = jnp.bfloat16
 
@@ -119,7 +120,10 @@ def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
         vp = split(_dense(p["linear_v"], v), Lk)
         kp = split(_dense(p["linear_k"], k), Lk)
         qp = split(_dense(p["linear_q"], q), Lq)
-    if use_pallas:
+    if use_pallas == "batched":
+        atted = masked_attention_pallas_batched(qp, kp, vp, mask,
+                                                interpret=interpret)
+    elif use_pallas:
         atted = masked_attention_pallas(qp, kp, vp, mask, interpret=interpret)
     else:
         atted = masked_attention_xla(qp, kp, vp, mask)
@@ -147,11 +151,12 @@ def _attflat(p, x, mask, use_pallas: bool, interpret: bool):
 
 
 def make_serving_fn(num_layers: int, num_heads: int,
-                    use_pallas: bool = True, interpret: bool = False):
+                    use_pallas=True, interpret: bool = False):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
-    checkpoint import).
+    checkpoint import). use_pallas: False (XLA), True (per-(batch,head)
+    fused kernel), or "batched" (batch-blocked fused kernel).
     """
 
     def forward(params, img_feat, ques_ix):

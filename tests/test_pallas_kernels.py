@@ -101,3 +101,38 @@ class TestAttFlatPallas:
         assert np.asarray(att)[0, 5:].max() < 1e-6
         np.testing.assert_allclose(np.asarray(att).sum(axis=1), 1.0,
                                    atol=1e-5)
+
+
+class TestBatchedAttentionPallas:
+    def test_matches_xla(self):
+        from mcan_vqa_tpu.ops.masked_attention import (
+            masked_attention_pallas_batched)
+        rng = np.random.default_rng(0)
+        B, H, Lq, Lk, Dh = 16, 4, 14, 60, 64
+        q = rng.normal(size=(B, H, Lq, Dh)).astype(np.float32)
+        k = rng.normal(size=(B, H, Lk, Dh)).astype(np.float32)
+        v = rng.normal(size=(B, H, Lk, Dh)).astype(np.float32)
+        mask = np.zeros((B, 1, 1, Lk), bool)
+        for b in range(B):
+            mask[b, ..., 10 + b:] = True
+        ours = masked_attention_pallas_batched(q, k, v, jnp.asarray(mask),
+                                               block_b=8, interpret=True)
+        ref = masked_attention_xla(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(mask),
+                                   compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_odd_batch_degrades_block(self):
+        from mcan_vqa_tpu.ops.masked_attention import (
+            masked_attention_pallas_batched)
+        rng = np.random.default_rng(1)
+        B, H, L, Dh = 6, 2, 8, 32
+        q = rng.normal(size=(B, H, L, Dh)).astype(np.float32)
+        out = masked_attention_pallas_batched(q, q, q, None, block_b=4,
+                                              interpret=True)
+        ref = masked_attention_xla(jnp.asarray(q), jnp.asarray(q),
+                                   jnp.asarray(q), None,
+                                   compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
