@@ -136,3 +136,32 @@ class TestShardedEval:
         ref = make_eval_step(model)(state.params, batch["img"], batch["ques"])
         np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestTrainerOnMesh:
+    def test_trainer_dp4_tp2_end_to_end(self, tmp_path_factory):
+        """Full Trainer orchestration on a dp4 x tp2 mesh from the config."""
+        tmp_path = tmp_path_factory.mktemp("mesh_trainer")
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                     img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                     flat_mlp_size=16, batch_size=16, lr_base=3e-3,
+                     max_epoch=2, num_workers=2, compute_dtype="float32",
+                     use_glove=False, verbose=False, eval_every_epoch=False,
+                     mesh_shape={"data": 4, "model": 2},
+                     ckpts_dir=str(tmp_path / "ckpts"),
+                     log_path=str(tmp_path / "log"),
+                     result_path=str(tmp_path / "res")).finalize()
+        ds = SyntheticVQADataset(cfg, size=64, token_size=40, answer_size=8,
+                                 run_mode="train")
+        trainer = Trainer(cfg, train_dataset=ds)
+        assert trainer.mesh.shape == {"data": 4, "model": 2}
+        state = trainer.train()
+        assert int(state.step) == 8  # 2 epochs x 4 steps
+        # params are TP-sharded on the mesh
+        k = state.params["backbone"]["enc_0"]["mhatt"]["linear_q"]["kernel"]
+        assert k.sharding.spec == P(None, "model")
+        # eval through the same mesh
+        res = trainer.evaluate(ds)
+        assert "roc_micro" in res
