@@ -75,6 +75,7 @@ class Config:
     donate_buffers: bool = True
     use_remat: bool = False          # rematerialize SA/SGA blocks (memory)
     attention_packing: bool = False  # sample-pack attention to fill MXU tiles
+    fused_qkv: bool = False          # one [D,3D] qkv projection per block
     keep_last_ckpts: int = 0         # prune old per-epoch ckpts (0 = keep all)
     debug_nans: bool = False
     profile_dir: str = ""             # if set, jax.profiler traces go here

@@ -23,6 +23,11 @@ class MHAtt(nn.Module):
     # pack T samples along the sequence axis to fill MXU tiles
     # (ops/packed_attention.py); only valid when Lq == Lk or mask covers k
     use_packing: bool = False
+    # projection layout: "separate" (reference layout, 3 Dense), "self"
+    # (one [D,3D] Dense — valid when q=k=v), "kv" (one [D,2D] for k/v +
+    # linear_q). Fused layouts need checkpoint.fuse_qkv_params to load
+    # reference weights.
+    qkv_mode: str = "separate"
 
     @nn.compact
     def __call__(self, v, k, q, mask, deterministic: bool = True):
@@ -33,9 +38,23 @@ class MHAtt(nn.Module):
         def split_heads(x, L):
             return x.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
 
-        vp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_v")(v), Lk)
-        kp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_k")(k), Lk)
-        qp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_q")(q), Lq)
+        if self.qkv_mode == "self":
+            qkv = Dense(3 * self.hidden_size, dtype=self.dtype,
+                        name="linear_qkv")(q)
+            qx, kx, vx = jnp.split(qkv, 3, axis=-1)
+            qp, kp, vp = (split_heads(qx, Lq), split_heads(kx, Lk),
+                          split_heads(vx, Lk))
+        elif self.qkv_mode == "kv":
+            kv = Dense(2 * self.hidden_size, dtype=self.dtype,
+                       name="linear_kv")(k)
+            kx, vx = jnp.split(kv, 2, axis=-1)
+            kp, vp = split_heads(kx, Lk), split_heads(vx, Lk)
+            qp = split_heads(Dense(self.hidden_size, dtype=self.dtype,
+                                   name="linear_q")(q), Lq)
+        else:
+            vp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_v")(v), Lk)
+            kp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_k")(k), Lk)
+            qp = split_heads(Dense(self.hidden_size, dtype=self.dtype, name="linear_q")(q), Lq)
 
         dropout_rng = None
         rate = self.dropout_rate if not deterministic else 0.0

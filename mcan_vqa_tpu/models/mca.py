@@ -44,6 +44,7 @@ class SA(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     use_packing: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
@@ -52,6 +53,7 @@ class SA(nn.Module):
         att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     use_packing=self.use_packing,
+                    qkv_mode="self" if self.fused_qkv else "separate",
                     name="mhatt")(x, x, x, x_mask, deterministic)
         x = StdLayerNorm(name="norm1")(x + drop(att))
         ff = FFN(self.hidden_size, self.ff_size, self.dropout_rate,
@@ -73,6 +75,7 @@ class SGA(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     use_packing: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
@@ -81,9 +84,11 @@ class SGA(nn.Module):
         kw = dict(dtype=self.dtype, use_pallas=self.use_pallas,
                   use_packing=self.use_packing)
         self_att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
+                         qkv_mode="self" if self.fused_qkv else "separate",
                          name="mhatt1", **kw)(x, x, x, x_mask, deterministic)
         x = StdLayerNorm(name="norm1")(x + drop(self_att))
         cross_att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
+                          qkv_mode="kv" if self.fused_qkv else "separate",
                           name="mhatt2", **kw)(y, y, x, y_mask, deterministic)
         x = StdLayerNorm(name="norm2")(x + drop(cross_att))
         ff = FFN(self.hidden_size, self.ff_size, self.dropout_rate,
@@ -111,13 +116,14 @@ class MCAEncoderDecoder(nn.Module):
     use_pallas: bool = False
     use_remat: bool = False
     use_packing: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
         kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
                   ff_size=self.ff_size, dropout_rate=self.dropout_rate,
                   dtype=self.dtype, use_pallas=self.use_pallas,
-                  use_packing=self.use_packing)
+                  use_packing=self.use_packing, fused_qkv=self.fused_qkv)
         sa_cls, sga_cls = SA, SGA
         if self.use_remat:
             # static_argnums counts the bound module as arg 0, so
@@ -144,13 +150,14 @@ class MCAEncoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     use_packing: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, y, y_mask, deterministic: bool = True):
         kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
                   ff_size=self.ff_size, dropout_rate=self.dropout_rate,
                   dtype=self.dtype, use_pallas=self.use_pallas,
-                  use_packing=self.use_packing)
+                  use_packing=self.use_packing, fused_qkv=self.fused_qkv)
         for i in range(self.num_layers):
             y = SA(name=f"enc_{i}", **kw)(y, y_mask, deterministic)
         return y

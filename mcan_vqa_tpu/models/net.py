@@ -82,6 +82,7 @@ class MCANet(nn.Module):
     use_pallas: bool = False
     use_remat: bool = False
     use_packing: bool = False
+    fused_qkv: bool = False
     # GloVe init: a callable (key, shape, dtype) -> array, or None for N(0,1).
     # A callable (not the raw matrix) so the module stays hashable for jit.
     emb_init_fn: Optional[Any] = None
@@ -106,7 +107,7 @@ class MCANet(nn.Module):
             num_heads=self.num_heads, ff_size=self.ff_size,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
             use_pallas=self.use_pallas, use_remat=self.use_remat,
-            use_packing=self.use_packing,
+            use_packing=self.use_packing, fused_qkv=self.fused_qkv,
             name="backbone",
         )(q, v, q_mask, v_mask, deterministic)
 
@@ -197,5 +198,6 @@ def build_mcan(cfg, token_size: int, answer_size: int,
         use_remat=getattr(cfg, "use_remat", False),
         use_packing=(getattr(cfg, "attention_packing", False)
                      if use_packing is None else use_packing),
+        fused_qkv=getattr(cfg, "fused_qkv", False),
         emb_init_fn=emb_init_fn,
     )

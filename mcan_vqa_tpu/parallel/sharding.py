@@ -36,6 +36,7 @@ def param_pspec(path: Tuple[str, ...]) -> P:
 
     col_parallel = (
         "linear_q" in names or "linear_k" in names or "linear_v" in names
+        or "linear_qkv" in names or "linear_kv" in names
         or ("ffn" in names and "FCLayer_0" in names)
     )
     row_parallel = (

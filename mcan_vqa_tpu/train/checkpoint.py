@@ -193,6 +193,60 @@ def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return import_torch_state_dict(state_dict), meta
 
 
+def fuse_qkv_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """Standard (reference) layout -> fused_qkv=True model layout:
+    concat q|k|v kernels/biases per self-attention block, k|v for the SGA
+    cross-attention; originals removed."""
+    import jax
+
+    out = jax.tree.map(lambda x: x, params)
+    bb = out["backbone"]
+
+    def fuse(block, names, new_name):
+        block[new_name] = {
+            "kernel": np.concatenate(
+                [np.asarray(block[n]["kernel"]) for n in names], axis=1),
+            "bias": np.concatenate(
+                [np.asarray(block[n]["bias"]) for n in names]),
+        }
+        for n in names:
+            del block[n]
+
+    for i in range(num_layers):
+        fuse(bb[f"enc_{i}"]["mhatt"], ("linear_q", "linear_k", "linear_v"),
+             "linear_qkv")
+        fuse(bb[f"dec_{i}"]["mhatt1"], ("linear_q", "linear_k", "linear_v"),
+             "linear_qkv")
+        fuse(bb[f"dec_{i}"]["mhatt2"], ("linear_k", "linear_v"), "linear_kv")
+    return out
+
+
+def unfuse_qkv_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """Inverse of fuse_qkv_params (for reference-format export)."""
+    import jax
+
+    out = jax.tree.map(lambda x: x, params)
+    bb = out["backbone"]
+
+    def unfuse(block, fused_name, names):
+        k = np.asarray(block[fused_name]["kernel"])
+        b = np.asarray(block[fused_name]["bias"])
+        ks = np.split(k, len(names), axis=1)
+        bs = np.split(b, len(names))
+        for n, kk, bb_ in zip(names, ks, bs):
+            block[n] = {"kernel": kk, "bias": bb_}
+        del block[fused_name]
+
+    for i in range(num_layers):
+        unfuse(bb[f"enc_{i}"]["mhatt"], "linear_qkv",
+               ("linear_q", "linear_k", "linear_v"))
+        unfuse(bb[f"dec_{i}"]["mhatt1"], "linear_qkv",
+               ("linear_q", "linear_k", "linear_v"))
+        unfuse(bb[f"dec_{i}"]["mhatt2"], "linear_kv",
+               ("linear_k", "linear_v"))
+    return out
+
+
 def flatten_params(params: Dict[str, Any], prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
     flat = {}
     for k, v in params.items():
