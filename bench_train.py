@@ -40,10 +40,11 @@ def main() -> None:
     hidden = int(os.environ.get("BENCH_HIDDEN", "512"))
     layers = int(os.environ.get("BENCH_LAYERS", "6"))
     use_packing = os.environ.get("BENCH_PACK", "0") == "1"
+    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
-                 use_glove=False,
+                 use_glove=False, fused_qkv=use_fused,
                  attention_packing=use_packing).finalize()
     model = build_mcan(cfg, token_size=20000, answer_size=3129)
 
@@ -97,6 +98,7 @@ def main() -> None:
         "unit": "samples/sec/chip",
         "step_ms": round(per_step * 1000, 2),
         "packing": use_packing,
+        "fused_qkv": use_fused,
     }))
 
 
