@@ -9,8 +9,9 @@ raw parameter pytree that
   * runs both AttFlat heads through the fused pooling kernel (ops/attflat.py),
   * keeps all Dense/LSTM matmuls in bf16 on the MXU.
 
-Golden-tested against ``model.apply`` (tests/test_serving.py); the bench's
-serving number runs through here when BENCH_PALLAS=1.
+Golden-tested against ``model.apply`` (tests/test_serving.py). bench.py
+routes through here by default (fused-QKV XLA path, BENCH_SERVE=1) and for
+the Pallas variants (BENCH_PALLAS=1 per-(batch,head), =2 batch-blocked).
 """
 
 from __future__ import annotations
@@ -76,7 +77,7 @@ def prepare_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
     Self-attention (q=k=v source): W_q|W_k|W_v -> one [D, 3D] kernel.
     Cross-attention (k=v source): W_k|W_v -> one [D, 2D] kernel.
     Fewer, larger matmuls per block — better MXU fill and fewer dispatches.
-    The returned tree is what ``make_serving_fn(..., fused_qkv=True)`` eats.
+    ``make_serving_fn``'s forward auto-detects the fused entries.
     """
     def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
         # jnp (not np): params may live on device; keep the concat there

@@ -51,13 +51,19 @@ def save_checkpoint(state, ckpts_dir: str, version: str, epoch: int) -> str:
 
 def restore_checkpoint(ckpts_dir: str, version: str, epoch: int,
                        template: Optional[Any] = None) -> Dict[str, Any]:
+    return restore_checkpoint_path(_ckpt_dir(ckpts_dir, version, epoch),
+                                   template)
+
+
+def restore_checkpoint_path(path: str,
+                            template: Optional[Any] = None) -> Dict[str, Any]:
+    """Restore an explicit orbax checkpoint directory (e.g. a --ckpt_path)."""
     import orbax.checkpoint as ocp
 
-    path = _ckpt_dir(ckpts_dir, version, epoch)
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
-            return ckptr.restore(path, item=template)
-        return ckptr.restore(path)
+            return ckptr.restore(os.path.abspath(path), item=template)
+        return ckptr.restore(os.path.abspath(path))
 
 
 def latest_epoch(ckpts_dir: str, version: str) -> Optional[int]:

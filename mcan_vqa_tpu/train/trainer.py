@@ -120,9 +120,9 @@ class Trainer:
             template = {"params": jax.device_get(state.params),
                         "opt_state": jax.device_get(state.opt_state),
                         "step": 0}
-            restored = ckpt_mod.restore_checkpoint(
-                os.path.dirname(cfg.ckpt_path), "",  # explicit dir
-                cfg.ckpt_epoch, template=template)
+            # explicit orbax checkpoint directory
+            restored = ckpt_mod.restore_checkpoint_path(
+                cfg.ckpt_path, template=template)
         else:
             # restore with a template so optax state keeps its NamedTuple
             # structure (orbax would otherwise return plain dicts)
@@ -144,8 +144,7 @@ class Trainer:
         if path.endswith((".pkl", ".pt", ".pth")):
             params, _ = ckpt_mod.import_torch_checkpoint(path)
         else:
-            params = ckpt_mod.restore_checkpoint(
-                os.path.dirname(path), "", 0)["params"]
+            params = ckpt_mod.restore_checkpoint_path(path)["params"]
         merged = _merge_compatible(jax.device_get(state.params), params,
                                    self.logger)
         self.state = shd.shard_state(
