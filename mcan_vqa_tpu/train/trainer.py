@@ -159,6 +159,14 @@ class Trainer:
         import signal
 
         cfg = self.cfg
+        # fresh (non-resume) runs clear this version's previous checkpoints
+        # and logs (reference: core/exec.py:96-102 + empty_log)
+        if not cfg.resume and start_epoch == 0 and self.state is None:
+            import shutil
+            d = os.path.join(cfg.ckpts_dir, f"ckpt_{cfg.version}")
+            if os.path.isdir(d):
+                self.logger.write(f"fresh run: clearing {d}")
+                shutil.rmtree(d, ignore_errors=True)
         state = self.ensure_state()
 
         stop_requested = {"flag": False}

@@ -16,10 +16,16 @@ from typing import Any, Dict, Optional
 
 class RunLogger:
     def __init__(self, log_dir: str, version: str, cfg_dict: Optional[Dict] = None,
-                 echo: bool = True):
+                 echo: bool = True, fresh: bool = False):
+        """fresh=True truncates an existing log (the reference's empty_log on
+        a fresh training run, core/exec.py empty_log)."""
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"log_run_{version}.txt")
         self.echo = echo
+        if fresh:
+            for p in (self.path, self.path.replace(".txt", ".jsonl")):
+                if os.path.exists(p):
+                    os.remove(p)
         with open(self.path, "a") as f:
             f.write(f"NOW TIME: {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
             if cfg_dict is not None:

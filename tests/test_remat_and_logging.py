@@ -63,3 +63,33 @@ class TestMetricsJsonl:
         assert len(lines) == 2
         rec = json.loads(lines[1])
         assert rec["epoch"] == 1 and abs(rec["loss"] - 1.2) < 1e-9
+
+
+class TestFreshRunSemantics:
+    def test_fresh_train_clears_previous_version(self, tmp_path):
+        """Non-resume training wipes this version's old checkpoints
+        (reference: core/exec.py:96-102)."""
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        cfg = _cfg(batch_size=8, max_epoch=1, num_workers=1, verbose=False,
+                   eval_every_epoch=False,
+                   img_feat_pad_size=8, max_token=6,
+                   ckpts_dir=str(tmp_path / "ckpts"),
+                   log_path=str(tmp_path / "log"),
+                   result_path=str(tmp_path / "res"))
+        ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=8,
+                                 run_mode="train")
+        Trainer(cfg, train_dataset=ds).train()
+        stale = tmp_path / "ckpts" / f"ckpt_{cfg.version}" / "epoch99"
+        stale.mkdir(parents=True)
+        Trainer(cfg, train_dataset=ds).train()
+        assert not stale.exists()           # wiped on fresh run
+        assert (tmp_path / "ckpts" / f"ckpt_{cfg.version}" / "epoch1").exists()
+
+    def test_fresh_logger_truncates(self, tmp_path):
+        l1 = RunLogger(str(tmp_path), "v", {"a": 1}, echo=False)
+        l1.write("old line")
+        l2 = RunLogger(str(tmp_path), "v", {"a": 1}, echo=False, fresh=True)
+        l2.write("new line")
+        content = open(tmp_path / "log_run_v.txt").read()
+        assert "old line" not in content and "new line" in content
