@@ -50,7 +50,11 @@ class MIMICDataset:
     def __init__(self, cfg, run_mode: Optional[str] = None, seed: int = 0):
         self.cfg = cfg
         self.run_mode = run_mode or cfg.run_mode
+        # example() runs concurrently in BatchLoader threads; a shared
+        # Generator is not thread-safe, so guard it with a lock
+        import threading
         self._rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
 
         import h5py  # lazy: only MIMIC flows need it
 
@@ -84,7 +88,9 @@ class MIMICDataset:
 
         feat = np.asarray(self.image_features[qa["image"]], np.float32)
         if self.run_mode == "train":
-            feat = feature_row_dropout(l2_normalize_rows(feat), self._rng)
+            with self._rng_lock:
+                child = np.random.default_rng(self._rng.integers(2**63))
+            feat = feature_row_dropout(l2_normalize_rows(feat), child)
         img = feat_mod.pad_img_feat(feat, self.cfg.img_feat_pad_size)
         return {"img": img.astype(np.float32), "ques": ques,
                 "target": target, "qid": np.int64(idx)}

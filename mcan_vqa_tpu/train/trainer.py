@@ -209,6 +209,7 @@ class Trainer:
                 keys = ("img", "target") if self.image_only else \
                     ("img", "ques", "target")
                 loss_sum, n_steps = 0.0, 0
+                metrics = {"loss": 0.0, "lr": 0.0}
                 for batch in loader:
                     if stop_requested["flag"]:
                         break
