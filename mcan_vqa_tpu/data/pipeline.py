@@ -71,21 +71,23 @@ class BatchLoader:
         return idx
 
     def _assemble(self, indices: np.ndarray) -> Dict[str, Any]:
+        # this host's share of a full batch (per-host rows on multi-host pods)
+        host_batch = self.batch_size // max(self.process_count, 1)
         # whole-batch fast path (native C++ gather+pad) when the dataset
         # provides it
         if hasattr(self.dataset, "batch_examples"):
             n_valid = len(indices)
-            if self.pad_final and n_valid < self.batch_size:
+            if self.pad_final and n_valid < host_batch:
                 indices = np.concatenate(
                     [indices,
-                     np.repeat(indices[-1], self.batch_size - n_valid)])
+                     np.repeat(indices[-1], host_batch - n_valid)])
             batch = self.dataset.batch_examples(indices)
             batch["n_valid"] = np.int32(n_valid)
             return batch
         examples = [self.dataset.example(int(i)) for i in indices]
         n_valid = len(examples)
-        if self.pad_final and n_valid < self.batch_size:
-            examples = examples + [examples[-1]] * (self.batch_size - n_valid)
+        if self.pad_final and n_valid < host_batch:
+            examples = examples + [examples[-1]] * (host_batch - n_valid)
         batch = {k: np.stack([e[k] for e in examples])
                  for k in examples[0]}
         batch["n_valid"] = np.int32(n_valid)
