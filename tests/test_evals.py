@@ -121,3 +121,50 @@ class TestROCAUC:
         out = ra.multilabel_roc_auc(y, s)
         assert np.isnan(out["per_class"][1]) and np.isnan(out["per_class"][2])
         assert not np.isnan(out["macro"])
+
+
+class TestCompatAPI:
+    """Drop-in VQA / VQAEval facade (reference utils/vqa.py usage pattern)."""
+
+    def _files(self, tmp_path):
+        ann = {"annotations": [
+            {"question_id": 1, "image_id": 10, "question_type": "is the",
+             "answer_type": "yes/no",
+             "answers": [{"answer": "yes"}] * 10},
+            {"question_id": 2, "image_id": 11, "question_type": "what color",
+             "answer_type": "other",
+             "answers": [{"answer": "red"}] * 7 + [{"answer": "blue"}] * 3},
+        ]}
+        ques = {"questions": [
+            {"question_id": 1, "image_id": 10, "question": "is the sky blue?"},
+            {"question_id": 2, "image_id": 11, "question": "what color?"},
+        ]}
+        res = [{"question_id": 1, "answer": "yes"},
+               {"question_id": 2, "answer": "blue"}]
+        a, q, r = (tmp_path / n for n in ("ann.json", "q.json", "res.json"))
+        a.write_text(json.dumps(ann)); q.write_text(json.dumps(ques))
+        r.write_text(json.dumps(res))
+        return str(a), str(q), str(r)
+
+    def test_reference_usage_pattern(self, tmp_path):
+        from mcan_vqa_tpu.evals.compat import VQA, VQAEval
+        ann, ques, res = self._files(tmp_path)
+        vqa = VQA(ann, ques)
+        vqaRes = vqa.loadRes(res, ques)
+        ev = VQAEval(vqa, vqaRes, n=2)
+        ev.evaluate()
+        # q2: 3 "blue" among 10 -> leave-one-out: 3 subsets see 2 matches
+        # (2/3), 7 subsets see 3 matches (capped 1.0) -> 0.9
+        assert ev.accuracy["overall"] == 95.0
+        assert ev.accuracy["perAnswerType"]["yes/no"] == 100.0
+        assert ev.evalQA[2] == 90.0
+        assert ev.evalQuesType["what color"][2] == 90.0
+
+    def test_index_queries(self, tmp_path):
+        from mcan_vqa_tpu.evals.compat import VQA
+        ann, ques, _ = self._files(tmp_path)
+        vqa = VQA(ann, ques)
+        assert sorted(vqa.getQuesIds()) == [1, 2]
+        assert vqa.getQuesIds(ansTypes="yes/no") == [1]
+        assert vqa.getImgIds(quesIds=[2]) == [11]
+        assert vqa.loadQA(1)[0]["image_id"] == 10
