@@ -93,3 +93,24 @@ class TestFreshRunSemantics:
         l2.write("new line")
         content = open(tmp_path / "log_run_v.txt").read()
         assert "old line" not in content and "new line" in content
+
+
+class TestProfilingTrace:
+    def test_trace_writes_files(self, tmp_path):
+        import jax.numpy as jnp
+        from mcan_vqa_tpu.utils.profiling import StepTimer, trace
+        with trace(str(tmp_path)):
+            (jnp.ones((32, 32)) @ jnp.ones((32, 32))).block_until_ready()
+        import glob
+        assert glob.glob(str(tmp_path / "**" / "*"), recursive=True)
+
+    def test_trace_noop_without_dir(self):
+        from mcan_vqa_tpu.utils.profiling import trace
+        with trace(""):
+            pass
+
+    def test_step_timer_ema(self):
+        from mcan_vqa_tpu.utils.profiling import StepTimer
+        t = StepTimer()
+        assert t.tick() is None
+        assert t.tick() is not None and t.ema > 0
