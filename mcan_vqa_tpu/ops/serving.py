@@ -31,6 +31,7 @@ BF16 = jnp.bfloat16
 
 
 def _dense(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    # .astype is a no-op when prepare_params already cast the kernel
     return jnp.dot(x.astype(BF16), p["kernel"].astype(BF16),
                    preferred_element_type=jnp.float32) + p["bias"]
 
@@ -71,7 +72,8 @@ def _lstm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(hs, 0, 1)
 
 
-def prepare_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+def prepare_params(params: Dict[str, Any], num_layers: int,
+                   cast_bf16: bool = True) -> Dict[str, Any]:
     """One-time param prep: fuse each attention block's projections.
 
     Self-attention (q=k=v source): W_q|W_k|W_v -> one [D, 3D] kernel.
@@ -96,6 +98,15 @@ def prepare_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
         dec1["linear_qkv"] = fuse(dec1, ("linear_q", "linear_k", "linear_v"))
         dec2 = bb[f"dec_{i}"]["mhatt2"]
         dec2["linear_kv"] = fuse(dec2, ("linear_k", "linear_v"))
+    if cast_bf16:
+        # pre-cast matmul weights: halves per-forward param HBM reads.
+        # LayerNorm scales/biases and all biases stay fp32 (added post-MXU).
+        def cast(path, leaf):
+            names = [getattr(p, "key", str(p)) for p in path]
+            if names[-1] == "kernel" or names[-1] in ("w_ih", "w_hh"):
+                return leaf.astype(jnp.bfloat16)
+            return leaf
+        out = jax.tree_util.tree_map_with_path(cast, out)
     return out
 
 
