@@ -97,6 +97,6 @@ class Predictor:
         out = []
         for row in probs:
             ix = int(row.argmax())
-            out.append((self.ix_to_ans.get(str(ix), str(ix)),
-                        float(row[ix])))
+            ans = self.ix_to_ans.get(str(ix), self.ix_to_ans.get(ix, str(ix)))
+            out.append((ans, float(row[ix])))
         return out

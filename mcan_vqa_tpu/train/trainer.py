@@ -303,8 +303,13 @@ class Trainer:
         answers = None
         if self.ix_to_ans:
             top = out["probs"].argmax(axis=1)
-            answers = [self.ix_to_ans.get(str(int(i)), str(int(i)))
-                       for i in top]
+            # answer dicts are str-keyed for VQA (frozen JSON) but int-keyed
+            # for MIMIC (pickles) — accept both
+            def decode(i):
+                i = int(i)
+                return self.ix_to_ans.get(str(i),
+                                          self.ix_to_ans.get(i, str(i)))
+            answers = [decode(i) for i in top]
         if dump_path and answers is not None:
             vqa_eval.dump_results(out["qids"], answers, dump_path)
             results["dump_path"] = dump_path
