@@ -41,10 +41,11 @@ def main() -> None:
     layers = int(os.environ.get("BENCH_LAYERS", "6"))
     use_packing = os.environ.get("BENCH_PACK", "0") == "1"
     use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
-                 use_glove=False, fused_qkv=use_fused,
+                 use_glove=False, fused_qkv=use_fused, use_remat=use_remat,
                  attention_packing=use_packing).finalize()
     model = build_mcan(cfg, token_size=20000, answer_size=3129)
 
@@ -99,6 +100,7 @@ def main() -> None:
         "step_ms": round(per_step * 1000, 2),
         "packing": use_packing,
         "fused_qkv": use_fused,
+        "remat": use_remat,
     }))
 
 
