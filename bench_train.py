@@ -94,7 +94,7 @@ def main() -> None:
 
     per_step = max((dt - overhead) / n_iters, 1e-9)
     print(json.dumps({
-        "metric": "mcan_small_train_throughput",
+        "metric": f"mcan_h{hidden}_train_throughput",
         "value": round(B / per_step, 2),
         "unit": "samples/sec/chip",
         "step_ms": round(per_step * 1000, 2),
