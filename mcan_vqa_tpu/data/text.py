@@ -55,8 +55,12 @@ def build_vocab(
     def embed(word: str) -> np.ndarray:
         if glove_lookup is not None:
             return np.asarray(glove_lookup(word), dtype=np.float32)
-        # Deterministic per-token fallback: hash-seeded normal vector.
-        seed = abs(hash(word)) % (2**32)
+        # Deterministic per-token fallback. NOTE: not Python hash() — that is
+        # salted per process (PYTHONHASHSEED) and would make fallback
+        # embeddings differ across runs.
+        import hashlib
+        seed = int.from_bytes(
+            hashlib.md5(word.encode()).digest()[:4], "little")
         return np.random.default_rng(seed).normal(0, 1, embed_dim).astype(np.float32)
 
     vectors.append(embed(PAD_TOKEN))
