@@ -84,7 +84,10 @@ class VQADataset:
     def _build_or_load_vocab(self) -> Tuple[Dict[str, int], np.ndarray]:
         cache = self.cfg.vocab_cache_path
         if cache and os.path.exists(cache):
-            return text_mod.load_vocab(cache)
+            tok, emb = text_mod.load_vocab(cache)
+            if emb.shape[1] == self.cfg.word_embed_size:
+                return tok, emb
+            # stale cache from a different word_embed_size: rebuild below
         stat_qs = []
         for key in ("train", "val", "test", "vg"):
             p = self.cfg.question_path.get(key)
