@@ -272,7 +272,7 @@ class Trainer:
             dataset, cfg.eval_batch_size, shuffle=False, drop_last=False,
             seed=cfg.seed, num_workers=cfg.num_workers, pad_final=True,
             sharding=batch_sharding(self.mesh))
-        probs_all, qids_all = [], []
+        probs_all, qids_all, targets_all = [], [], []
         for batch in loader:
             inputs = (batch["img"],) if self.image_only else \
                 (batch["img"], batch["ques"])
@@ -280,8 +280,13 @@ class Trainer:
             n = int(batch["n_valid"])
             probs_all.append(np.asarray(probs)[:n])
             qids_all.append(np.asarray(batch["qid"])[:n])
-        return {"probs": np.concatenate(probs_all),
-                "qids": np.concatenate(qids_all)}
+            if "target" in batch:
+                targets_all.append(np.asarray(batch["target"])[:n])
+        out = {"probs": np.concatenate(probs_all),
+               "qids": np.concatenate(qids_all)}
+        if targets_all:
+            out["targets"] = np.concatenate(targets_all)
+        return out
 
     def evaluate(self, dataset, dump_path: Optional[str] = None) -> Dict[str, Any]:
         """ROC-AUC when the dataset carries targets (MIMIC flows,
@@ -314,11 +319,8 @@ class Trainer:
             vqa_eval.dump_results(out["qids"], answers, dump_path)
             results["dump_path"] = dump_path
 
-        sample = dataset.example(0)
-        if "target" in sample:
-            targets = np.stack([dataset.example(i)["target"]
-                                for i in range(len(dataset))])
-            roc = multilabel_roc_auc(targets > 0.5, out["probs"])
+        if "targets" in out:
+            roc = multilabel_roc_auc(out["targets"] > 0.5, out["probs"])
             results["roc_micro"] = roc["micro"]
             results["roc_macro"] = roc["macro"]
 
