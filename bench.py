@@ -84,7 +84,9 @@ def main() -> None:
     elif use_fused_qkv:
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
         params = prepare_params(params, cfg.layer)
-        forward = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False)
+        forward = make_serving_fn(
+            cfg.layer, cfg.multi_head, use_pallas=False,
+            bf16_stream=os.environ.get("BENCH_BF16_STREAM", "0") == "1")
     else:
         def forward(params, img, ques):
             return model.apply({"params": params}, img, ques,

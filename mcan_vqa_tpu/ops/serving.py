@@ -36,13 +36,15 @@ def _dense(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=jnp.float32) + p["bias"]
 
 
-def _std_layer_norm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+def _std_layer_norm(p: Dict[str, Any], x: jnp.ndarray,
+                    out_dtype=jnp.float32) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     dim = x.shape[-1]
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     centered = x32 - mean
     var = jnp.sum(centered * centered, axis=-1, keepdims=True) / (dim - 1)
-    return p["scale"] * centered / (jnp.sqrt(var) + 1e-6) + p["bias"]
+    out = p["scale"] * centered / (jnp.sqrt(var) + 1e-6) + p["bias"]
+    return out.astype(out_dtype)
 
 
 def _mlp(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
@@ -163,38 +165,45 @@ def _attflat(p, x, mask, use_pallas: bool, interpret: bool):
 
 
 def make_serving_fn(num_layers: int, num_heads: int,
-                    use_pallas=True, interpret: bool = False):
+                    use_pallas=True, interpret: bool = False,
+                    bf16_stream: bool = False):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
     checkpoint import). use_pallas: False (XLA), True (per-(batch,head)
     fused kernel), or "batched" (batch-blocked fused kernel).
+    bf16_stream: carry residuals in bf16 between blocks (LN stats stay
+    fp32) — ~3% faster, ~1e-2 logit perturbation; opt-in.
     """
+    stream = jnp.bfloat16 if bf16_stream else jnp.float32
 
     def forward(params, img_feat, ques_ix):
         q_mask = make_mask(ques_ix[..., None])
         v_mask = make_mask(img_feat)
 
+        def ln(p, x):
+            return _std_layer_norm(p, x, out_dtype=stream)
+
         q = jnp.take(params["embedding"]["embedding"], ques_ix, axis=0)
-        q = _lstm(params["lstm"], q)
-        v = _dense(params["img_feat_linear"], img_feat)
+        q = _lstm(params["lstm"], q).astype(stream)
+        v = _dense(params["img_feat_linear"], img_feat).astype(stream)
 
         bb = params["backbone"]
         for i in range(num_layers):
             p = bb[f"enc_{i}"]
             att = _mhatt(p["mhatt"], q, q, q, q_mask, num_heads,
                          use_pallas, interpret)
-            q = _std_layer_norm(p["norm1"], q + att)
-            q = _std_layer_norm(p["norm2"], q + _mlp(p["ffn"]["mlp"], q))
+            q = ln(p["norm1"], q + att.astype(stream))
+            q = ln(p["norm2"], q + _mlp(p["ffn"]["mlp"], q).astype(stream))
         for i in range(num_layers):
             p = bb[f"dec_{i}"]
             att = _mhatt(p["mhatt1"], v, v, v, v_mask, num_heads,
                          use_pallas, interpret)
-            v = _std_layer_norm(p["norm1"], v + att)
+            v = ln(p["norm1"], v + att.astype(stream))
             att = _mhatt(p["mhatt2"], q, q, v, q_mask, num_heads,
                          use_pallas, interpret)
-            v = _std_layer_norm(p["norm2"], v + att)
-            v = _std_layer_norm(p["norm3"], v + _mlp(p["ffn"]["mlp"], v))
+            v = ln(p["norm2"], v + att.astype(stream))
+            v = ln(p["norm3"], v + _mlp(p["ffn"]["mlp"], v).astype(stream))
 
         lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
                                 use_pallas, interpret)

@@ -72,3 +72,13 @@ class TestFusedQKV:
         out = fwd(fused, img, ques)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+    def test_bf16_stream_close_to_fp32(self):
+        from mcan_vqa_tpu.ops.serving import make_serving_fn
+        cfg, model, params, img, ques = _setup()
+        ref = make_serving_fn(cfg.layer, cfg.multi_head,
+                              use_pallas=False)(params, img, ques)
+        out = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              bf16_stream=True)(params, img, ques)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=0.1, rtol=0.1)
