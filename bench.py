@@ -86,7 +86,8 @@ def main() -> None:
         params = prepare_params(params, cfg.layer)
         forward = make_serving_fn(
             cfg.layer, cfg.multi_head, use_pallas=False,
-            bf16_stream=os.environ.get("BENCH_BF16_STREAM", "0") == "1")
+            bf16_stream=os.environ.get("BENCH_BF16_STREAM", "0") == "1",
+            use_pallas_ffn=os.environ.get("BENCH_FFN", "1") == "1")
     else:
         def forward(params, img, ques):
             return model.apply({"params": params}, img, ques,

@@ -1,0 +1,83 @@
+"""Fused FFN + residual + std-LayerNorm block kernel (Pallas TPU).
+
+The serving ablation (docs/PERFORMANCE.md) shows the SGA image path is ~97%
+of MCAN serving time, and its FFN sub-block — two large matmuls with
+elementwise/LN breaks — runs bandwidth-bound: XLA materializes the
+[B*L, 4D] hidden and the [B*L, D] residual stream in HBM between ops.
+
+This kernel computes the reference's entire post-norm FFN block
+
+    out = StdLayerNorm(x + (relu(x @ W1 + b1) @ W2 + b2))
+
+for a row tile per grid step, keeping the hidden activations in VMEM. Both
+weight matrices stay VMEM-resident across the grid (512x2048 bf16 = 2 MB
+each). Matmuls in bf16 on the MXU; residual + LN statistics in fp32
+(Bessel-corrected std + eps-on-std, matching models/layers.StdLayerNorm).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   scale_ref, bias_ref, o_ref):
+    x = x_ref[:]                                          # [TM, D] f32
+    h = jnp.dot(x.astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    h = jnp.maximum(h, 0.0)                               # [TM, F]
+    y = jnp.dot(h.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b2_ref[:]
+    r = x + y                                             # residual, fp32
+    d = r.shape[-1]
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    c = r - mean
+    var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
+    o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
+def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                 tile_m: int = 256, interpret: bool = False):
+    """x [B, L, D] (or [M, D]); returns StdLayerNorm(x + MLP(x)), same shape.
+
+    Rows (B*L) must divide by a usable tile; callers fall back to XLA when
+    they don't (the serving engine checks).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    D = x.shape[-1]
+    F = w1.shape[1]
+    xm = x.reshape(-1, D)
+    M = xm.shape[0]
+    while M % tile_m:
+        tile_m //= 2
+    tile_m = max(tile_m, 8)
+    assert M % tile_m == 0, (M, tile_m)
+
+    rep2 = lambda i: (0, 0)
+    rep1 = lambda i: (0,)
+    out = pl.pallas_call(
+        _ffn_ln_kernel,
+        grid=(M // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, F), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, D), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), rep1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), rep1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        interpret=interpret,
+    )(xm.astype(jnp.float32), w1, b1, w2, b2, ln_scale, ln_bias)
+    return out.reshape(orig_shape)

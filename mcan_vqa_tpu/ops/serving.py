@@ -166,7 +166,8 @@ def _attflat(p, x, mask, use_pallas: bool, interpret: bool):
 
 def make_serving_fn(num_layers: int, num_heads: int,
                     use_pallas=True, interpret: bool = False,
-                    bf16_stream: bool = False):
+                    bf16_stream: bool = False,
+                    use_pallas_ffn: bool = False):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
@@ -174,8 +175,26 @@ def make_serving_fn(num_layers: int, num_heads: int,
     fused kernel), or "batched" (batch-blocked fused kernel).
     bf16_stream: carry residuals in bf16 between blocks (LN stats stay
     fp32) — ~3% faster, ~1e-2 logit perturbation; opt-in.
+    use_pallas_ffn: run each FFN block through the fused
+    matmul+relu+matmul+residual+LN kernel (ops/fused_ffn.py).
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
+
+    if use_pallas_ffn:
+        from mcan_vqa_tpu.ops.fused_ffn import fused_ffn_ln
+
+        import os as _os
+        _tile = int(_os.environ.get("FFN_TILE_M", "256"))
+
+        def ffn_block(norm_p, mlp_p, x):
+            return fused_ffn_ln(
+                x, mlp_p["FCLayer_0"]["Dense_0"]["kernel"],
+                mlp_p["FCLayer_0"]["Dense_0"]["bias"],
+                mlp_p["Dense_0"]["kernel"], mlp_p["Dense_0"]["bias"],
+                norm_p["scale"], norm_p["bias"], tile_m=_tile,
+                interpret=interpret).astype(stream)
+    else:
+        ffn_block = None
 
     def forward(params, img_feat, ques_ix):
         q_mask = make_mask(ques_ix[..., None])
@@ -194,7 +213,11 @@ def make_serving_fn(num_layers: int, num_heads: int,
             att = _mhatt(p["mhatt"], q, q, q, q_mask, num_heads,
                          use_pallas, interpret)
             q = ln(p["norm1"], q + att.astype(stream))
-            q = ln(p["norm2"], q + _mlp(p["ffn"]["mlp"], q).astype(stream))
+            if ffn_block is not None:
+                q = ffn_block(p["norm2"], p["ffn"]["mlp"], q)
+            else:
+                q = ln(p["norm2"],
+                       q + _mlp(p["ffn"]["mlp"], q).astype(stream))
         for i in range(num_layers):
             p = bb[f"dec_{i}"]
             att = _mhatt(p["mhatt1"], v, v, v, v_mask, num_heads,
@@ -203,7 +226,11 @@ def make_serving_fn(num_layers: int, num_heads: int,
             att = _mhatt(p["mhatt2"], q, q, v, q_mask, num_heads,
                          use_pallas, interpret)
             v = ln(p["norm2"], v + att.astype(stream))
-            v = ln(p["norm3"], v + _mlp(p["ffn"]["mlp"], v).astype(stream))
+            if ffn_block is not None:
+                v = ffn_block(p["norm3"], p["ffn"]["mlp"], v)
+            else:
+                v = ln(p["norm3"],
+                       v + _mlp(p["ffn"]["mlp"], v).astype(stream))
 
         lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
                                 use_pallas, interpret)

@@ -136,3 +136,46 @@ class TestBatchedAttentionPallas:
                                    compute_dtype=jnp.bfloat16)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-2, rtol=2e-2)
+
+
+class TestFusedFFNLN:
+    def _ref(self, x, w1, b1, w2, b2, sc, bi):
+        h = jax.nn.relu(x @ w1 + b1)
+        r = x + (h @ w2 + b2)
+        d = r.shape[-1]
+        mean = r.mean(-1, keepdims=True)
+        c = r - mean
+        var = (c * c).sum(-1, keepdims=True) / (d - 1)
+        return sc * c / (jnp.sqrt(var) + 1e-6) + bi
+
+    def test_matches_xla(self):
+        from mcan_vqa_tpu.ops.fused_ffn import fused_ffn_ln
+        rng = np.random.default_rng(0)
+        B, L, D, F = 4, 16, 64, 256
+        x = rng.normal(size=(B, L, D)).astype(np.float32)
+        w1 = rng.normal(size=(D, F)).astype(np.float32) * 0.05
+        b1 = rng.normal(size=(F,)).astype(np.float32) * 0.05
+        w2 = rng.normal(size=(F, D)).astype(np.float32) * 0.05
+        b2 = rng.normal(size=(D,)).astype(np.float32) * 0.05
+        sc = rng.normal(size=(D,)).astype(np.float32)
+        bi = rng.normal(size=(D,)).astype(np.float32)
+        out = fused_ffn_ln(x, w1, b1, w2, b2, sc, bi, tile_m=32,
+                           interpret=True)
+        ref = self._ref(*map(jnp.asarray, (x, w1, b1, w2, b2, sc, bi)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_tile_degrades_to_divisor(self):
+        from mcan_vqa_tpu.ops.fused_ffn import fused_ffn_ln
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(3, 8, 32)).astype(np.float32)  # M=24
+        w1 = rng.normal(size=(32, 64)).astype(np.float32) * 0.1
+        w2 = rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+        out = fused_ffn_ln(x, w1, np.zeros(64, np.float32), w2,
+                           np.zeros(32, np.float32),
+                           np.ones(32, np.float32), np.zeros(32, np.float32),
+                           tile_m=16, interpret=True)  # 24 % 16 != 0 -> 8
+        ref = self._ref(jnp.asarray(x), jnp.asarray(w1), 0.0,
+                        jnp.asarray(w2), 0.0, 1.0, 0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
