@@ -60,6 +60,29 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
     tile_m = max(tile_m, 8)
     assert M % tile_m == 0, (M, tile_m)
 
+    # VMEM guard: weights must stay resident; shrink the row tile first,
+    # fall back to plain XLA when the weights alone exceed the budget
+    # (e.g. MCAN-large: 2 x 1024x4096 matrices).
+    wbytes = (D * F + F * D) * w1.dtype.itemsize
+    def tile_bytes(t):
+        return wbytes + t * (D * 4 * 2 + F * 4)   # x + out fp32, h fp32
+    budget = 12 * 1024 * 1024
+    while tile_m > 8 and tile_bytes(tile_m) > budget:
+        tile_m //= 2
+        while M % tile_m:
+            tile_m //= 2
+    if tile_bytes(tile_m) > budget:
+        h = jax.nn.relu(jnp.dot(xm.astype(jnp.bfloat16),
+                                w1.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) + b1)
+        r = xm + (jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) + b2)
+        mean = jnp.mean(r, axis=-1, keepdims=True)
+        c = r - mean
+        var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
+        out = ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
+        return out.reshape(orig_shape)
+
     rep2 = lambda i: (0, 0)
     rep1 = lambda i: (0,)
     out = pl.pallas_call(
