@@ -39,6 +39,85 @@ def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
 
 
+def _ffn_ln_blocked_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                           scale_ref, bias_ref, o_ref, acc_ref):
+    """F-blocked variant: grid (M/TM, F/TF); the hidden dim is reduced in
+    VMEM scratch (tiled-matmul accumulator pattern), residual+LN applied on
+    the last F tile."""
+    import jax.experimental.pallas as pl
+
+    f = pl.program_id(1)
+    nf = pl.num_programs(1)
+
+    @pl.when(f == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    h = jnp.dot(x.astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    h = jnp.maximum(h, 0.0)
+    acc_ref[:] += jnp.dot(h.astype(jnp.bfloat16),
+                          w2_ref[:].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(f == nf - 1)
+    def _():
+        r = x + acc_ref[:] + b2_ref[:]
+        d = r.shape[-1]
+        mean = jnp.mean(r, axis=-1, keepdims=True)
+        c = r - mean
+        var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
+        o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_m", "tile_f"))
+def fused_ffn_ln_blocked(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                         tile_m: int = 256, tile_f: int = 1024,
+                         interpret: bool = False):
+    """F-blocked fused FFN+LN for weights too large to keep VMEM-resident
+    (MCAN-large: D=1024, F=4096)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    D = x.shape[-1]
+    F = w1.shape[1]
+    xm = x.reshape(-1, D)
+    M = xm.shape[0]
+    while M % tile_m:
+        tile_m //= 2
+    tile_m = max(tile_m, 8)
+    while F % tile_f:
+        tile_f //= 2
+
+    out = pl.pallas_call(
+        _ffn_ln_blocked_kernel,
+        grid=(M // tile_m, F // tile_f),
+        in_specs=[
+            pl.BlockSpec((tile_m, D), lambda i, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile_f), lambda i, f: (0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f,), lambda i, f: (f,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f, D), lambda i, f: (f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i, f: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i, f: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i, f: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, D), lambda i, f: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xm.astype(jnp.float32), w1, b1, w2, b2, ln_scale, ln_bias)
+    return out.reshape(orig_shape)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
 def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
                  tile_m: int = 256, interpret: bool = False):
@@ -72,6 +151,11 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
         while M % tile_m:
             tile_m //= 2
     if tile_bytes(tile_m) > budget:
+        # Weights too large to keep fully VMEM-resident (MCAN-large
+        # 1024x4096). The F-blocked kernel variant measured SLOWER than XLA
+        # here (11.3K vs 11.9K pairs/s — x re-reads + weight-tile streaming
+        # outweigh the fusion), so fall back to plain XLA; the blocked
+        # kernel stays exported for future tuning.
         h = jax.nn.relu(jnp.dot(xm.astype(jnp.bfloat16),
                                 w1.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32) + b1)

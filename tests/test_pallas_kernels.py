@@ -179,3 +179,20 @@ class TestFusedFFNLN:
                         jnp.asarray(w2), 0.0, 1.0, 0.0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
+
+    def test_blocked_variant_matches(self):
+        from mcan_vqa_tpu.ops.fused_ffn import fused_ffn_ln_blocked
+        rng = np.random.default_rng(2)
+        B, L, D, F = 2, 16, 64, 256
+        x = rng.normal(size=(B, L, D)).astype(np.float32)
+        w1 = rng.normal(size=(D, F)).astype(np.float32) * 0.05
+        b1 = rng.normal(size=(F,)).astype(np.float32) * 0.05
+        w2 = rng.normal(size=(F, D)).astype(np.float32) * 0.05
+        b2 = rng.normal(size=(D,)).astype(np.float32) * 0.05
+        sc = rng.normal(size=(D,)).astype(np.float32)
+        bi = rng.normal(size=(D,)).astype(np.float32)
+        out = fused_ffn_ln_blocked(x, w1, b1, w2, b2, sc, bi, tile_m=16,
+                                   tile_f=64, interpret=True)
+        ref = self._ref(*map(jnp.asarray, (x, w1, b1, w2, b2, sc, bi)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
