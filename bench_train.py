@@ -42,9 +42,11 @@ def main() -> None:
     use_packing = os.environ.get("BENCH_PACK", "0") == "1"
     use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
     use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    accu = int(os.environ.get("BENCH_ACCU", "1"))
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
+                 grad_accu_steps=accu,
                  use_glove=False, fused_qkv=use_fused, use_remat=use_remat,
                  attention_packing=use_packing).finalize()
     model = build_mcan(cfg, token_size=20000, answer_size=3129)
@@ -63,7 +65,8 @@ def main() -> None:
                                  batch["img"], batch["ques"])["params"]
     tx = make_optimizer(cfg, data_size=B * 100)
     state = TrainState.create(params, tx, seed=cfg.seed)
-    step_fn = make_train_step(model, tx, grad_accu_steps=cfg.grad_accu_steps,
+    step_fn = make_train_step(model, tx,
+                              grad_accu_steps=cfg.grad_accu_steps,
                               lr_schedule=make_lr_schedule(
                                   cfg.lr_base, B * 100, B))
 
@@ -101,6 +104,7 @@ def main() -> None:
         "packing": use_packing,
         "fused_qkv": use_fused,
         "remat": use_remat,
+        "grad_accu": accu,
     }))
 
 
