@@ -39,6 +39,60 @@ def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
 
 
+def _proj_ln_kernel(res_ref, a_ref, w_ref, b_ref, scale_ref, bias_ref,
+                    o_ref):
+    """out = StdLayerNorm(res + (a @ W + b)) — the attention block's
+    merge-projection epilogue (same fusion family as the FFN kernel)."""
+    a = a_ref[:].astype(jnp.bfloat16)
+    y = jnp.dot(a, w_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b_ref[:]
+    r = res_ref[:] + y
+    d = r.shape[-1]
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    c = r - mean
+    var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
+    o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
+def fused_proj_ln(residual, a, w, b, ln_scale, ln_bias,
+                  tile_m: int = 256, interpret: bool = False):
+    """residual [B, L, D], a [B, L, D] (pre-merge attention output),
+    w [D, D] -> StdLayerNorm(residual + a @ w + b)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = residual.shape
+    D = residual.shape[-1]
+    rm = residual.reshape(-1, D)
+    am = a.reshape(-1, D)
+    M = rm.shape[0]
+    while M % tile_m:
+        tile_m //= 2
+    tile_m = max(tile_m, 8)
+
+    out = pl.pallas_call(
+        _proj_ln_kernel,
+        grid=(M // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        interpret=interpret,
+    )(rm.astype(jnp.float32), am.astype(jnp.float32), w, b,
+      ln_scale, ln_bias)
+    return out.reshape(orig_shape)
+
+
 def _ffn_ln_blocked_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                            scale_ref, bias_ref, o_ref, acc_ref):
     """F-blocked variant: grid (M/TM, F/TF); the hidden dim is reduced in

@@ -113,7 +113,7 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
 
 
 def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
-           interpret: bool):
+           interpret: bool, merge: bool = True):
     B, Lq, D = q.shape
     Lk = k.shape[1]
     Dh = D // num_heads
@@ -142,6 +142,8 @@ def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
     else:
         atted = masked_attention_xla(qp, kp, vp, mask)
     atted = atted.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    if not merge:
+        return atted  # caller fuses linear_merge + residual + LN
     return _dense(p["linear_merge"], atted)
 
 
@@ -181,7 +183,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
 
     if use_pallas_ffn:
-        from mcan_vqa_tpu.ops.fused_ffn import fused_ffn_ln
+        from mcan_vqa_tpu.ops.fused_ffn import fused_ffn_ln, fused_proj_ln
 
         import os as _os
         _tile = int(_os.environ.get("FFN_TILE_M", "256"))
@@ -193,8 +195,17 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 mlp_p["Dense_0"]["kernel"], mlp_p["Dense_0"]["bias"],
                 norm_p["scale"], norm_p["bias"], tile_m=_tile,
                 interpret=interpret).astype(stream)
+
+        def att_block(mh_p, norm_p, v_, k_, q_, mask_):
+            pre = _mhatt(mh_p, v_, k_, q_, mask_, num_heads, use_pallas,
+                         interpret, merge=False)
+            return fused_proj_ln(
+                q_, pre, mh_p["linear_merge"]["kernel"],
+                mh_p["linear_merge"]["bias"], norm_p["scale"],
+                norm_p["bias"], interpret=interpret).astype(stream)
     else:
         ffn_block = None
+        att_block = None
 
     def forward(params, img_feat, ques_ix):
         q_mask = make_mask(ques_ix[..., None])
@@ -210,9 +221,12 @@ def make_serving_fn(num_layers: int, num_heads: int,
         bb = params["backbone"]
         for i in range(num_layers):
             p = bb[f"enc_{i}"]
-            att = _mhatt(p["mhatt"], q, q, q, q_mask, num_heads,
-                         use_pallas, interpret)
-            q = ln(p["norm1"], q + att.astype(stream))
+            if att_block is not None:
+                q = att_block(p["mhatt"], p["norm1"], q, q, q, q_mask)
+            else:
+                att = _mhatt(p["mhatt"], q, q, q, q_mask, num_heads,
+                             use_pallas, interpret)
+                q = ln(p["norm1"], q + att.astype(stream))
             if ffn_block is not None:
                 q = ffn_block(p["norm2"], p["ffn"]["mlp"], q)
             else:
@@ -220,12 +234,16 @@ def make_serving_fn(num_layers: int, num_heads: int,
                        q + _mlp(p["ffn"]["mlp"], q).astype(stream))
         for i in range(num_layers):
             p = bb[f"dec_{i}"]
-            att = _mhatt(p["mhatt1"], v, v, v, v_mask, num_heads,
-                         use_pallas, interpret)
-            v = ln(p["norm1"], v + att.astype(stream))
-            att = _mhatt(p["mhatt2"], q, q, v, q_mask, num_heads,
-                         use_pallas, interpret)
-            v = ln(p["norm2"], v + att.astype(stream))
+            if att_block is not None:
+                v = att_block(p["mhatt1"], p["norm1"], v, v, v, v_mask)
+                v = att_block(p["mhatt2"], p["norm2"], q, q, v, q_mask)
+            else:
+                att = _mhatt(p["mhatt1"], v, v, v, v_mask, num_heads,
+                             use_pallas, interpret)
+                v = ln(p["norm1"], v + att.astype(stream))
+                att = _mhatt(p["mhatt2"], q, q, v, q_mask, num_heads,
+                             use_pallas, interpret)
+                v = ln(p["norm2"], v + att.astype(stream))
             if ffn_block is not None:
                 v = ffn_block(p["norm3"], p["ffn"]["mlp"], v)
             else:

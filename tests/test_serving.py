@@ -82,3 +82,14 @@ class TestFusedQKV:
                               bf16_stream=True)(params, img, ques)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=0.1, rtol=0.1)
+
+    def test_fused_ffn_and_attention_epilogue(self):
+        from mcan_vqa_tpu.ops.serving import make_serving_fn
+        cfg, model, params, img, ques = _setup()
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        out = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_pallas_ffn=True,
+                              interpret=True)(params, img, ques)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
