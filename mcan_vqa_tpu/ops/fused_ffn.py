@@ -67,9 +67,18 @@ def fused_proj_ln(residual, a, w, b, ln_scale, ln_bias,
     rm = residual.reshape(-1, D)
     am = a.reshape(-1, D)
     M = rm.shape[0]
-    while M % tile_m:
+    while tile_m > 8 and M % tile_m:
         tile_m //= 2
-    tile_m = max(tile_m, 8)
+    if M % tile_m:
+        # rows not tileable: plain XLA
+        y = jnp.dot(am.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b
+        r = rm + y
+        mean = jnp.mean(r, axis=-1, keepdims=True)
+        c = r - mean
+        var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
+        return (ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
+                ).reshape(orig_shape)
 
     out = pl.pallas_call(
         _proj_ln_kernel,
@@ -188,10 +197,24 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
     F = w1.shape[1]
     xm = x.reshape(-1, D)
     M = xm.shape[0]
-    while M % tile_m:
+    while tile_m > 8 and M % tile_m:
         tile_m //= 2
-    tile_m = max(tile_m, 8)
-    assert M % tile_m == 0, (M, tile_m)
+
+    def _xla(xm):
+        h = jax.nn.relu(jnp.dot(xm.astype(jnp.bfloat16),
+                                w1.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) + b1)
+        r = xm + (jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) + b2)
+        mean = jnp.mean(r, axis=-1, keepdims=True)
+        c = r - mean
+        var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
+        return (ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
+                ).reshape(orig_shape)
+
+    if M % tile_m:
+        # rows not tileable (odd batch*length): plain XLA
+        return _xla(xm)
 
     # VMEM guard: weights must stay resident; shrink the row tile first,
     # fall back to plain XLA when the weights alone exceed the budget
@@ -210,16 +233,7 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
         # here (11.3K vs 11.9K pairs/s — x re-reads + weight-tile streaming
         # outweigh the fusion), so fall back to plain XLA; the blocked
         # kernel stays exported for future tuning.
-        h = jax.nn.relu(jnp.dot(xm.astype(jnp.bfloat16),
-                                w1.astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32) + b1)
-        r = xm + (jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32) + b2)
-        mean = jnp.mean(r, axis=-1, keepdims=True)
-        c = r - mean
-        var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
-        out = ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
-        return out.reshape(orig_shape)
+        return _xla(xm)
 
     rep2 = lambda i: (0, 0)
     rep1 = lambda i: (0,)
