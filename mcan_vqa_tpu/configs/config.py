@@ -127,12 +127,20 @@ class Config:
         random.seed(self.seed)
         return self
 
+    # Reference knobs with no TPU analogue: accepted (so reference YAMLs
+    # load unchanged) but ignored with a notice. gpu/pin_mem are CUDA
+    # plumbing; shuffle_mode 'external' was never implemented upstream.
+    _LEGACY_IGNORED = ("gpu", "pin_mem", "shuffle_mode", "split")
+
     # ------------------------------------------------------------------
     def merge_dict(self, d: Dict[str, Any]) -> "Config":
         """Overlay a dict of overrides (YAML tier or CLI tier)."""
         names = {f.name for f in dataclasses.fields(self)}
         for k, v in d.items():
             k = k.lower()
+            if k in self._LEGACY_IGNORED:
+                print(f"config: ignoring legacy reference knob {k!r}")
+                continue
             if k not in names:
                 raise KeyError(f"unknown config key: {k!r}")
             if v is not None:

@@ -69,3 +69,18 @@ class TestSweep:
         assert all(s["returncode"] == 0 for s in summary)
         assert {s["version"] for s in summary} == {
             "sweep_l1_lr0.001", "sweep_l1_lr0.003"}
+
+
+class TestLegacyKnobs:
+    def test_reference_yaml_knobs_ignored(self, capsys):
+        cfg = Config().merge_dict({"gpu": "0,1", "pin_mem": True,
+                                   "shuffle_mode": "external",
+                                   "hidden_size": 256}).finalize()
+        assert cfg.hidden_size == 256
+        out = capsys.readouterr().out
+        assert "legacy reference knob" in out
+
+    def test_truly_unknown_still_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            Config().merge_dict({"hiden_size": 1})
