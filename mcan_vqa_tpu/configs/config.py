@@ -60,8 +60,13 @@ class Config:
     lr_decay_list: List[int] = field(default_factory=lambda: [8, 12])
     max_epoch: int = 13
     grad_norm_clip: float = -1.0
-    opt_betas: tuple = (0.9, 0.98)
-    opt_eps: float = 1e-9
+    # AdamW betas/eps. The reference config declares (0.9, 0.98)/1e-9 but
+    # never passes them to AdamW (commented out at core/model/optim.py:61-62),
+    # so the zoo checkpoints were trained with torch defaults — which are the
+    # live defaults here. Unlike the reference, setting these DOES take
+    # effect (train/optim.py reads them).
+    opt_betas: tuple = (0.9, 0.999)
+    opt_eps: float = 1e-8
     weight_decay: float = 1e-4        # reference: core/model/optim.py:63
 
     # ---- MIMIC / classifier extras (reference: run_mimic.py:21-136) ----
@@ -78,6 +83,8 @@ class Config:
     fused_qkv: bool = False          # one [D,3D] qkv projection per block
     keep_last_ckpts: int = 0         # prune old per-epoch ckpts (0 = keep all)
     debug_nans: bool = False
+    eval_strict: bool = False        # fail (not just warn) when predictions
+                                     # don't cover every ground-truth qid
     profile_dir: str = ""             # if set, jax.profiler traces go here
 
     # ---- paths (reference: cfgs/path_cfgs.py) ----

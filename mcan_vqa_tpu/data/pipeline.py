@@ -62,12 +62,16 @@ class BatchLoader:
             -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch the NEXT __iter__ will shuffle with. `_epoch` is the
+        single source of truth: __iter__ snapshots it and advances it at
+        iteration START (not on clean completion), so a run interrupted
+        mid-epoch never leaves the counter ambiguous."""
         self._epoch = epoch
 
-    def _index_order(self) -> np.ndarray:
+    def _index_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
         return idx
 
     def _assemble(self, indices: np.ndarray) -> Dict[str, Any]:
@@ -102,7 +106,9 @@ class BatchLoader:
                 for k, v in batch.items()}
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        order = self._index_order()
+        epoch = self._epoch
+        self._epoch = epoch + 1
+        order = self._index_order(epoch)
         n_batches = len(self)
         starts = [i * self.batch_size for i in range(n_batches)]
 
@@ -125,4 +131,3 @@ class BatchLoader:
                 if bi + depth < n_batches:
                     submit(bi + depth)
                 yield self._to_device(fut.result())
-        self._epoch += 1

@@ -2,8 +2,9 @@
 
 Reference semantics (core/model/optim.py:11-71, core/exec.py:143-147):
   * AdamW(weight_decay=1e-4) with torch-default betas (0.9, 0.999), eps 1e-8
-    (the config's opt_betas/opt_eps are dead — commented out at
+    (the reference config's opt_betas/opt_eps are dead — commented out at
     optim.py:61-62 — so torch defaults are what actually trained the zoo).
+    Here cfg.opt_betas/opt_eps are LIVE knobs defaulting to those values.
   * Step-function warmup in *optimizer steps*: lr = lr_base * 0.25 / 0.5 /
     0.75 while step <= int(data_size/batch_size) * {1,2,3}, then lr_base.
   * lr_base itself decays by `lr_decay_rate` at the START of each epoch in
@@ -73,9 +74,11 @@ def make_optimizer(
         decay_epochs=tuple(cfg.lr_decay_list),
         decay_rate=cfg.lr_decay_rate,
     )
+    b1, b2 = getattr(cfg, "opt_betas", (0.9, 0.999))
     tx = optax.adamw(
         learning_rate=schedule,
-        b1=0.9, b2=0.999, eps=1e-8,        # torch AdamW defaults (see module doc)
+        b1=float(b1), b2=float(b2),
+        eps=float(getattr(cfg, "opt_eps", 1e-8)),
         weight_decay=cfg.weight_decay,
     )
     if cfg.grad_norm_clip > 0:

@@ -333,6 +333,16 @@ class Trainer:
                 for a in ans_list}
             res_map = dict(zip((int(q) for q in out["qids"]), answers))
             common = {q: g for q, g in gts.items() if q in res_map}
+            if len(common) != len(gts):
+                # The official protocol requires results for every annotated
+                # question (evals/vqa_eval.evaluate raises). Silently
+                # shrinking the denominator would overstate accuracy.
+                msg = (f"evaluate: predictions cover {len(common)}/{len(gts)}"
+                       f" annotated questions; accuracy is over the"
+                       f" intersection only")
+                if getattr(self.cfg, "eval_strict", False):
+                    raise ValueError(msg)
+                self.logger.write(f"WARNING: {msg}")
             if common:
                 acc = vqa_eval.evaluate(common, res_map)
                 results["accuracy"] = acc["overall"]
