@@ -35,13 +35,18 @@ class BatchLoader:
         pad_final: bool = False,
         process_index: int = 0,
         process_count: int = 1,
+        device_keys: tuple = ("img", "ques", "target"),
     ):
         """pad_final: repeat-pad the last partial batch up to batch_size (for
-        fixed-shape jit'd eval; callers mask by the returned 'valid' count).
+        fixed-shape jit'd eval; callers mask by the returned per-row 'valid'
+        mask or the 'n_valid' count of locally-valid rows).
 
         process_index/process_count: multi-host pods — each host assembles
-        only its 1/process_count slice of every global batch (the per-host
-        rows of the batch-sharded global array)."""
+        only its 1/process_count slice of every global batch. When a real
+        multi-process jax runtime is active, the keys in ``device_keys`` are
+        assembled into GLOBAL batch-sharded arrays via
+        jax.make_array_from_process_local_data; metadata keys (qid, valid,
+        n_valid) always stay host-local numpy."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -53,7 +58,12 @@ class BatchLoader:
         self.pad_final = pad_final
         self.process_index = process_index
         self.process_count = process_count
+        self.device_keys = tuple(device_keys)
         assert batch_size % max(process_count, 1) == 0
+        if process_count > 1:
+            # a partial final batch cannot be split evenly across hosts
+            assert drop_last or pad_final, (
+                "multi-host loading requires drop_last or pad_final")
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -74,36 +84,41 @@ class BatchLoader:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
         return idx
 
-    def _assemble(self, indices: np.ndarray) -> Dict[str, Any]:
-        # this host's share of a full batch (per-host rows on multi-host pods)
-        host_batch = self.batch_size // max(self.process_count, 1)
+    def _assemble(self, indices: np.ndarray,
+                  valid: np.ndarray) -> Dict[str, Any]:
+        """Assemble this host's rows. ``indices`` is already padded/sliced by
+        __iter__; ``valid`` marks which of those rows are real examples."""
         # whole-batch fast path (native C++ gather+pad) when the dataset
         # provides it
         if hasattr(self.dataset, "batch_examples"):
-            n_valid = len(indices)
-            if self.pad_final and n_valid < host_batch:
-                indices = np.concatenate(
-                    [indices,
-                     np.repeat(indices[-1], host_batch - n_valid)])
             batch = self.dataset.batch_examples(indices)
-            batch["n_valid"] = np.int32(n_valid)
-            return batch
-        examples = [self.dataset.example(int(i)) for i in indices]
-        n_valid = len(examples)
-        if self.pad_final and n_valid < host_batch:
-            examples = examples + [examples[-1]] * (host_batch - n_valid)
-        batch = {k: np.stack([e[k] for e in examples])
-                 for k in examples[0]}
-        batch["n_valid"] = np.int32(n_valid)
+        else:
+            examples = [self.dataset.example(int(i)) for i in indices]
+            batch = {k: np.stack([e[k] for e in examples])
+                     for k in examples[0]}
+        batch["valid"] = valid
+        batch["n_valid"] = np.int32(valid.sum())
         return batch
 
     def _to_device(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         if self.sharding is None:
             return batch
         import jax
-        return {k: (jax.device_put(v, self.sharding)
-                    if isinstance(v, np.ndarray) and v.ndim > 0 else v)
-                for k, v in batch.items()}
+        multiprocess = jax.process_count() > 1
+        out = {}
+        for k, v in batch.items():
+            if (k in self.device_keys and isinstance(v, np.ndarray)
+                    and v.ndim > 0):
+                if multiprocess:
+                    # per-host rows -> one global batch-sharded array
+                    gshape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+                    out[k] = jax.make_array_from_process_local_data(
+                        self.sharding, v, gshape)
+                else:
+                    out[k] = jax.device_put(v, self.sharding)
+            else:
+                out[k] = v  # metadata stays host-local (qid, valid, n_valid)
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         epoch = self._epoch
@@ -118,11 +133,20 @@ class BatchLoader:
 
             def submit(bi):
                 sl = order[starts[bi]: starts[bi] + self.batch_size]
+                # pad the GLOBAL batch first so multi-host slices stay even,
+                # then take this host's contiguous row block
+                if self.pad_final and len(sl) < self.batch_size:
+                    n = len(sl)
+                    sl = np.concatenate(
+                        [sl, np.repeat(sl[-1], self.batch_size - n)])
+                    valid = np.arange(self.batch_size) < n
+                else:
+                    valid = np.ones(len(sl), bool)
                 if self.process_count > 1:
                     per = self.batch_size // self.process_count
-                    sl = sl[self.process_index * per:
-                            (self.process_index + 1) * per]
-                pending.put(pool.submit(self._assemble, sl))
+                    lo = self.process_index * per
+                    sl, valid = sl[lo:lo + per], valid[lo:lo + per]
+                pending.put(pool.submit(self._assemble, sl, valid))
 
             for bi in range(min(depth, n_batches)):
                 submit(bi)

@@ -195,7 +195,7 @@ class Trainer:
         loader = BatchLoader(
             self.train_dataset, cfg.batch_size, shuffle=True, drop_last=True,
             seed=cfg.seed, num_workers=cfg.num_workers,
-            sharding=batch_sharding(self.mesh))
+            sharding=batch_sharding(self.mesh), **self._process_kwargs())
 
         if cfg.resume:
             start_epoch = max(start_epoch, cfg.ckpt_epoch)
@@ -259,8 +259,19 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _process_kwargs(self) -> Dict[str, int]:
+        """Multi-host identity for the data loaders: each host assembles only
+        its 1/process_count slice of every global batch (generalizes the
+        reference's single-process DataParallel split, core/exec.py:62-63)."""
+        return {"process_index": jax.process_index(),
+                "process_count": jax.process_count()}
+
     def predict(self, dataset) -> Dict[str, np.ndarray]:
-        """Run inference: returns {'probs': [N, A], 'qids': [N]}."""
+        """Run inference: returns {'probs': [N, A], 'qids': [N]}.
+
+        Multi-host: every host returns the FULL result set (per-batch
+        process_allgather of probs/qids/valid), so downstream evaluation is
+        identical on 1 or N hosts."""
         cfg = self.cfg
         state = self.ensure_state()
         if self._jit_eval is None:
@@ -271,17 +282,33 @@ class Trainer:
         loader = BatchLoader(
             dataset, cfg.eval_batch_size, shuffle=False, drop_last=False,
             seed=cfg.seed, num_workers=cfg.num_workers, pad_final=True,
-            sharding=batch_sharding(self.mesh))
+            sharding=batch_sharding(self.mesh), **self._process_kwargs())
+        multiprocess = jax.process_count() > 1
         probs_all, qids_all, targets_all = [], [], []
         for batch in loader:
             inputs = (batch["img"],) if self.image_only else \
                 (batch["img"], batch["ques"])
             probs = self._jit_eval(state.params, *inputs)
-            n = int(batch["n_valid"])
-            probs_all.append(np.asarray(probs)[:n])
-            qids_all.append(np.asarray(batch["qid"])[:n])
-            if "target" in batch:
-                targets_all.append(np.asarray(batch["target"])[:n])
+            target = batch.get("target")
+            if multiprocess:
+                from jax.experimental import multihost_utils as mhu
+                # global row order is [host0 rows, host1 rows, ...] — the
+                # same order process_allgather concatenates in
+                probs = mhu.process_allgather(probs, tiled=True)
+                valid = mhu.process_allgather(
+                    np.asarray(batch["valid"]), tiled=True)
+                qid = mhu.process_allgather(
+                    np.asarray(batch["qid"]), tiled=True)
+                if target is not None:
+                    target = mhu.process_allgather(target, tiled=True)
+            else:
+                probs = np.asarray(probs)
+                valid = np.asarray(batch["valid"])
+                qid = np.asarray(batch["qid"])
+            probs_all.append(probs[valid])
+            qids_all.append(qid[valid])
+            if target is not None:
+                targets_all.append(np.asarray(target)[valid])
         out = {"probs": np.concatenate(probs_all),
                "qids": np.concatenate(qids_all)}
         if targets_all:

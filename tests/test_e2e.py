@@ -161,4 +161,6 @@ class TestVisualization:
         trainer.ensure_state(resume=False)
         n = run_visualization(trainer, ds, str(tmp_path / "viz"), limit=2)
         assert n == 2
-        assert len(glob.glob(str(tmp_path / "viz" / "*.png"))) == 2
+        # summary sheet + reference six-figure sheet per example
+        assert len(glob.glob(str(tmp_path / "viz" / "*.png"))) == 4
+        assert len(glob.glob(str(tmp_path / "viz" / "*_mats.png"))) == 2

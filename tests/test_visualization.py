@@ -1,0 +1,116 @@
+"""Visualization parity: the reference's five score matrices (q-q, q-a,
+v-a, v-v, v-q; core/exec.py:1243-1284 calc_mats/calc_mats_v2), the box-mask
+overlay (core/exec.py:1068-1163), multi-glimpse panels, and both rendering
+sheets."""
+
+import numpy as np
+import pytest
+
+from mcan_vqa_tpu.utils.visualize import (box_mask_overlay, calc_mats,
+                                          calc_mats_v2,
+                                          render_reference_panels,
+                                          visualize_example)
+
+
+def _fake_out(B=2, T=6, R=10, H=8, glimpses=1, flat=None, seed=0):
+    """Hand-built MCANet output dict with known masks."""
+    rng = np.random.default_rng(seed)
+    flat = flat or H
+    out = {
+        "q": rng.normal(size=(B, T, H)).astype(np.float32),
+        "v": rng.normal(size=(B, R, H)).astype(np.float32),
+        "q_w": rng.random((B, T, glimpses)).astype(np.float32),
+        "v_w": rng.random((B, R, glimpses)).astype(np.float32),
+        "q_mask": np.zeros((B, 1, 1, T), bool),
+        "v_mask": np.zeros((B, 1, 1, R), bool),
+        "fused": rng.normal(size=(B, flat)).astype(np.float32),
+        "logits": rng.normal(size=(B, 5)).astype(np.float32),
+    }
+    out["q_mask"][:, :, :, 4:] = True   # 4 valid tokens
+    out["v_mask"][:, :, :, 7:] = True   # 7 valid regions
+    return out
+
+
+class TestCalcMats:
+    def test_v2_shapes_and_selection(self):
+        out = _fake_out()
+        m = calc_mats_v2(out, 0, top_k=3)
+        assert m["qq"].shape == (4, 4)
+        assert m["qa"].shape == (4, 1)
+        assert m["vv"].shape == (3, 3)
+        assert m["vq"].shape == (3, 4)
+        assert m["va_values"].shape == (3, 1)
+        # selection = top-3 AttFlat weights among VALID regions, by global id
+        vw = out["v_w"][0, :7, 0]
+        expect = np.argsort(vw)[::-1][:3]
+        np.testing.assert_array_equal(m["va_indices"], expect)
+        # qa is exactly the masked AttFlat question weights
+        np.testing.assert_array_equal(m["qa"][:, 0], out["q_w"][0, :4, 0])
+        # raw dot products (reference semantics), so qq is symmetric
+        np.testing.assert_allclose(m["qq"], m["qq"].T, atol=1e-6)
+
+    def test_v1_answer_guided(self):
+        out = _fake_out()
+        m = calc_mats(out, 1, top_k=4)
+        q = out["q"][1, :4]
+        v = out["v"][1, :7]
+        a = out["fused"][1]
+        np.testing.assert_allclose(m["qa"][:, 0], q @ a, rtol=1e-5)
+        expect = np.argsort(v @ a)[::-1][:4]
+        np.testing.assert_array_equal(m["va_indices"], expect)
+        # va values sorted descending
+        assert (np.diff(m["va_values"][:, 0]) <= 1e-6).all()
+
+    def test_v1_requires_matching_dims(self):
+        out = _fake_out(flat=16)  # flat_out != hidden
+        with pytest.raises(ValueError, match="calc_mats_v2"):
+            calc_mats(out, 0)
+
+    def test_top_k_clamps_to_valid_regions(self):
+        out = _fake_out()
+        m = calc_mats_v2(out, 0, top_k=50)
+        assert m["vv"].shape == (7, 7)
+
+
+class TestRendering:
+    def test_reference_panels_with_normalized_boxes(self, tmp_path):
+        out = _fake_out()
+        boxes = np.random.default_rng(1).uniform(0, 1, (10, 4)).astype(
+            np.float32)
+        boxes[:, 2:] = np.maximum(boxes[:, 2:], boxes[:, :2] + 0.05)
+        p = render_reference_panels(
+            out, 0, str(tmp_path / "mats.png"),
+            question_tokens=["what", "is", "the", "cat"],
+            preds=["yes", "no"], answers=["yes"] * 3, bboxes=boxes)
+        import os
+        assert os.path.getsize(p) > 1000
+
+    def test_reference_panels_without_boxes(self, tmp_path):
+        out = _fake_out()
+        p = render_reference_panels(out, 1, str(tmp_path / "nobox.png"))
+        import os
+        assert os.path.getsize(p) > 1000
+
+    def test_reference_panels_v1_recipe(self, tmp_path):
+        out = _fake_out()
+        p = render_reference_panels(out, 0, str(tmp_path / "v1.png"),
+                                    mats="v1")
+        import os
+        assert os.path.getsize(p) > 1000
+
+    def test_overlay_on_real_image_array(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        img = np.random.default_rng(0).random((48, 64, 3)).astype(np.float32)
+        boxes = np.array([[4, 4, 20, 20], [30, 10, 60, 40]], np.float32)
+        box_mask_overlay(ax, img, boxes, np.array([[0.9], [0.4]]),
+                         np.array([0, 1]))
+        plt.close(fig)
+
+    def test_multi_glimpse_summary_sheet(self, tmp_path):
+        out = _fake_out(glimpses=3)
+        p = visualize_example(out, 0, str(tmp_path / "g3.png"))
+        import os
+        assert os.path.getsize(p) > 1000
