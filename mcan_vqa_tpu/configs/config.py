@@ -73,6 +73,13 @@ class Config:
     reg_factor: float = 0.0
     eval_interval: int = 1000
     mutan_gamma: int = 2
+    # image-feature source for MIMIC: "regions" (60 bbox region rows, the
+    # reference's live path), "anatomy" (the 26 pooled anatomical-finding
+    # rows from ana_pool_finding_path — the hook the reference kept dormant,
+    # core/data/load_data.py:175-179 + the commented swap at :250), or
+    # "both" (regions then anatomy rows concatenated; set img_feat_pad_size
+    # large enough to keep both, e.g. 86)
+    mimic_feat_source: str = "regions"
 
     # ---- TPU-native knobs (new; no reference analogue) ----
     compute_dtype: str = "bfloat16"   # matmul compute dtype; params stay fp32

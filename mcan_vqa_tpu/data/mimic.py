@@ -3,11 +3,16 @@
 Covers the reference's MIMICDatasetBase/Split semantics
 (reference: core/data/load_data.py:157-264):
   * HDF5 feature bank: image_features [N, 60, 1024], image_bb [N, 60, 4],
-    spatial_features [N, 60, 6]; pooled anatomy features [N, 26, 1024]
+    spatial_features [N, 60, 6]
+  * pooled anatomy features [N, 26, 1024] from ana_pool_finding_path
+    (load_data.py:175-179) — selectable as the model input or as auxiliary
+    rows via cfg.mimic_feat_source ("regions" | "anatomy" | "both"); the
+    reference kept this hook dormant (commented swap at load_data.py:250)
   * answer dicts from ans2label/label2ans pickles; multi-hot targets
   * QA pairs from per-split pickles; vocabulary built over the split's QA
   * train-time augmentation: L2-normalize each region row, then zero a
-    random 30% of the rows (load_data.py:239-247)
+    random 30% of the rows (load_data.py:239-247), applied to whichever
+    feature source is selected
 
 Deliberately NOT reproduced: the reference concatenates the TEST pickle into
 the train split (load_data.py:204-210) — test-set leakage; splits stay
@@ -63,6 +68,22 @@ class MIMICDataset:
         self.image_bb = f1.get("image_bb")
         self.spatial_features = f1.get("spatial_features")
 
+        # pooled anatomical-finding features (reference opens this bank
+        # unconditionally, load_data.py:175-179; here it is optional unless
+        # the selected feature source needs it)
+        import os
+        self.feat_source = getattr(cfg, "mimic_feat_source", "regions")
+        assert self.feat_source in ("regions", "anatomy", "both"), \
+            self.feat_source
+        self.ana_pooled_feats = None
+        ana_path = getattr(cfg, "ana_pool_finding_path", "")
+        if ana_path and os.path.exists(ana_path):
+            self.ana_pooled_feats = h5py.File(ana_path, "r")["image_features"]
+        elif self.feat_source != "regions":
+            raise FileNotFoundError(
+                f"mimic_feat_source={self.feat_source!r} needs "
+                f"ana_pool_finding_path, not found: {ana_path!r}")
+
         with open(cfg.mimic_ans_dict_path["ans2idx"], "rb") as f:
             self.ans_to_ix = pickle.load(f)
         with open(cfg.mimic_ans_dict_path["idx2ans"], "rb") as f:
@@ -80,13 +101,28 @@ class MIMICDataset:
             embed_dim=cfg.word_embed_size)
         self.token_size = len(self.token_to_ix)
 
+    def anatomy_features(self, image_id: int) -> np.ndarray:
+        """The [26, feat] pooled anatomical-finding rows for one image."""
+        if self.ana_pooled_feats is None:
+            raise FileNotFoundError("ana_pool_finding_path not loaded")
+        return np.asarray(self.ana_pooled_feats[image_id], np.float32)
+
+    def _raw_features(self, image_id: int) -> np.ndarray:
+        if self.feat_source == "regions":
+            return np.asarray(self.image_features[image_id], np.float32)
+        if self.feat_source == "anatomy":
+            return self.anatomy_features(image_id)
+        return np.concatenate(
+            [np.asarray(self.image_features[image_id], np.float32),
+             self.anatomy_features(image_id)], axis=0)
+
     def example(self, idx: int) -> Dict[str, np.ndarray]:
         qa = self.qa[idx]
         ques = text_mod.encode_question(
             qa["question"], self.token_to_ix, self.cfg.max_token)
         target = ans_mod.multi_hot(qa["answer"]["labels"], self.ans_size)
 
-        feat = np.asarray(self.image_features[qa["image"]], np.float32)
+        feat = self._raw_features(qa["image"])
         if self.run_mode == "train":
             with self._rng_lock:
                 child = np.random.default_rng(self._rng.integers(2**63))

@@ -14,6 +14,7 @@ N_IMG = 48
 N_LABELS = 6
 FEAT_DIM = 16
 N_REGIONS = 10
+N_ANATOMY = 4   # pooled anatomical-finding rows (26 at full scale)
 
 
 @pytest.fixture(scope="module")
@@ -38,6 +39,13 @@ def mimic_env(tmp_path_factory):
         f.create_dataset("spatial_features",
                          data=rng.uniform(0, 1, (N_IMG, N_REGIONS, 6)))
 
+    # pooled anatomy bank (reference: bbox_disease_features_by_coords.hdf5,
+    # core/data/load_data.py:175-179); rows carry a distinct marker value
+    ana = root / "bbox_disease_features_by_coords.hdf5"
+    ana_feats = np.full((N_IMG, N_ANATOMY, FEAT_DIM), 9.0, np.float32)
+    with h5py.File(ana, "w") as f:
+        f.create_dataset("image_features", data=ana_feats)
+
     ans2idx = {f"finding{l}": l for l in range(N_LABELS)}
     idx2ans = {l: f"finding{l}" for l in range(N_LABELS)}
     prefix = str(root / "mimic_")
@@ -60,6 +68,7 @@ def mimic_env(tmp_path_factory):
 
     cfg = Config(
         cxr_data_path=prefix, cxr_img_feat_path=str(bank),
+        ana_pool_finding_path=str(ana),
         img_feat_size=FEAT_DIM, img_feat_pad_size=N_REGIONS, max_token=8,
         hidden_size=32, layer=1, multi_head=4, flat_out_size=32,
         flat_mlp_size=16, batch_size=8, lr_base=3e-3, max_epoch=40,
@@ -95,6 +104,45 @@ class TestMIMICRealFormat:
         ds = MIMICDataset(cfg, "val")
         ex = ds.example(0)
         assert (np.linalg.norm(ex["img"], axis=1) > 0).all()
+
+    def test_anatomy_feature_source(self, mimic_env):
+        """cfg.mimic_feat_source switches the model input to the pooled
+        anatomical-finding rows (reference hook: load_data.py:175-179,250)."""
+        import dataclasses
+        from mcan_vqa_tpu.data.mimic import MIMICDataset
+        _, cfg, _ = mimic_env
+
+        ds = MIMICDataset(cfg, "val")
+        np.testing.assert_array_equal(ds.anatomy_features(0),
+                                      np.full((N_ANATOMY, FEAT_DIM), 9.0))
+
+        cfg_a = dataclasses.replace(cfg, mimic_feat_source="anatomy",
+                                    img_feat_pad_size=N_ANATOMY)
+        ex = MIMICDataset(cfg_a, "val").example(0)
+        assert ex["img"].shape == (N_ANATOMY, FEAT_DIM)
+        np.testing.assert_array_equal(ex["img"], 9.0)
+
+        cfg_b = dataclasses.replace(
+            cfg, mimic_feat_source="both",
+            img_feat_pad_size=N_REGIONS + N_ANATOMY)
+        ex = MIMICDataset(cfg_b, "val").example(0)
+        assert ex["img"].shape == (N_REGIONS + N_ANATOMY, FEAT_DIM)
+        np.testing.assert_array_equal(ex["img"][N_REGIONS:], 9.0)
+        assert not np.all(ex["img"][:N_REGIONS] == 9.0)
+
+        # train augmentation applies to the selected source too
+        ex = MIMICDataset(cfg_a, "train").example(0)
+        norms = np.linalg.norm(ex["img"], axis=1)
+        assert (norms == 0).sum() == int(N_ANATOMY * 0.3)
+
+    def test_anatomy_source_requires_bank(self, mimic_env, tmp_path):
+        import dataclasses
+        from mcan_vqa_tpu.data.mimic import MIMICDataset
+        _, cfg, _ = mimic_env
+        bad = dataclasses.replace(cfg, mimic_feat_source="anatomy",
+                                  ana_pool_finding_path=str(tmp_path / "x"))
+        with pytest.raises(FileNotFoundError):
+            MIMICDataset(bad, "val")
 
     def test_train_and_roc(self, mimic_env):
         from mcan_vqa_tpu.data.mimic import MIMICDataset
