@@ -52,7 +52,8 @@ def main() -> None:
     B = int(os.environ.get("BENCH_BATCH", "64"))
     n_iters = int(os.environ.get("BENCH_ITERS", "60"))
     pallas_env = os.environ.get("BENCH_PALLAS", "0")
-    use_pallas = {"0": False, "1": True, "2": "batched"}[pallas_env]
+    use_pallas = {"0": False, "1": True, "2": "batched",
+                  "3": "packed"}[pallas_env]
     use_packing = os.environ.get("BENCH_PACK", "0") == "1"
     model = build_mcan(cfg, token_size=20000, answer_size=3129,
                        use_packing=use_packing)
@@ -78,16 +79,20 @@ def main() -> None:
         {"params": jax.random.PRNGKey(0)}, img_d, ques_d)["params"]
 
     use_fused_qkv = os.environ.get("BENCH_SERVE", "1") == "1"
-    if use_pallas:
-        from mcan_vqa_tpu.ops.serving import make_serving_fn
-        forward = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=True)
-    elif use_fused_qkv:
+    if use_fused_qkv:
+        # fused-QKV engine; BENCH_PALLAS picks the attention implementation
+        # INSIDE it (0=XLA, 1=per-(b,h), 2=batch-blocked, 3=block-diagonal
+        # packed), so attention variants are compared like-for-like.
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
         params = prepare_params(params, cfg.layer)
         forward = make_serving_fn(
-            cfg.layer, cfg.multi_head, use_pallas=False,
+            cfg.layer, cfg.multi_head, use_pallas=use_pallas,
             bf16_stream=os.environ.get("BENCH_BF16_STREAM", "0") == "1",
             use_pallas_ffn=os.environ.get("BENCH_FFN", "1") == "1")
+    elif use_pallas:
+        from mcan_vqa_tpu.ops.serving import make_serving_fn
+        forward = make_serving_fn(cfg.layer, cfg.multi_head,
+                                  use_pallas=use_pallas)
     else:
         def forward(params, img, ques):
             return model.apply({"params": params}, img, ques,

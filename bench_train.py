@@ -43,10 +43,18 @@ def main() -> None:
     use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
     use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
     accu = int(os.environ.get("BENCH_ACCU", "1"))
+    # step-breakdown ablations (no on-device profiler through this relay):
+    #   fwd  = forward loss only, no backward / optimizer
+    #   grad = forward+backward, no optimizer update
+    #   ""   = the full step
+    ablate = os.environ.get("BENCH_ABLATE", "")
+    mu_dtype = os.environ.get("BENCH_MU_DTYPE", "")   # e.g. bfloat16
+    no_dropout = os.environ.get("BENCH_NO_DROPOUT", "0") == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
-                 grad_accu_steps=accu,
+                 grad_accu_steps=accu, opt_mu_dtype=mu_dtype,
+                 dropout_rate=0.0 if no_dropout else 0.1,
                  use_glove=False, fused_qkv=use_fused, use_remat=use_remat,
                  attention_packing=use_packing).finalize()
     model = build_mcan(cfg, token_size=20000, answer_size=3129)
@@ -69,6 +77,33 @@ def main() -> None:
                               grad_accu_steps=cfg.grad_accu_steps,
                               lr_schedule=make_lr_schedule(
                                   cfg.lr_base, B * 100, B))
+
+    if ablate:
+        from mcan_vqa_tpu.train.step import bce_with_logits_sum
+
+        def loss_of(params, batch, rng):
+            out = model.apply({"params": params}, batch["img"],
+                              batch["ques"], deterministic=False,
+                              rngs={"dropout": rng})
+            return bce_with_logits_sum(out["logits"], batch["target"])
+
+        if ablate == "fwd":
+            def step_fn(st, batch):  # noqa: F811
+                rng = jax.random.fold_in(st.dropout_rng, st.step)
+                loss = loss_of(st.params, batch, rng)
+                return st.replace(step=st.step + 1), {"loss": loss}
+        elif ablate == "grad":
+            def step_fn(st, batch):  # noqa: F811
+                rng = jax.random.fold_in(st.dropout_rng, st.step)
+                loss, grads = jax.value_and_grad(loss_of)(st.params, batch,
+                                                          rng)
+                # consume grads via a tiny (non-foldable) scalar so the
+                # backward pass isn't DCE'd
+                s = sum(jnp.sum(g[..., :1]) for g in jax.tree.leaves(grads))
+                return st.replace(step=st.step + 1), {
+                    "loss": loss + s * jnp.float32(1e-30)}
+        else:
+            raise SystemExit(f"unknown BENCH_ABLATE={ablate!r}")
 
     @functools.partial(jax.jit, static_argnames="n", donate_argnums=(0,))
     def bench_loop(state, batch, n):
@@ -105,6 +140,9 @@ def main() -> None:
         "fused_qkv": use_fused,
         "remat": use_remat,
         "grad_accu": accu,
+        **({"ablate": ablate} if ablate else {}),
+        **({"mu_dtype": mu_dtype} if mu_dtype else {}),
+        **({"no_dropout": True} if no_dropout else {}),
     }))
 
 

@@ -68,6 +68,9 @@ class Config:
     opt_betas: tuple = (0.9, 0.999)
     opt_eps: float = 1e-8
     weight_decay: float = 1e-4        # reference: core/model/optim.py:63
+    # dtype for Adam's first moment (optax mu_dtype); "" keeps fp32.
+    # "bfloat16" halves the moment's HBM traffic per step (TPU knob).
+    opt_mu_dtype: str = ""
 
     # ---- MIMIC / classifier extras (reference: run_mimic.py:21-136) ----
     reg_factor: float = 0.0

@@ -181,6 +181,94 @@ def fused_ffn_ln_blocked(x, w1, b1, w2, b2, ln_scale, ln_bias,
     return out.reshape(orig_shape)
 
 
+def _ffn_ln_wstationary_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                               scale_ref, bias_ref, o_ref):
+    """Weight-STATIONARY dataflow for weights that exceed VMEM (MCAN-large
+    1024x4096): grid (F/TF, M/TM) with the F axis OUTER, so each weight tile
+    is fetched from HBM exactly once and reused across every row tile. The
+    output block accumulates partial second-matmul products across outer
+    steps; residual + LN run on the last F step.
+
+    HBM traffic vs the M-outer blocked variant at MCAN-large B=64
+    (M=3840): weights 16 MB (once) + x re-read per F step + out
+    read-modify-write per F step ~= 100 MB/layer, instead of the
+    (M/TM)x16 MB ~= 240 MB/layer weight re-streaming that made the
+    M-outer variant lose to XLA."""
+    import jax.experimental.pallas as pl
+
+    f = pl.program_id(0)
+    nf = pl.num_programs(0)
+
+    x = x_ref[:]
+    h = jnp.dot(x.astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    h = jnp.maximum(h, 0.0)
+    part = jnp.dot(h.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(f == 0)
+    def _():
+        o_ref[:] = part
+
+    @pl.when(f > 0)
+    def _():
+        o_ref[:] += part
+
+    @pl.when(f == nf - 1)
+    def _():
+        r = x + o_ref[:] + b2_ref[:]
+        d = r.shape[-1]
+        mean = jnp.mean(r, axis=-1, keepdims=True)
+        c = r - mean
+        var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
+        o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_m", "tile_f"))
+def fused_ffn_ln_weight_stationary(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                                   tile_m: int = 256, tile_f: int = 1024,
+                                   interpret: bool = False):
+    """Fused FFN+residual+LN for VMEM-exceeding weights; see kernel doc."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    D = x.shape[-1]
+    F = w1.shape[1]
+    xm = x.reshape(-1, D).astype(jnp.float32)
+    M = xm.shape[0]
+    while tile_m > 8 and M % tile_m:
+        tile_m //= 2
+    while F % tile_f:
+        tile_f //= 2
+
+    out = pl.pallas_call(
+        _ffn_ln_wstationary_kernel,
+        grid=(F // tile_f, M // tile_m),      # F OUTER: weights stationary
+        in_specs=[
+            pl.BlockSpec((tile_m, D), lambda f, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile_f), lambda f, i: (0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f,), lambda f, i: (f,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f, D), lambda f, i: (f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda f, i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda f, i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda f, i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, D), lambda f, i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(xm, w1, b1, w2, b2, ln_scale, ln_bias)
+    return out.reshape(orig_shape)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
 def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
                  tile_m: int = 256, interpret: bool = False):
@@ -229,11 +317,12 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
             tile_m //= 2
     if tile_bytes(tile_m) > budget:
         # Weights too large to keep fully VMEM-resident (MCAN-large
-        # 1024x4096). The F-blocked kernel variant measured SLOWER than XLA
-        # here (11.3K vs 11.9K pairs/s — x re-reads + weight-tile streaming
-        # outweigh the fusion), so fall back to plain XLA; the blocked
-        # kernel stays exported for future tuning.
-        return _xla(xm)
+        # 1024x4096): use the weight-stationary dataflow (each weight tile
+        # streamed from HBM exactly once). The earlier M-outer blocked
+        # variant re-streamed all 16 MB of weights per row tile and lost to
+        # XLA (11.3K vs 11.9K pairs/s).
+        return fused_ffn_ln_weight_stationary(
+            x, w1, b1, w2, b2, ln_scale, ln_bias, interpret=interpret)
 
     rep2 = lambda i: (0, 0)
     rep1 = lambda i: (0,)

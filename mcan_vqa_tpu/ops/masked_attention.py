@@ -211,6 +211,99 @@ def masked_attention_pallas_batched(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Block-diagonal packed variant: G samples per MXU tile
+# ---------------------------------------------------------------------------
+#
+# At MCAN lengths a single sample's score matmul ([14..60, Dh] x [Dh, 14..60])
+# fills at most half the MXU's 128 sublanes. This variant packs G samples'
+# rows into ONE physical matmul per (group, head) grid step — 9x14=126 or
+# 2x60=120 rows against a 128-row tile — with a block-diagonal mask folded
+# into the softmax so sample i's queries only see sample i's keys. Numerics
+# are identical to per-sample masked softmax (cross-sample scores get -1e9,
+# exactly like pad positions).
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                        scale: float, group: int):
+    G = group
+    Lq, Dh = q_ref.shape[2], q_ref.shape[3]
+    Lk = k_ref.shape[2]
+    q = q_ref[:, 0].reshape(G * Lq, Dh).astype(jnp.bfloat16)
+    k = k_ref[:, 0].reshape(G * Lk, Dh).astype(jnp.bfloat16)
+    v = v_ref[:, 0].reshape(G * Lk, Dh).astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # [G*Lq, G*Lk]
+    # block-diagonal: query row of sample g sees only key columns of sample g
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (G * Lq, G * Lk), 0) // Lq
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (G * Lq, G * Lk), 1) // Lk
+    off_block = (row_blk != col_blk).astype(jnp.float32)
+    pad = mask_ref[0].astype(jnp.float32)         # [1, G*Lk], pre-flattened
+    scores = scores + (off_block + pad) * _NEG_INF
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+    out = jnp.dot(att, v, preferred_element_type=jnp.float32)  # [G*Lq, Dh]
+    o_ref[:, 0] = out.reshape(G, Lq, Dh)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "group"))
+def masked_attention_pallas_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    group: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused block-diagonal packed attention.
+
+    q,k,v [B, H, L, Dh]; mask bool [B, 1, 1, Lk] or None. group=0 picks the
+    largest G with G*max(Lq,Lk) <= 128 that divides B (the MXU-tile-filling
+    choice); pass an explicit group to override.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    scale = 1.0 / (Dh ** 0.5)
+
+    if group <= 0:
+        group = max(1, 128 // max(Lq, Lk))
+    while B % group:
+        group -= 1
+
+    G = group
+    # flatten the pad mask to [B/G, 1, G*Lk] at the XLA level: Mosaic cannot
+    # fold a sublane dim into lanes in-kernel, and a (1, G*Lk) block of a
+    # 2D array would violate the 8-sublane block rule
+    if mask is None:
+        pad = jnp.zeros((B // G, 1, G * Lk), jnp.int8)
+    else:
+        pad = mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * Lk)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale, group=G),
+        grid=(B // G, H),
+        in_specs=[
+            pl.BlockSpec((G, 1, Lq, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, Lk, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, Lk, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lk), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, 1, Lq, Dh), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, Dh), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, pad)
+    return out
+
+
 def masked_attention(
     q, k, v, mask, *,
     dropout_rate: float = 0.0,

@@ -25,7 +25,7 @@ from mcan_vqa_tpu.models.layers import make_mask
 from mcan_vqa_tpu.ops.attflat import attflat_pallas
 from mcan_vqa_tpu.ops.masked_attention import (
     masked_attention_pallas, masked_attention_pallas_batched,
-    masked_attention_xla)
+    masked_attention_pallas_packed, masked_attention_xla)
 
 BF16 = jnp.bfloat16
 
@@ -137,6 +137,9 @@ def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
     if use_pallas == "batched":
         atted = masked_attention_pallas_batched(qp, kp, vp, mask,
                                                 interpret=interpret)
+    elif use_pallas == "packed":
+        atted = masked_attention_pallas_packed(qp, kp, vp, mask,
+                                               interpret=interpret)
     elif use_pallas:
         atted = masked_attention_pallas(qp, kp, vp, mask, interpret=interpret)
     else:
@@ -174,7 +177,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
 
     params: the MCANet param pytree (model.init(...)['params'] or a
     checkpoint import). use_pallas: False (XLA), True (per-(batch,head)
-    fused kernel), or "batched" (batch-blocked fused kernel).
+    fused kernel), "batched" (batch-blocked), or "packed" (block-diagonal
+    G-samples-per-MXU-tile kernel).
     bf16_stream: carry residuals in bf16 between blocks (LN stats stay
     fp32) — ~3% faster, ~1e-2 logit perturbation; opt-in.
     use_pallas_ffn: run each FFN block through the fused

@@ -75,11 +75,13 @@ def make_optimizer(
         decay_rate=cfg.lr_decay_rate,
     )
     b1, b2 = getattr(cfg, "opt_betas", (0.9, 0.999))
+    mu_dtype = getattr(cfg, "opt_mu_dtype", "") or None
     tx = optax.adamw(
         learning_rate=schedule,
         b1=float(b1), b2=float(b2),
         eps=float(getattr(cfg, "opt_eps", 1e-8)),
         weight_decay=cfg.weight_decay,
+        mu_dtype=mu_dtype,
     )
     if cfg.grad_norm_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm_clip), tx)

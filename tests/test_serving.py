@@ -93,3 +93,22 @@ class TestFusedQKV:
                               interpret=True)(params, img, ques)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
+
+
+class TestPackedServing:
+    def test_packed_serving_matches_model(self):
+        """Full engine with the block-diagonal packed attention kernel."""
+        cfg, model, params, img, ques = _setup()
+        # batch 4 so the image path packs G>1 groups (12-region samples)
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(4, 12, 32)).astype(np.float32)
+        img[0, 8:] = 0.0
+        ques = rng.integers(1, 50, size=(4, 7)).astype(np.int32)
+        ques[2, 3:] = 0
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas="packed",
+                              interpret=True)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
