@@ -317,12 +317,13 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
             tile_m //= 2
     if tile_bytes(tile_m) > budget:
         # Weights too large to keep fully VMEM-resident (MCAN-large
-        # 1024x4096): use the weight-stationary dataflow (each weight tile
-        # streamed from HBM exactly once). The earlier M-outer blocked
-        # variant re-streamed all 16 MB of weights per row tile and lost to
-        # XLA (11.3K vs 11.9K pairs/s).
-        return fused_ffn_ln_weight_stationary(
-            x, w1, b1, w2, b2, ln_scale, ln_bias, interpret=interpret)
+        # 1024x4096). Both streaming dataflows were measured SLOWER than
+        # XLA at B=64 (M-outer blocked: 11.3K; F-outer weight-stationary:
+        # 11.5K; XLA: 11.9K pairs/s) — XLA already streams each weight
+        # once and fuses the relu, and the kernels pay an output-block
+        # read-modify-write for the residual+LN fusion. Plain XLA it is;
+        # both kernels stay exported/tested for larger-batch regimes.
+        return _xla(xm)
 
     rep2 = lambda i: (0, 0)
     rep1 = lambda i: (0,)

@@ -169,10 +169,27 @@ def _attflat(p, x, mask, use_pallas: bool, interpret: bool):
     return _dense(p["linear_merge"], pooled), att
 
 
+def _cross_kv(p, q, num_heads):
+    """Pre-project cross-attention keys/values -> [B, H, Lq, Dh]."""
+    B, Lq, D = q.shape
+    Dh = D // num_heads
+    if "linear_kv" in p:
+        kv = _dense(p["linear_kv"], q)
+        kx, vx = jnp.split(kv, 2, axis=-1)
+    else:
+        kx = _dense(p["linear_k"], q)
+        vx = _dense(p["linear_v"], q)
+    def split(x):
+        return x.reshape(B, Lq, num_heads, Dh).transpose(0, 2, 1, 3)
+    return split(kx), split(vx)
+
+
 def make_serving_fn(num_layers: int, num_heads: int,
                     use_pallas=True, interpret: bool = False,
                     bf16_stream: bool = False,
-                    use_pallas_ffn: bool = False):
+                    use_pallas_ffn: bool = False,
+                    use_sga_megakernel: bool = False,
+                    sga_group: int = 2):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
@@ -183,6 +200,10 @@ def make_serving_fn(num_layers: int, num_heads: int,
     fp32) — ~3% faster, ~1e-2 logit perturbation; opt-in.
     use_pallas_ffn: run each FFN block through the fused
     matmul+relu+matmul+residual+LN kernel (ops/fused_ffn.py).
+    use_sga_megakernel: run each ENTIRE decoder block through the fused
+    SGA megakernel (ops/sga_block.py) — the image stream never leaves
+    VMEM inside a block; overrides the per-sub-op kernels for the
+    decoder. sga_group = samples packed per matmul inside it.
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
 
@@ -236,6 +257,25 @@ def make_serving_fn(num_layers: int, num_heads: int,
             else:
                 q = ln(p["norm2"],
                        q + _mlp(p["ffn"]["mlp"], q).astype(stream))
+        if use_sga_megakernel:
+            from mcan_vqa_tpu.ops.sga_block import (
+                fused_sga_block, prepare_sga_block_params)
+            for i in range(num_layers):
+                p = bb[f"dec_{i}"]
+                kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
+                wp = prepare_sga_block_params(p, num_heads)
+                v = fused_sga_block(
+                    v.astype(jnp.float32), kq, vq, v_mask, q_mask, wp,
+                    num_heads=num_heads, group=sga_group,
+                    interpret=interpret).astype(stream)
+            lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
+                                    use_pallas, interpret)
+            img_flat, _ = _attflat(params["attflat_img"], v, v_mask,
+                                   use_pallas, interpret)
+            fused = _std_layer_norm(params["proj_norm"],
+                                    lang_flat + img_flat)
+            return _dense(params["proj"], fused)
+
         for i in range(num_layers):
             p = bb[f"dec_{i}"]
             if att_block is not None:

@@ -1,0 +1,235 @@
+"""Fused SGA decoder-block megakernel (Pallas TPU).
+
+The serving ablation (docs/PERFORMANCE.md) shows the 6 SGA blocks are ~97%
+of MCAN serving time, and round-2 measurements isolated the remaining
+inefficiency to HBM round-trips of the [B, 60, 512] image stream between
+the block's sub-ops (self-att -> epilogue -> cross-att -> epilogue -> FFN
+-> epilogue) plus per-op dispatch. This kernel runs the ENTIRE reference
+SGA block (core/model/mca.py:134-164)
+
+    v = LN1(v + merge1(self_att(v)))
+    v = LN2(v + merge2(cross_att(q=v, kv=question)))
+    v = LN3(v + FFN(v))
+
+in ONE kernel launch: grid over G-sample groups, the image stream and all
+intermediates stay in VMEM for the whole block, every weight matrix is
+VMEM-resident across the grid (~7 MB bf16 at MCAN-small).
+
+Layout trick: attention is computed per head with NO lane slicing — the
+q/k/v/merge projections are pre-stacked head-major ([H, D, Dh] / [H, Dh, D])
+so each head's weights are a leading-dim index (free on TPU), and the merge
+is accumulated as sum_h(att_out_h @ W_merge[h]), which avoids re-packing
+heads into lanes. Samples are packed G-per-matmul with a block-diagonal
+mask folded into the softmax (same scheme as
+ops/masked_attention.masked_attention_pallas_packed).
+
+Cross-attention keys/values over the (layer-fixed) encoder output are
+pre-projected OUTSIDE the kernel ([B, H, Lq, Dh]) — they are tiny and
+shared math with the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9
+
+
+def prepare_sga_block_params(p: Dict[str, Any], num_heads: int) -> Dict[str, Any]:
+    """Re-layout one decoder block's params for the megakernel.
+
+    p: the standard param tree of models.mca.SGA (serving/backbone dec_i).
+    Kernels are stacked head-major; biases likewise. FFN/LN stay as-is.
+    """
+    def head_cols(kernel):   # [D, D] -> [H, D, Dh]
+        D = kernel.shape[0]
+        return jnp.transpose(
+            kernel.reshape(D, num_heads, D // num_heads), (1, 0, 2))
+
+    def head_rows(kernel):   # [D, D] -> [H, Dh, D]
+        D = kernel.shape[1]
+        return kernel.reshape(num_heads, kernel.shape[0] // num_heads, D)
+
+    def head_bias(b):        # [D] -> [H, Dh]
+        return b.reshape(num_heads, -1)
+
+    m1, m2 = p["mhatt1"], p["mhatt2"]
+    mlp = p["ffn"]["mlp"]
+    return {
+        "wq1": head_cols(m1["linear_q"]["kernel"]),
+        "wk1": head_cols(m1["linear_k"]["kernel"]),
+        "wv1": head_cols(m1["linear_v"]["kernel"]),
+        "bq1": head_bias(m1["linear_q"]["bias"]),
+        "bk1": head_bias(m1["linear_k"]["bias"]),
+        "bv1": head_bias(m1["linear_v"]["bias"]),
+        "wm1": head_rows(m1["linear_merge"]["kernel"]),
+        "bm1": m1["linear_merge"]["bias"],
+        "ln1_s": p["norm1"]["scale"], "ln1_b": p["norm1"]["bias"],
+        "wq2": head_cols(m2["linear_q"]["kernel"]),
+        "bq2": head_bias(m2["linear_q"]["bias"]),
+        "wm2": head_rows(m2["linear_merge"]["kernel"]),
+        "bm2": m2["linear_merge"]["bias"],
+        "ln2_s": p["norm2"]["scale"], "ln2_b": p["norm2"]["bias"],
+        "w1": mlp["FCLayer_0"]["Dense_0"]["kernel"],
+        "b1": mlp["FCLayer_0"]["Dense_0"]["bias"],
+        "w2": mlp["Dense_0"]["kernel"],
+        "b2": mlp["Dense_0"]["bias"],
+        "ln3_s": p["norm3"]["scale"], "ln3_b": p["norm3"]["bias"],
+    }
+
+
+def _ln(r, scale, bias):
+    d = r.shape[-1]
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    c = r - mean
+    var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
+    return scale * c / (jnp.sqrt(var) + 1e-6) + bias
+
+
+def _sga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+                wq1_ref, wk1_ref, wv1_ref, bq1_ref, bk1_ref, bv1_ref,
+                wm1_ref, bm1_ref, ln1s_ref, ln1b_ref,
+                wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref, ln3b_ref,
+                o_ref, *, heads: int, group: int, scale: float):
+    G = group
+    Lv, D = v_ref.shape[1], v_ref.shape[2]
+    Lq = kq_ref.shape[2]
+    M = G * Lv
+    N = G * Lq
+
+    x = v_ref[:].reshape(M, D).astype(jnp.float32)
+
+    # block-diagonal sample masks (rows: image regions; cols: keys)
+    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
+    vpad = vpad_ref[0].astype(jnp.float32)          # [1, M]
+    qpad = qpad_ref[0].astype(jnp.float32)          # [1, N]
+    self_mask = (vv_off.astype(jnp.float32) + vpad) * _NEG_INF
+    cross_mask = (vq_off.astype(jnp.float32) + qpad) * _NEG_INF
+
+    def attend(xq, h, wq, bq, kh, vh, mask_add):
+        """One head: project queries from xq, attend to (kh, vh)."""
+        qh = jnp.dot(xq, wq[h].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + bq[h]
+        s = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jnp.dot(att, vh, preferred_element_type=jnp.float32)
+
+    # ---- self-attention + merge + LN1 ----
+    xb = x.astype(jnp.bfloat16)
+    wq1, wk1, wv1 = wq1_ref[:], wk1_ref[:], wv1_ref[:]
+    bq1, bk1, bv1 = bq1_ref[:], bk1_ref[:], bv1_ref[:]
+    wm1 = wm1_ref[:]
+    y = jnp.zeros((M, D), jnp.float32)
+    for h in range(heads):
+        kh = (jnp.dot(xb, wk1[h].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+              + bk1[h]).astype(jnp.bfloat16)
+        vh = (jnp.dot(xb, wv1[h].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+              + bv1[h]).astype(jnp.bfloat16)
+        oh = attend(xb, h, wq1, bq1, kh, vh, self_mask)
+        y += jnp.dot(oh.astype(jnp.bfloat16), wm1[h].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    v1 = _ln(x + y + bm1_ref[:], ln1s_ref[:], ln1b_ref[:])
+
+    # ---- cross-attention (keys/values pre-projected) + merge + LN2 ----
+    v1b = v1.astype(jnp.bfloat16)
+    wq2, bq2, wm2 = wq2_ref[:], bq2_ref[:], wm2_ref[:]
+    y = jnp.zeros((M, D), jnp.float32)
+    for h in range(heads):
+        kh = kq_ref[:, h].reshape(N, -1).astype(jnp.bfloat16)
+        vh = vq_ref[:, h].reshape(N, -1).astype(jnp.bfloat16)
+        oh = attend(v1b, h, wq2, bq2, kh, vh, cross_mask)
+        y += jnp.dot(oh.astype(jnp.bfloat16), wm2[h].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    v2 = _ln(v1 + y + bm2_ref[:], ln2s_ref[:], ln2b_ref[:])
+
+    # ---- FFN + LN3 ----
+    h1 = jnp.dot(v2.astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32) + b1_ref[:]
+    h1 = jnp.maximum(h1, 0.0)
+    y = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b2_ref[:]
+    v3 = _ln(v2 + y, ln3s_ref[:], ln3b_ref[:])
+
+    o_ref[:] = v3.reshape(G, Lv, D)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "group", "interpret"))
+def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
+                    num_heads: int, group: int = 2,
+                    interpret: bool = False):
+    """Run one whole SGA block. v [B, Lv, D]; kq/vq [B, H, Lq, Dh]
+    (pre-projected cross keys/values); v_mask/q_mask bool [B, 1, 1, L];
+    wp from prepare_sga_block_params. Returns f32 [B, Lv, D]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lv, D = v.shape
+    Lq = kq.shape[2]
+    Dh = D // num_heads
+    H = num_heads
+    scale = 1.0 / (Dh ** 0.5)
+    G = max(1, group)
+    while B % G:
+        G -= 1
+
+    def flat_pad(mask, L):
+        if mask is None:
+            return jnp.zeros((B // G, 1, G * L), jnp.int8)
+        return mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * L)
+
+    vpad = flat_pad(v_mask, Lv)
+    qpad = flat_pad(q_mask, Lq)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    F = wp["w1"].shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_sga_kernel, heads=H, group=G, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lv), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((H, D, Dh)), rep((H, D, Dh)), rep((H, D, Dh)),   # wq/k/v1
+            rep((H, Dh)), rep((H, Dh)), rep((H, Dh)),            # bq/k/v1
+            rep((H, Dh, D)), rep((D,)), rep((D,)), rep((D,)),    # wm1,bm1,ln1
+            rep((H, D, Dh)), rep((H, Dh)),                       # wq2, bq2
+            rep((H, Dh, D)), rep((D,)), rep((D,)), rep((D,)),    # wm2,bm2,ln2
+            rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),      # ffn
+            rep((D,)), rep((D,)),                                # ln3
+        ],
+        out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lv, D), jnp.float32),
+        interpret=interpret,
+    )(v.astype(jnp.float32), kq, vq, vpad, qpad,
+      wp["wq1"], wp["wk1"], wp["wv1"], wp["bq1"], wp["bk1"], wp["bv1"],
+      wp["wm1"], wp["bm1"], wp["ln1_s"], wp["ln1_b"],
+      wp["wq2"], wp["bq2"], wp["wm2"], wp["bm2"], wp["ln2_s"], wp["ln2_b"],
+      wp["w1"], wp["b1"], wp["w2"], wp["b2"], wp["ln3_s"], wp["ln3_b"])
+    return out

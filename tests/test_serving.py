@@ -112,3 +112,72 @@ class TestPackedServing:
                           deterministic=True)["logits"]
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
+
+
+class TestSGAMegakernel:
+    def test_megakernel_serving_matches_model(self):
+        """Whole-decoder-block fused kernel vs model.apply, realistic masks."""
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(4, 12, 32)).astype(np.float32)
+        img[0, 8:] = 0.0
+        img[3, 5:] = 0.0
+        ques = rng.integers(1, 50, size=(4, 7)).astype(np.int32)
+        ques[2, 3:] = 0
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=True, sga_group=2,
+                              interpret=True)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_megakernel_group1_and_odd_batch(self):
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(8)
+        img = rng.normal(size=(3, 12, 32)).astype(np.float32)  # B=3 prime
+        ques = rng.integers(1, 50, size=(3, 7)).astype(np.int32)
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=True, sga_group=2,
+                              interpret=True)   # G degrades 2 -> 1
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_block_kernel_direct_parity(self):
+        """fused_sga_block vs an op-by-op XLA replica of the SGA block."""
+        import jax
+        from mcan_vqa_tpu.ops.masked_attention import masked_attention_xla
+        from mcan_vqa_tpu.ops.sga_block import (fused_sga_block,
+                                                prepare_sga_block_params)
+        from mcan_vqa_tpu.ops.serving import (_cross_kv, _dense, _mhatt,
+                                              _std_layer_norm, _mlp)
+        cfg, model, params, img, ques = _setup()
+        p = params["backbone"]["dec_0"]
+        H = cfg.multi_head
+        rng = np.random.default_rng(9)
+        B, Lv, Lq, D = 4, 12, 7, cfg.hidden_size
+        v = rng.normal(size=(B, Lv, D)).astype(np.float32)
+        q = rng.normal(size=(B, Lq, D)).astype(np.float32)
+        v_mask = np.zeros((B, 1, 1, Lv), bool); v_mask[1, ..., 9:] = True
+        q_mask = np.zeros((B, 1, 1, Lq), bool); q_mask[0, ..., 4:] = True
+
+        # reference composition (same ops the unfused serving path runs)
+        att = _mhatt(p["mhatt1"], v, v, v, jnp.asarray(v_mask), H,
+                     False, False)
+        v1 = _std_layer_norm(p["norm1"], v + att)
+        att = _mhatt(p["mhatt2"], q, q, v1, jnp.asarray(q_mask), H,
+                     False, False)
+        v2 = _std_layer_norm(p["norm2"], v1 + att)
+        ref = _std_layer_norm(p["norm3"], v2 + _mlp(p["ffn"]["mlp"], v2))
+
+        kq, vq = _cross_kv(p["mhatt2"], jnp.asarray(q), H)
+        wp = prepare_sga_block_params(p, H)
+        ours = fused_sga_block(v, kq, vq, jnp.asarray(v_mask),
+                               jnp.asarray(q_mask), wp, num_heads=H,
+                               group=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=3e-2, rtol=3e-2)
