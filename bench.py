@@ -89,7 +89,7 @@ def main() -> None:
             cfg.layer, cfg.multi_head, use_pallas=use_pallas,
             bf16_stream=os.environ.get("BENCH_BF16_STREAM", "0") == "1",
             use_pallas_ffn=os.environ.get("BENCH_FFN", "1") == "1",
-            use_sga_megakernel=os.environ.get("BENCH_SGA", "0") == "1",
+            use_sga_megakernel=int(os.environ.get("BENCH_SGA", "0")),
             sga_group=int(os.environ.get("BENCH_SGA_GROUP", "2")))
     elif use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    scale_ref, bias_ref, o_ref):
-    x = x_ref[:]                                          # [TM, D] f32
+    # x block may be bf16 (bf16 residual stream: half the DMA) or f32;
+    # residual + LN statistics always run in f32
+    x = x_ref[:].astype(jnp.float32)                      # [TM, D]
     h = jnp.dot(x.astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32) + b1_ref[:]
     h = jnp.maximum(h, 0.0)                               # [TM, F]
@@ -36,7 +38,8 @@ def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     mean = jnp.mean(r, axis=-1, keepdims=True)
     c = r - mean
     var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
-    o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+    out = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _proj_ln_kernel(res_ref, a_ref, w_ref, b_ref, scale_ref, bias_ref,
@@ -46,12 +49,13 @@ def _proj_ln_kernel(res_ref, a_ref, w_ref, b_ref, scale_ref, bias_ref,
     a = a_ref[:].astype(jnp.bfloat16)
     y = jnp.dot(a, w_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32) + b_ref[:]
-    r = res_ref[:] + y
+    r = res_ref[:].astype(jnp.float32) + y
     d = r.shape[-1]
     mean = jnp.mean(r, axis=-1, keepdims=True)
     c = r - mean
     var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
-    o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+    out = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
@@ -64,21 +68,22 @@ def fused_proj_ln(residual, a, w, b, ln_scale, ln_bias,
 
     orig_shape = residual.shape
     D = residual.shape[-1]
-    rm = residual.reshape(-1, D)
+    rm = residual.reshape(-1, D)   # stream dtype (f32 or bf16) — kept as-is
     am = a.reshape(-1, D)
     M = rm.shape[0]
+    out_dtype = rm.dtype
     while tile_m > 8 and M % tile_m:
         tile_m //= 2
     if M % tile_m:
         # rows not tileable: plain XLA
         y = jnp.dot(am.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32) + b
-        r = rm + y
+        r = rm.astype(jnp.float32) + y
         mean = jnp.mean(r, axis=-1, keepdims=True)
         c = r - mean
         var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
         return (ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
-                ).reshape(orig_shape)
+                ).astype(out_dtype).reshape(orig_shape)
 
     out = pl.pallas_call(
         _proj_ln_kernel,
@@ -95,10 +100,9 @@ def fused_proj_ln(residual, a, w, b, ln_scale, ln_bias,
         ],
         out_specs=pl.BlockSpec((tile_m, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, D), out_dtype),
         interpret=interpret,
-    )(rm.astype(jnp.float32), am.astype(jnp.float32), w, b,
-      ln_scale, ln_bias)
+    )(rm, am, w, b, ln_scale, ln_bias)
     return out.reshape(orig_shape)
 
 
@@ -283,8 +287,9 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
     orig_shape = x.shape
     D = x.shape[-1]
     F = w1.shape[1]
-    xm = x.reshape(-1, D)
+    xm = x.reshape(-1, D)          # stream dtype (f32 or bf16), kept as-is
     M = xm.shape[0]
+    out_dtype = xm.dtype
     while tile_m > 8 and M % tile_m:
         tile_m //= 2
 
@@ -292,13 +297,14 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
         h = jax.nn.relu(jnp.dot(xm.astype(jnp.bfloat16),
                                 w1.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32) + b1)
-        r = xm + (jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32) + b2)
+        r = xm.astype(jnp.float32) + (
+            jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b2)
         mean = jnp.mean(r, axis=-1, keepdims=True)
         c = r - mean
         var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
         return (ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
-                ).reshape(orig_shape)
+                ).astype(out_dtype).reshape(orig_shape)
 
     if M % tile_m:
         # rows not tileable (odd batch*length): plain XLA
@@ -342,7 +348,7 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
         ],
         out_specs=pl.BlockSpec((tile_m, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, D), out_dtype),
         interpret=interpret,
-    )(xm.astype(jnp.float32), w1, b1, w2, b2, ln_scale, ln_bias)
+    )(xm, w1, b1, w2, b2, ln_scale, ln_bias)
     return out.reshape(orig_shape)

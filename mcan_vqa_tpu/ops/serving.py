@@ -203,7 +203,9 @@ def make_serving_fn(num_layers: int, num_heads: int,
     use_sga_megakernel: run each ENTIRE decoder block through the fused
     SGA megakernel (ops/sga_block.py) — the image stream never leaves
     VMEM inside a block; overrides the per-sub-op kernels for the
-    decoder. sga_group = samples packed per matmul inside it.
+    decoder. 1/True = head-major stacked weights; 2 = fused-projection
+    variant (fewer, larger matmuls, per-head lane slices).
+    sga_group = samples packed per matmul inside it.
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
 
@@ -267,6 +269,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 v = fused_sga_block(
                     v.astype(jnp.float32), kq, vq, v_mask, q_mask, wp,
                     num_heads=num_heads, group=sga_group,
+                    fused_proj=(use_sga_megakernel == 2),
                     interpret=interpret).astype(stream)
             lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
                                     use_pallas, interpret)

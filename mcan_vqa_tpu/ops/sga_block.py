@@ -60,6 +60,18 @@ def prepare_sga_block_params(p: Dict[str, Any], num_heads: int) -> Dict[str, Any
     m1, m2 = p["mhatt1"], p["mhatt2"]
     mlp = p["ffn"]["mlp"]
     return {
+        # fused-projection layout (variant 2: one [D,3D] matmul per block,
+        # per-head lane slices inside the kernel)
+        "wqkv1": jnp.concatenate([m1["linear_q"]["kernel"],
+                                  m1["linear_k"]["kernel"],
+                                  m1["linear_v"]["kernel"]], axis=1),
+        "bqkv1": jnp.concatenate([m1["linear_q"]["bias"],
+                                  m1["linear_k"]["bias"],
+                                  m1["linear_v"]["bias"]]),
+        "wm1_full": m1["linear_merge"]["kernel"],
+        "wq2_full": m2["linear_q"]["kernel"],
+        "bq2_full": m2["linear_q"]["bias"],
+        "wm2_full": m2["linear_merge"]["kernel"],
         "wq1": head_cols(m1["linear_q"]["kernel"]),
         "wk1": head_cols(m1["linear_k"]["kernel"]),
         "wv1": head_cols(m1["linear_v"]["kernel"]),
@@ -169,11 +181,90 @@ def _sga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     o_ref[:] = v3.reshape(G, Lv, D)
 
 
+def _sga_kernel_fusedproj(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+                          wqkv_ref, bqkv_ref, wm1_ref, bm1_ref,
+                          ln1s_ref, ln1b_ref,
+                          wq2_ref, bq2_ref, wm2_ref, bm2_ref,
+                          ln2s_ref, ln2b_ref,
+                          w1_ref, b1_ref, w2_ref, b2_ref,
+                          ln3s_ref, ln3b_ref,
+                          o_ref, *, heads: int, group: int, scale: float):
+    """Variant 2: full-lane fused projections ([D,3D] / [D,D] matmuls) with
+    per-head LANE slices for the score/AV matmuls and a lane concat before
+    the merge. ~27 matmuls per grid step vs ~48 for the head-major variant —
+    trades relayout cost for matmul-issue count."""
+    G = group
+    Lv, D = v_ref.shape[1], v_ref.shape[2]
+    Lq = kq_ref.shape[2]
+    Dh = D // heads
+    M, N = G * Lv, G * Lq
+
+    x = v_ref[:].reshape(M, D).astype(jnp.float32)
+
+    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
+    self_mask = (vv_off.astype(jnp.float32)
+                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    cross_mask = (vq_off.astype(jnp.float32)
+                  + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    def sdpa(qh, kh, vh, mask_add):
+        s = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jnp.dot(att, vh, preferred_element_type=jnp.float32)
+
+    # ---- self-attention: ONE qkv matmul, lane-sliced heads ----
+    qkv = jnp.dot(x.astype(jnp.bfloat16), wqkv_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + bqkv_ref[:]
+    ohs = []
+    for h in range(heads):
+        qh = qkv[:, h * Dh:(h + 1) * Dh]
+        kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
+        vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
+        ohs.append(sdpa(qh, kh, vh, self_mask))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = jnp.dot(atted.astype(jnp.bfloat16), wm1_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    v1 = _ln(x + y + bm1_ref[:], ln1s_ref[:], ln1b_ref[:])
+
+    # ---- cross-attention ----
+    qx = jnp.dot(v1.astype(jnp.bfloat16), wq2_ref[:].astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32) + bq2_ref[:]
+    ohs = []
+    for h in range(heads):
+        kh = kq_ref[:, h].reshape(N, Dh).astype(jnp.bfloat16)
+        vh = vq_ref[:, h].reshape(N, Dh).astype(jnp.bfloat16)
+        ohs.append(sdpa(qx[:, h * Dh:(h + 1) * Dh], kh, vh, cross_mask))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = jnp.dot(atted.astype(jnp.bfloat16), wm2_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    v2 = _ln(v1 + y + bm2_ref[:], ln2s_ref[:], ln2b_ref[:])
+
+    # ---- FFN + LN3 ----
+    h1 = jnp.dot(v2.astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32) + b1_ref[:]
+    h1 = jnp.maximum(h1, 0.0)
+    y = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b2_ref[:]
+    v3 = _ln(v2 + y, ln3s_ref[:], ln3b_ref[:])
+
+    o_ref[:] = v3.reshape(G, Lv, D)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "group", "interpret"))
+                   static_argnames=("num_heads", "group", "interpret",
+                                    "fused_proj"))
 def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
                     num_heads: int, group: int = 2,
-                    interpret: bool = False):
+                    interpret: bool = False, fused_proj: bool = False):
     """Run one whole SGA block. v [B, Lv, D]; kq/vq [B, H, Lq, Dh]
     (pre-projected cross keys/values); v_mask/q_mask bool [B, 1, 1, L];
     wp from prepare_sga_block_params. Returns f32 [B, Lv, D]."""
@@ -200,6 +291,42 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
     rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
     F = wp["w1"].shape[1]
+
+    if fused_proj:
+        out = pl.pallas_call(
+            functools.partial(_sga_kernel_fusedproj, heads=H, group=G,
+                              scale=scale),
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, G * Lv), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                rep((D, 3 * D)), rep((3 * D,)),
+                rep((D, D)), rep((D,)), rep((D,)), rep((D,)),   # m1 + ln1
+                rep((D, D)), rep((D,)),                         # q2
+                rep((D, D)), rep((D,)), rep((D,)), rep((D,)),   # m2 + ln2
+                rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),
+                rep((D,)), rep((D,)),
+            ],
+            out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Lv, D), jnp.float32),
+            interpret=interpret,
+        )(v.astype(jnp.float32), kq, vq, vpad, qpad,
+          wp["wqkv1"], wp["bqkv1"], wp["wm1_full"], wp["bm1"],
+          wp["ln1_s"], wp["ln1_b"],
+          wp["wq2_full"], wp["bq2_full"], wp["wm2_full"], wp["bm2"],
+          wp["ln2_s"], wp["ln2_b"],
+          wp["w1"], wp["b1"], wp["w2"], wp["b2"],
+          wp["ln3_s"], wp["ln3_b"])
+        return out
 
     out = pl.pallas_call(
         functools.partial(_sga_kernel, heads=H, group=G, scale=scale),

@@ -181,3 +181,20 @@ class TestSGAMegakernel:
                                group=2, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=3e-2, rtol=3e-2)
+
+    def test_megakernel_fusedproj_matches_model(self):
+        """Variant 2 (fused projections + lane-sliced heads)."""
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(11)
+        img = rng.normal(size=(4, 12, 32)).astype(np.float32)
+        img[1, 6:] = 0.0
+        ques = rng.integers(1, 50, size=(4, 7)).astype(np.int32)
+        ques[0, 5:] = 0
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=2, sga_group=2,
+                              interpret=True)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
