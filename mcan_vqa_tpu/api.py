@@ -27,9 +27,16 @@ from mcan_vqa_tpu.models.net import build_mcan
 class Predictor:
     def __init__(self, cfg, params, token_to_ix: Dict[str, int],
                  ix_to_ans: Optional[Dict[str, str]] = None,
-                 max_batch: int = 64):
+                 max_batch: int = 64, engine: str = "auto"):
         """max_batch: compiled batch shape; inputs are padded up to it
-        (one compilation, any request size <= max_batch)."""
+        (one compilation, any request size <= max_batch).
+
+        engine: "fused" routes through the production serving engine
+        (fused QKV projections, bf16 weights, fused FFN/epilogue Pallas
+        kernels — the bench.py default path, golden-tested against
+        model.apply); "plain" uses model.apply directly; "auto" picks
+        fused on TPU, plain elsewhere (the Pallas kernels only compile
+        for TPU)."""
         self.cfg = cfg
         self.token_to_ix = token_to_ix
         if ix_to_ans is None:
@@ -37,14 +44,27 @@ class Predictor:
         self.ix_to_ans = ix_to_ans
         self.max_batch = max_batch
 
-        model = build_mcan(cfg, token_size=len(token_to_ix),
-                           answer_size=len(ix_to_ans))
-        self.params = params
+        if engine == "auto":
+            engine = "fused" if jax.default_backend() == "tpu" else "plain"
+        if engine == "fused":
+            from mcan_vqa_tpu.ops.serving import (make_serving_fn,
+                                                  prepare_params)
+            self.params = prepare_params(params, cfg.layer)
+            serve = make_serving_fn(cfg.layer, cfg.multi_head,
+                                    use_pallas=False, use_pallas_ffn=True)
 
-        def forward(params, img, ques):
-            out = model.apply({"params": params}, img, ques,
-                              deterministic=True)
-            return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+            def forward(params, img, ques):
+                return jax.nn.sigmoid(
+                    serve(params, img, ques).astype(jnp.float32))
+        else:
+            model = build_mcan(cfg, token_size=len(token_to_ix),
+                               answer_size=len(ix_to_ans))
+            self.params = params
+
+            def forward(params, img, ques):
+                out = model.apply({"params": params}, img, ques,
+                                  deterministic=True)
+                return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
 
         self._forward = jax.jit(forward)
 
