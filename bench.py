@@ -85,11 +85,20 @@ def main() -> None:
         # packed), so attention variants are compared like-for-like.
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
         params = prepare_params(params, cfg.layer)
+        # bf16 residual stream is the default: validated on real-format
+        # data (tests/test_bf16_stream.py: top-1 agreement >= 98%, official
+        # accuracy delta bounded) and measured +2.7% once the fused kernels
+        # stopped casting their block I/O back to f32.
         forward = make_serving_fn(
             cfg.layer, cfg.multi_head, use_pallas=use_pallas,
-            bf16_stream=os.environ.get("BENCH_BF16_STREAM", "0") == "1",
+            bf16_stream=os.environ.get("BENCH_BF16_STREAM", "1") == "1",
             use_pallas_ffn=os.environ.get("BENCH_FFN", "1") == "1",
-            use_sga_megakernel=int(os.environ.get("BENCH_SGA", "0")),
+            # Default serving engine: the fused-projection SGA megakernel
+            # (variant 2) — measured 37.8K vs 26.0K pairs/s at B=64, with
+            # 100% top-1 agreement vs the unfused engine verified on-chip.
+            # Falls back automatically when block weights exceed VMEM
+            # (MCAN-large). BENCH_SGA=0 restores the per-sub-op engine.
+            use_sga_megakernel=int(os.environ.get("BENCH_SGA", "2")),
             sga_group=int(os.environ.get("BENCH_SGA_GROUP", "2")))
     elif use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn

@@ -51,7 +51,8 @@ class Predictor:
                                                   prepare_params)
             self.params = prepare_params(params, cfg.layer)
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
-                                    use_pallas=False, use_pallas_ffn=True)
+                                    use_pallas=False, use_pallas_ffn=True,
+                                    use_sga_megakernel=2)
 
             def forward(params, img, ques):
                 return jax.nn.sigmoid(

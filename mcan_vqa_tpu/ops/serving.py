@@ -259,7 +259,18 @@ def make_serving_fn(num_layers: int, num_heads: int,
             else:
                 q = ln(p["norm2"],
                        q + _mlp(p["ffn"]["mlp"], q).astype(stream))
-        if use_sga_megakernel:
+        # VMEM guard: every block weight must stay resident in the
+        # megakernel (bf16). MCAN-small is ~7.6 MB; MCAN-large (~27 MB)
+        # falls back to the per-sub-op path.
+        sga_mode = use_sga_megakernel
+        if sga_mode:
+            D = v.shape[-1]
+            F_ff = params["backbone"]["dec_0"]["ffn"]["mlp"][
+                "FCLayer_0"]["Dense_0"]["kernel"].shape[1]
+            if (6 * D * D + 2 * D * F_ff) * 2 > 12 * 1024 * 1024:
+                sga_mode = 0
+
+        if sga_mode:
             from mcan_vqa_tpu.ops.sga_block import (
                 fused_sga_block, prepare_sga_block_params)
             for i in range(num_layers):
@@ -269,7 +280,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 v = fused_sga_block(
                     v.astype(jnp.float32), kq, vq, v_mask, q_mask, wp,
                     num_heads=num_heads, group=sga_group,
-                    fused_proj=(use_sga_megakernel == 2),
+                    fused_proj=(sga_mode == 2),
                     interpret=interpret).astype(stream)
             lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
                                     use_pallas, interpret)
