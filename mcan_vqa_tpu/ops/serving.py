@@ -278,10 +278,10 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
                 wp = prepare_sga_block_params(p, num_heads)
                 v = fused_sga_block(
-                    v.astype(jnp.float32), kq, vq, v_mask, q_mask, wp,
+                    v, kq, vq, v_mask, q_mask, wp,
                     num_heads=num_heads, group=sga_group,
                     fused_proj=(sga_mode == 2),
-                    interpret=interpret).astype(stream)
+                    interpret=interpret)
             lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
                                     use_pallas, interpret)
             img_flat, _ = _attflat(params["attflat_img"], v, v_mask,

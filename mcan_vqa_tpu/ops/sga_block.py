@@ -114,6 +114,7 @@ def _sga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     M = G * Lv
     N = G * Lq
 
+    # the stream block may arrive bf16 (half the DMA); math stays f32
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
 
     # block-diagonal sample masks (rows: image regions; cols: keys)
@@ -178,7 +179,7 @@ def _sga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                 preferred_element_type=jnp.float32) + b2_ref[:]
     v3 = _ln(v2 + y, ln3s_ref[:], ln3b_ref[:])
 
-    o_ref[:] = v3.reshape(G, Lv, D)
+    o_ref[:] = v3.reshape(G, Lv, D).astype(o_ref.dtype)
 
 
 def _sga_kernel_fusedproj(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
@@ -199,6 +200,7 @@ def _sga_kernel_fusedproj(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     Dh = D // heads
     M, N = G * Lv, G * Lq
 
+    # the stream block may arrive bf16 (half the DMA); math stays f32
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
 
     vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
@@ -256,7 +258,7 @@ def _sga_kernel_fusedproj(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                 preferred_element_type=jnp.float32) + b2_ref[:]
     v3 = _ln(v2 + y, ln3s_ref[:], ln3b_ref[:])
 
-    o_ref[:] = v3.reshape(G, Lv, D)
+    o_ref[:] = v3.reshape(G, Lv, D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -267,7 +269,8 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
                     interpret: bool = False, fused_proj: bool = False):
     """Run one whole SGA block. v [B, Lv, D]; kq/vq [B, H, Lq, Dh]
     (pre-projected cross keys/values); v_mask/q_mask bool [B, 1, 1, L];
-    wp from prepare_sga_block_params. Returns f32 [B, Lv, D]."""
+    wp from prepare_sga_block_params. Returns [B, Lv, D] in v's dtype (pass
+    a bf16 stream to halve the block DMA; LN math is f32 in-kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -317,9 +320,9 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
             ],
             out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, Lv, D), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
             interpret=interpret,
-        )(v.astype(jnp.float32), kq, vq, vpad, qpad,
+        )(v, kq, vq, vpad, qpad,
           wp["wqkv1"], wp["bqkv1"], wp["wm1_full"], wp["bm1"],
           wp["ln1_s"], wp["ln1_b"],
           wp["wq2_full"], wp["bq2_full"], wp["wm2_full"], wp["bm2"],
@@ -352,9 +355,9 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
         ],
         out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Lv, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
         interpret=interpret,
-    )(v.astype(jnp.float32), kq, vq, vpad, qpad,
+    )(v, kq, vq, vpad, qpad,
       wp["wq1"], wp["wk1"], wp["wv1"], wp["bq1"], wp["bk1"], wp["bv1"],
       wp["wm1"], wp["bm1"], wp["ln1_s"], wp["ln1_b"],
       wp["wq2"], wp["bq2"], wp["wm2"], wp["bm2"], wp["ln2_s"], wp["ln2_b"],
