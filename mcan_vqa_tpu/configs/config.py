@@ -95,6 +95,10 @@ class Config:
     debug_nans: bool = False
     eval_strict: bool = False        # fail (not just warn) when predictions
                                      # don't cover every ground-truth qid
+    # dropout PRNG implementation: "rbg" (XLA RngBitGenerator, TPU-native;
+    # threefry dropout measured 42% of the MCAN-small train step) or
+    # "threefry" (jax default; jax-version-stable mask sequences)
+    dropout_rng_impl: str = "rbg"
     profile_dir: str = ""             # if set, jax.profiler traces go here
 
     # ---- paths (reference: cfgs/path_cfgs.py) ----

@@ -83,6 +83,9 @@ class Trainer:
                                 echo=cfg.verbose)
 
     # ------------------------------------------------------------------
+    def _rng_impl(self) -> str:
+        return getattr(self.cfg, "dropout_rng_impl", "rbg")
+
     def _init_params(self):
         ds = self.train_dataset or next(iter(self.eval_datasets.values()))
         ex = ds.example(0)
@@ -97,7 +100,8 @@ class Trainer:
             return self.state
         cfg = self.cfg
         params = self._init_params()
-        state = TrainState.create(params, self.tx, seed=cfg.seed)
+        state = TrainState.create(params, self.tx, seed=cfg.seed,
+                                  rng_impl=self._rng_impl())
 
         do_resume = cfg.resume if resume is None else resume
         if do_resume:
@@ -116,7 +120,8 @@ class Trainer:
                 step = int(len(self.train_dataset or []) / cfg.batch_size
                            * cfg.ckpt_epoch)
                 return TrainState.create(params, self.tx, seed=cfg.seed,
-                                         step=step)
+                                         step=step,
+                                         rng_impl=self._rng_impl())
             template = {"params": jax.device_get(state.params),
                         "opt_state": jax.device_get(state.opt_state),
                         "step": 0}
@@ -135,7 +140,7 @@ class Trainer:
         return TrainState(
             params=restored["params"], opt_state=restored["opt_state"],
             step=np.int32(restored["step"]),
-            dropout_rng=jax.random.PRNGKey(cfg.seed))
+            dropout_rng=jax.random.key(cfg.seed, impl=self._rng_impl()))
 
     def warm_start(self, path: str) -> None:
         """Load shape-compatible params from a checkpoint (MIMIC warm-start
@@ -148,7 +153,8 @@ class Trainer:
         merged = _merge_compatible(jax.device_get(state.params), params,
                                    self.logger)
         self.state = shd.shard_state(
-            self.mesh, TrainState.create(merged, self.tx, seed=self.cfg.seed))
+            self.mesh, TrainState.create(merged, self.tx, seed=self.cfg.seed,
+                                         rng_impl=self._rng_impl()))
 
     # ------------------------------------------------------------------
     def train(self, start_epoch: int = 0) -> TrainState:
