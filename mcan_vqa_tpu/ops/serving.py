@@ -189,7 +189,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     bf16_stream: bool = False,
                     use_pallas_ffn: bool = False,
                     use_sga_megakernel: bool = False,
-                    sga_group: int = 2):
+                    sga_group: int = 4):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
