@@ -99,6 +99,9 @@ class Config:
     # threefry dropout measured 42% of the MCAN-small train step) or
     # "threefry" (jax default; jax-version-stable mask sequences)
     dropout_rng_impl: str = "rbg"
+    # eval engine: "auto" (fused serving engine on single-TPU, model.apply
+    # elsewhere) or "plain" (always model.apply)
+    eval_engine: str = "auto"
     profile_dir: str = ""             # if set, jax.profiler traces go here
 
     # ---- paths (reference: cfgs/path_cfgs.py) ----

@@ -265,6 +265,16 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _use_fused_eval(self) -> bool:
+        """Fused-engine eval: TPU backend, VQA task, trivial (1-device)
+        mesh — the Pallas path needs shard_map wiring for dp>1, and CPU
+        runs keep the model.apply oracle path."""
+        if getattr(self.cfg, "eval_engine", "auto") == "plain":
+            return False
+        return (jax.default_backend() == "tpu" and not self.image_only
+                and self.mesh.devices.size == 1
+                and jax.process_count() == 1)
+
     def _process_kwargs(self) -> Dict[str, int]:
         """Multi-host identity for the data loaders: each host assembles only
         its 1/process_count slice of every global batch (generalizes the
@@ -280,7 +290,28 @@ class Trainer:
         identical on 1 or N hosts."""
         cfg = self.cfg
         state = self.ensure_state()
-        if self._jit_eval is None:
+        eval_params = state.params
+        if self._use_fused_eval():
+            # production eval on a single TPU: route through the fused
+            # serving engine (megakernel decoder) — ~1.6x the model.apply
+            # path; logits are golden-tested against model.apply. Params
+            # are re-prepared per call (on-device concat/cast, cheap) so
+            # mid-training evals see the current weights.
+            from mcan_vqa_tpu.ops.serving import (make_serving_fn,
+                                                  prepare_params)
+            if self._jit_eval is None:
+                serve = make_serving_fn(cfg.layer, cfg.multi_head,
+                                        use_pallas=False,
+                                        use_pallas_ffn=True,
+                                        use_sga_megakernel=2)
+                import jax.numpy as jnp
+
+                def _fused_eval(p, img, ques):
+                    return jax.nn.sigmoid(
+                        serve(p, img, ques).astype(jnp.float32))
+                self._jit_eval = jax.jit(_fused_eval)
+            eval_params = prepare_params(state.params, cfg.layer)
+        elif self._jit_eval is None:
             self._jit_eval = shd.jit_eval_step(
                 make_eval_step(self.model, image_only=self.image_only),
                 self.mesh, jax.device_get(state),
@@ -294,7 +325,7 @@ class Trainer:
         for batch in loader:
             inputs = (batch["img"],) if self.image_only else \
                 (batch["img"], batch["ques"])
-            probs = self._jit_eval(state.params, *inputs)
+            probs = self._jit_eval(eval_params, *inputs)
             target = batch.get("target")
             if multiprocess:
                 from jax.experimental import multihost_utils as mhu
