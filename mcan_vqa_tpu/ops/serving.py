@@ -246,19 +246,6 @@ def make_serving_fn(num_layers: int, num_heads: int,
         v = _dense(params["img_feat_linear"], img_feat).astype(stream)
 
         bb = params["backbone"]
-        for i in range(num_layers):
-            p = bb[f"enc_{i}"]
-            if att_block is not None:
-                q = att_block(p["mhatt"], p["norm1"], q, q, q, q_mask)
-            else:
-                att = _mhatt(p["mhatt"], q, q, q, q_mask, num_heads,
-                             use_pallas, interpret)
-                q = ln(p["norm1"], q + att.astype(stream))
-            if ffn_block is not None:
-                q = ffn_block(p["norm2"], p["ffn"]["mlp"], q)
-            else:
-                q = ln(p["norm2"],
-                       q + _mlp(p["ffn"]["mlp"], q).astype(stream))
         # VMEM guard: every block weight must stay resident in the
         # megakernel (bf16). MCAN-small is ~7.6 MB; MCAN-large (~27 MB)
         # falls back to the per-sub-op path.
@@ -269,6 +256,29 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 "FCLayer_0"]["Dense_0"]["kernel"].shape[1]
             if (6 * D * D + 2 * D * F_ff) * 2 > 12 * 1024 * 1024:
                 sga_mode = 0
+
+        if sga_mode == 2:
+            # question path through the fused SA-block megakernel too
+            from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,
+                                                    prepare_sa_block_params)
+            for i in range(num_layers):
+                q = fused_sa_block(
+                    q, q_mask, prepare_sa_block_params(bb[f"enc_{i}"]),
+                    num_heads=num_heads, interpret=interpret)
+        else:
+            for i in range(num_layers):
+                p = bb[f"enc_{i}"]
+                if att_block is not None:
+                    q = att_block(p["mhatt"], p["norm1"], q, q, q, q_mask)
+                else:
+                    att = _mhatt(p["mhatt"], q, q, q, q_mask, num_heads,
+                                 use_pallas, interpret)
+                    q = ln(p["norm1"], q + att.astype(stream))
+                if ffn_block is not None:
+                    q = ffn_block(p["norm2"], p["ffn"]["mlp"], q)
+                else:
+                    q = ln(p["norm2"],
+                           q + _mlp(p["ffn"]["mlp"], q).astype(stream))
 
         if sga_mode:
             from mcan_vqa_tpu.ops.sga_block import (

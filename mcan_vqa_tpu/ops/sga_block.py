@@ -94,6 +94,29 @@ def prepare_sga_block_params(p: Dict[str, Any], num_heads: int) -> Dict[str, Any
     }
 
 
+def prepare_sa_block_params(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Re-layout one ENCODER block's params (models.mca.SA: self-att + FFN,
+    reference core/model/mca.py:105-127) for the fused SA block kernel."""
+    m = p["mhatt"]
+    mlp = p["ffn"]["mlp"]
+    return {
+        "wqkv": jnp.concatenate([m["linear_q"]["kernel"],
+                                 m["linear_k"]["kernel"],
+                                 m["linear_v"]["kernel"]], axis=1),
+        "bqkv": jnp.concatenate([m["linear_q"]["bias"],
+                                 m["linear_k"]["bias"],
+                                 m["linear_v"]["bias"]]),
+        "wm": m["linear_merge"]["kernel"],
+        "bm": m["linear_merge"]["bias"],
+        "ln1_s": p["norm1"]["scale"], "ln1_b": p["norm1"]["bias"],
+        "w1": mlp["FCLayer_0"]["Dense_0"]["kernel"],
+        "b1": mlp["FCLayer_0"]["Dense_0"]["bias"],
+        "w2": mlp["Dense_0"]["kernel"],
+        "b2": mlp["Dense_0"]["bias"],
+        "ln2_s": p["norm2"]["scale"], "ln2_b": p["norm2"]["bias"],
+    }
+
+
 def _ln(r, scale, bias):
     d = r.shape[-1]
     mean = jnp.mean(r, axis=-1, keepdims=True)
@@ -362,4 +385,105 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
       wp["wm1"], wp["bm1"], wp["ln1_s"], wp["ln1_b"],
       wp["wq2"], wp["bq2"], wp["wm2"], wp["bm2"], wp["ln2_s"], wp["ln2_b"],
       wp["w1"], wp["b1"], wp["w2"], wp["b2"], wp["ln3_s"], wp["ln3_b"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SA encoder-block megakernel (question path): self-att + FFN + 2 LNs
+# ---------------------------------------------------------------------------
+
+def _sa_kernel(x_ref, pad_ref, wqkv_ref, bqkv_ref, wm_ref, bm_ref,
+               ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
+               scale: float):
+    """One whole reference SA block (core/model/mca.py:105-127):
+    x = LN1(x + merge(self_att(x))); x = LN2(x + FFN(x)) — fused-projection
+    layout (one [D,3D] qkv matmul, per-head lane slices)."""
+    G = group
+    Lq, D = x_ref.shape[1], x_ref.shape[2]
+    Dh = D // heads
+    M = G * Lq
+
+    x = x_ref[:].reshape(M, D).astype(jnp.float32)
+
+    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+    mask_add = (off.astype(jnp.float32)
+                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    qkv = jnp.dot(x.astype(jnp.bfloat16), wqkv_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + bqkv_ref[:]
+    ohs = []
+    for h in range(heads):
+        qh = qkv[:, h * Dh:(h + 1) * Dh].astype(jnp.bfloat16)
+        kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
+        vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        ohs.append(jnp.dot(att, vh, preferred_element_type=jnp.float32))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = jnp.dot(atted.astype(jnp.bfloat16), wm_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    x1 = _ln(x + y + bm_ref[:], ln1s_ref[:], ln1b_ref[:])
+
+    h1 = jnp.dot(x1.astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32) + b1_ref[:]
+    h1 = jnp.maximum(h1, 0.0)
+    y = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b2_ref[:]
+    x2 = _ln(x1 + y, ln2s_ref[:], ln2b_ref[:])
+
+    o_ref[:] = x2.reshape(G, Lq, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "group", "interpret"))
+def fused_sa_block(x, x_mask, wp: Dict[str, Any], *, num_heads: int,
+                   group: int = 0, interpret: bool = False):
+    """Run one whole SA encoder block. x [B, Lq, D]; x_mask bool
+    [B, 1, 1, Lq]; wp from prepare_sa_block_params. group=0 picks the
+    largest divisor of B with G*Lq <= 128. Returns [B, Lq, D] in x's
+    dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, D = x.shape
+    H = num_heads
+    scale = 1.0 / ((D // H) ** 0.5)
+    G = group if group > 0 else max(1, 128 // Lq)
+    while B % G:
+        G -= 1
+
+    if x_mask is None:
+        pad = jnp.zeros((B // G, 1, G * Lq), jnp.int8)
+    else:
+        pad = x_mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * Lq)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    F = wp["w1"].shape[1]
+    out = pl.pallas_call(
+        functools.partial(_sa_kernel, heads=H, group=G, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((D, 3 * D)), rep((3 * D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),
+            rep((D,)), rep((D,)),
+        ],
+        out_specs=pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), x.dtype),
+        interpret=interpret,
+    )(x, pad, wp["wqkv"], wp["bqkv"], wp["wm"], wp["bm"],
+      wp["ln1_s"], wp["ln1_b"], wp["w1"], wp["b1"], wp["w2"], wp["b2"],
+      wp["ln2_s"], wp["ln2_b"])
     return out

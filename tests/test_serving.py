@@ -198,3 +198,29 @@ class TestSGAMegakernel:
                           deterministic=True)["logits"]
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
+
+    def test_sa_block_direct_parity(self):
+        """fused_sa_block vs the op-by-op encoder block composition."""
+        from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,
+                                                prepare_sa_block_params)
+        from mcan_vqa_tpu.ops.serving import (_mhatt, _mlp, _std_layer_norm)
+        cfg, model, params, img, ques = _setup()
+        p = params["backbone"]["enc_0"]
+        H = cfg.multi_head
+        rng = np.random.default_rng(12)
+        B, Lq, D = 6, 7, cfg.hidden_size
+        q = rng.normal(size=(B, Lq, D)).astype(np.float32)
+        q_mask = np.zeros((B, 1, 1, Lq), bool)
+        q_mask[0, ..., 4:] = True
+        q_mask[3, ..., 2:] = True
+
+        att = _mhatt(p["mhatt"], q, q, q, jnp.asarray(q_mask), H,
+                     False, False)
+        q1 = _std_layer_norm(p["norm1"], q + att)
+        ref = _std_layer_norm(p["norm2"], q1 + _mlp(p["ffn"]["mlp"], q1))
+
+        ours = fused_sa_block(q, jnp.asarray(q_mask),
+                              prepare_sa_block_params(p), num_heads=H,
+                              group=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=3e-2, rtol=3e-2)
