@@ -84,7 +84,8 @@ def main() -> None:
         # INSIDE it (0=XLA, 1=per-(b,h), 2=batch-blocked, 3=block-diagonal
         # packed), so attention variants are compared like-for-like.
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
-        params = prepare_params(params, cfg.layer)
+        params = prepare_params(params, cfg.layer,
+                                num_heads=cfg.multi_head)
         # bf16 residual stream is the default: validated on real-format
         # data (tests/test_bf16_stream.py: top-1 agreement >= 98%, official
         # accuracy delta bounded) and measured +2.7% once the fused kernels

@@ -49,7 +49,8 @@ class Predictor:
         if engine == "fused":
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
                                                   prepare_params)
-            self.params = prepare_params(params, cfg.layer)
+            self.params = prepare_params(params, cfg.layer,
+                                         num_heads=cfg.multi_head)
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
                                     use_sga_megakernel=2)

@@ -74,14 +74,28 @@ def _lstm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(hs, 0, 1)
 
 
+def megakernel_vmem_ok(D: int, F: int) -> bool:
+    """True when one decoder block's weights fit the megakernel's VMEM
+    budget in bf16 (MCAN-small ~7.6 MB yes; MCAN-large ~27 MB no)."""
+    return (6 * D * D + 2 * D * F) * 2 <= 12 * 1024 * 1024
+
+
 def prepare_params(params: Dict[str, Any], num_layers: int,
-                   cast_bf16: bool = True) -> Dict[str, Any]:
+                   cast_bf16: bool = True,
+                   megakernel: bool = True,
+                   num_heads: int = 8) -> Dict[str, Any]:
     """One-time param prep: fuse each attention block's projections.
 
     Self-attention (q=k=v source): W_q|W_k|W_v -> one [D, 3D] kernel.
     Cross-attention (k=v source): W_k|W_v -> one [D, 2D] kernel.
     Fewer, larger matmuls per block — better MXU fill and fewer dispatches.
     ``make_serving_fn``'s forward auto-detects the fused entries.
+
+    megakernel: additionally attach each block's megakernel weight layout
+    (``_mk`` entries, ops/sga_block.py) so the relayout happens ONCE here
+    instead of on every forward call (~42 MB of weight concats per call at
+    MCAN-small otherwise). Skipped automatically when the block exceeds
+    the kernel's VMEM budget (MCAN-large).
     """
     def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
         # jnp (not np): params may live on device; keep the concat there
@@ -109,6 +123,19 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                 return leaf.astype(jnp.bfloat16)
             return leaf
         out = jax.tree_util.tree_map_with_path(cast, out)
+    if megakernel:
+        bb = out["backbone"]
+        D = bb["dec_0"]["mhatt1"]["linear_q"]["kernel"].shape[0]
+        F = bb["dec_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+            "kernel"].shape[1]
+        if megakernel_vmem_ok(D, F):
+            from mcan_vqa_tpu.ops.sga_block import (
+                prepare_sa_block_params, prepare_sga_block_params)
+            for i in range(num_layers):
+                bb[f"enc_{i}"]["_mk"] = prepare_sa_block_params(
+                    bb[f"enc_{i}"])
+                bb[f"dec_{i}"]["_mk"] = prepare_sga_block_params(
+                    bb[f"dec_{i}"], num_heads)
     return out
 
 
@@ -254,7 +281,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             D = v.shape[-1]
             F_ff = params["backbone"]["dec_0"]["ffn"]["mlp"][
                 "FCLayer_0"]["Dense_0"]["kernel"].shape[1]
-            if (6 * D * D + 2 * D * F_ff) * 2 > 12 * 1024 * 1024:
+            if not megakernel_vmem_ok(D, F_ff):
                 sga_mode = 0
 
         if sga_mode == 2:
@@ -262,9 +289,10 @@ def make_serving_fn(num_layers: int, num_heads: int,
             from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,
                                                     prepare_sa_block_params)
             for i in range(num_layers):
-                q = fused_sa_block(
-                    q, q_mask, prepare_sa_block_params(bb[f"enc_{i}"]),
-                    num_heads=num_heads, interpret=interpret)
+                p = bb[f"enc_{i}"]
+                wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
+                q = fused_sa_block(q, q_mask, wp, num_heads=num_heads,
+                                   interpret=interpret)
         else:
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
@@ -286,7 +314,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"dec_{i}"]
                 kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
-                wp = prepare_sga_block_params(p, num_heads)
+                wp = (p["_mk"] if "_mk" in p
+                      else prepare_sga_block_params(p, num_heads))
                 v = fused_sga_block(
                     v, kq, vq, v_mask, q_mask, wp,
                     num_heads=num_heads, group=sga_group,

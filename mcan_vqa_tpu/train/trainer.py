@@ -62,7 +62,8 @@ class Trainer:
                 flat_glimpses=cfg.flat_glimpses,
                 flat_out_size=cfg.flat_out_size,
                 dropout_rate=cfg.dropout_rate,
-                dtype=jnp.dtype(cfg.compute_dtype), use_pallas=use_pallas)
+                dtype=jnp.dtype(cfg.compute_dtype), use_pallas=use_pallas,
+                dropout_bits=getattr(cfg, "dropout_bits", 8))
         else:
             self.model = build_mcan(
                 cfg, self.token_size, self.ans_size,
@@ -310,7 +311,8 @@ class Trainer:
                     return jax.nn.sigmoid(
                         serve(p, img, ques).astype(jnp.float32))
                 self._jit_eval = jax.jit(_fused_eval)
-            eval_params = prepare_params(state.params, cfg.layer)
+            eval_params = prepare_params(state.params, cfg.layer,
+                                         num_heads=cfg.multi_head)
         elif self._jit_eval is None:
             self._jit_eval = shd.jit_eval_step(
                 make_eval_step(self.model, image_only=self.image_only),
