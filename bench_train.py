@@ -50,11 +50,13 @@ def main() -> None:
     ablate = os.environ.get("BENCH_ABLATE", "")
     mu_dtype = os.environ.get("BENCH_MU_DTYPE", "")   # e.g. bfloat16
     no_dropout = os.environ.get("BENCH_NO_DROPOUT", "0") == "1"
+    dropout_bits = int(os.environ.get("BENCH_DROPOUT_BITS", "8"))
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
                  grad_accu_steps=accu, opt_mu_dtype=mu_dtype,
                  dropout_rate=0.0 if no_dropout else 0.1,
+                 dropout_bits=dropout_bits,
                  use_glove=False, fused_qkv=use_fused, use_remat=use_remat,
                  attention_packing=use_packing).finalize()
     model = build_mcan(cfg, token_size=20000, answer_size=3129)
@@ -143,6 +145,7 @@ def main() -> None:
         **({"ablate": ablate} if ablate else {}),
         **({"mu_dtype": mu_dtype} if mu_dtype else {}),
         **({"no_dropout": True} if no_dropout else {}),
+        **({"dropout_bits": dropout_bits} if dropout_bits != 8 else {}),
     }))
 
 

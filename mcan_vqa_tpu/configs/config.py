@@ -99,6 +99,11 @@ class Config:
     # threefry dropout measured 42% of the MCAN-small train step) or
     # "threefry" (jax default; jax-version-stable mask sequences)
     dropout_rng_impl: str = "rbg"
+    # random bits drawn per dropout keep decision: 8 (default, 4x less
+    # RngBitGenerator work; keep prob quantized to 1/256 — 0.16% rate skew
+    # at rate=0.1, rescale stays exactly unbiased), 16 (<2e-5 skew), or
+    # 32 (jax.random.bernoulli, exact reference rate). See ops/dropout.py.
+    dropout_bits: int = 8
     # eval engine: "auto" (fused serving engine on single-TPU, model.apply
     # elsewhere) or "plain" (always model.apply)
     eval_engine: str = "auto"

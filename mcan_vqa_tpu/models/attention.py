@@ -28,6 +28,8 @@ class MHAtt(nn.Module):
     # linear_q). Fused layouts need checkpoint.fuse_qkv_params to load
     # reference weights.
     qkv_mode: str = "separate"
+    # random bits per attention-map dropout decision (ops/dropout.py)
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, v, k, q, mask, deterministic: bool = True):
@@ -68,11 +70,13 @@ class MHAtt(nn.Module):
             atted = packed_masked_attention(
                 qp, kp, vp, mask, pack=pack,
                 dropout_rate=rate, dropout_rng=dropout_rng,
+                dropout_bits=self.dropout_bits,
                 compute_dtype=self.dtype)
         else:
             atted = masked_attention(
                 qp, kp, vp, mask,
                 dropout_rate=rate, dropout_rng=dropout_rng,
+                dropout_bits=self.dropout_bits,
                 compute_dtype=self.dtype,
                 use_pallas=self.use_pallas,
             )  # [B, H, Lq, Dh] fp32

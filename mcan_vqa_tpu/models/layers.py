@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mcan_vqa_tpu.ops.dropout import TpuDropout
+
 
 def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — PyTorch nn.Linear default.
@@ -85,6 +87,7 @@ class FCLayer(nn.Module):
     dropout_rate: float = 0.0
     use_relu: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -92,7 +95,8 @@ class FCLayer(nn.Module):
         if self.use_relu:
             x = jax.nn.relu(x)
         if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+            x = TpuDropout(self.dropout_rate, self.dropout_bits)(
+                x, deterministic)
         return x
 
 
@@ -104,11 +108,13 @@ class MLPBlock(nn.Module):
     dropout_rate: float = 0.0
     use_relu: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = FCLayer(self.mid_features, self.dropout_rate, self.use_relu,
-                    dtype=self.dtype)(x, deterministic)
+                    dtype=self.dtype, dropout_bits=self.dropout_bits)(
+                        x, deterministic)
         return Dense(self.out_features, dtype=self.dtype)(x)
 
 

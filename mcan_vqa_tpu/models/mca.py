@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from mcan_vqa_tpu.models.attention import MHAtt
 from mcan_vqa_tpu.models.layers import MLPBlock, StdLayerNorm
+from mcan_vqa_tpu.ops.dropout import TpuDropout
 
 
 class FFN(nn.Module):
@@ -25,13 +26,14 @@ class FFN(nn.Module):
     ff_size: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         return MLPBlock(
             mid_features=self.ff_size, out_features=self.hidden_size,
             dropout_rate=self.dropout_rate, use_relu=True, dtype=self.dtype,
-            name="mlp")(x, deterministic)
+            dropout_bits=self.dropout_bits, name="mlp")(x, deterministic)
 
 
 class SA(nn.Module):
@@ -45,19 +47,22 @@ class SA(nn.Module):
     use_pallas: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
-        drop = lambda y: nn.Dropout(self.dropout_rate,
-                                    deterministic=deterministic)(y)
+        drop = lambda y: TpuDropout(self.dropout_rate,
+                                    self.dropout_bits)(y, deterministic)
         att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     use_packing=self.use_packing,
                     qkv_mode="self" if self.fused_qkv else "separate",
+                    dropout_bits=self.dropout_bits,
                     name="mhatt")(x, x, x, x_mask, deterministic)
         x = StdLayerNorm(name="norm1")(x + drop(att))
         ff = FFN(self.hidden_size, self.ff_size, self.dropout_rate,
-                 dtype=self.dtype, name="ffn")(x, deterministic)
+                 dtype=self.dtype, dropout_bits=self.dropout_bits,
+                 name="ffn")(x, deterministic)
         x = StdLayerNorm(name="norm2")(x + drop(ff))
         return x
 
@@ -76,13 +81,15 @@ class SGA(nn.Module):
     use_pallas: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
-        drop = lambda z: nn.Dropout(self.dropout_rate,
-                                    deterministic=deterministic)(z)
+        drop = lambda z: TpuDropout(self.dropout_rate,
+                                    self.dropout_bits)(z, deterministic)
         kw = dict(dtype=self.dtype, use_pallas=self.use_pallas,
-                  use_packing=self.use_packing)
+                  use_packing=self.use_packing,
+                  dropout_bits=self.dropout_bits)
         self_att = MHAtt(self.hidden_size, self.num_heads, self.dropout_rate,
                          qkv_mode="self" if self.fused_qkv else "separate",
                          name="mhatt1", **kw)(x, x, x, x_mask, deterministic)
@@ -92,7 +99,8 @@ class SGA(nn.Module):
                           name="mhatt2", **kw)(y, y, x, y_mask, deterministic)
         x = StdLayerNorm(name="norm2")(x + drop(cross_att))
         ff = FFN(self.hidden_size, self.ff_size, self.dropout_rate,
-                 dtype=self.dtype, name="ffn")(x, deterministic)
+                 dtype=self.dtype, dropout_bits=self.dropout_bits,
+                 name="ffn")(x, deterministic)
         x = StdLayerNorm(name="norm3")(x + drop(ff))
         return x
 
@@ -117,13 +125,15 @@ class MCAEncoderDecoder(nn.Module):
     use_remat: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
         kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
                   ff_size=self.ff_size, dropout_rate=self.dropout_rate,
                   dtype=self.dtype, use_pallas=self.use_pallas,
-                  use_packing=self.use_packing, fused_qkv=self.fused_qkv)
+                  use_packing=self.use_packing, fused_qkv=self.fused_qkv,
+                  dropout_bits=self.dropout_bits)
         sa_cls, sga_cls = SA, SGA
         if self.use_remat:
             # static_argnums counts the bound module as arg 0, so
@@ -151,13 +161,15 @@ class MCAEncoder(nn.Module):
     use_pallas: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, y, y_mask, deterministic: bool = True):
         kw = dict(hidden_size=self.hidden_size, num_heads=self.num_heads,
                   ff_size=self.ff_size, dropout_rate=self.dropout_rate,
                   dtype=self.dtype, use_pallas=self.use_pallas,
-                  use_packing=self.use_packing, fused_qkv=self.fused_qkv)
+                  use_packing=self.use_packing, fused_qkv=self.fused_qkv,
+                  dropout_bits=self.dropout_bits)
         for i in range(self.num_layers):
             y = SA(name=f"enc_{i}", **kw)(y, y_mask, deterministic)
         return y

@@ -39,6 +39,7 @@ class AttFlat(nn.Module):
     flat_out_size: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
@@ -46,7 +47,7 @@ class AttFlat(nn.Module):
         att = MLPBlock(
             mid_features=self.flat_mlp_size, out_features=self.flat_glimpses,
             dropout_rate=self.dropout_rate, use_relu=True, dtype=self.dtype,
-            name="mlp")(x, deterministic)                       # [B, L, G]
+            dropout_bits=self.dropout_bits, name="mlp")(x, deterministic)                       # [B, L, G]
         pad = x_mask[:, 0, 0, :, None]                          # [B, L, 1]
         att = jnp.where(pad, _MASK_FILL, att)
         att = nn.softmax(att.astype(jnp.float32), axis=1)        # over L
@@ -83,6 +84,8 @@ class MCANet(nn.Module):
     use_remat: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
+    # random bits per dropout keep decision (ops/dropout.py; 32 = exact)
+    dropout_bits: int = 8
     # GloVe init: a callable (key, shape, dtype) -> array, or None for N(0,1).
     # A callable (not the raw matrix) so the module stays hashable for jit.
     emb_init_fn: Optional[Any] = None
@@ -108,6 +111,7 @@ class MCANet(nn.Module):
             dropout_rate=self.dropout_rate, dtype=self.dtype,
             use_pallas=self.use_pallas, use_remat=self.use_remat,
             use_packing=self.use_packing, fused_qkv=self.fused_qkv,
+            dropout_bits=self.dropout_bits,
             name="backbone",
         )(q, v, q_mask, v_mask, deterministic)
 
@@ -115,7 +119,8 @@ class MCANet(nn.Module):
                        flat_mlp_size=self.flat_mlp_size,
                        flat_glimpses=self.flat_glimpses,
                        flat_out_size=self.flat_out_size,
-                       dropout_rate=self.dropout_rate, dtype=self.dtype)
+                       dropout_rate=self.dropout_rate, dtype=self.dtype,
+                       dropout_bits=self.dropout_bits)
         lang_flat, q_w = AttFlat(name="attflat_lang", **flat_kw)(
             q, q_mask, deterministic)
         img_flat, v_w = AttFlat(name="attflat_img", **flat_kw)(
@@ -147,6 +152,7 @@ class ClassifierNet(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    dropout_bits: int = 8
 
     @nn.compact
     def __call__(self, img_feat, deterministic: bool = True) -> Dict[str, Any]:
@@ -157,12 +163,14 @@ class ClassifierNet(nn.Module):
             num_layers=self.num_layers, hidden_size=self.hidden_size,
             num_heads=self.num_heads, ff_size=self.ff_size,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="backbone",
+            use_pallas=self.use_pallas, dropout_bits=self.dropout_bits,
+            name="backbone",
         )(v, v_mask, deterministic)
         img_flat, v_w = AttFlat(
             hidden_size=self.hidden_size, flat_mlp_size=self.flat_mlp_size,
             flat_glimpses=self.flat_glimpses, flat_out_size=self.flat_out_size,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
+            dropout_bits=self.dropout_bits,
             name="attflat_img")(v, v_mask, deterministic)
         fused = StdLayerNorm(name="proj_norm")(img_flat)
         logits = Dense(self.answer_size, dtype=self.dtype, name="proj")(fused)
@@ -199,5 +207,6 @@ def build_mcan(cfg, token_size: int, answer_size: int,
         use_packing=(getattr(cfg, "attention_packing", False)
                      if use_packing is None else use_packing),
         fused_qkv=getattr(cfg, "fused_qkv", False),
+        dropout_bits=getattr(cfg, "dropout_bits", 8),
         emb_init_fn=emb_init_fn,
     )

@@ -34,11 +34,14 @@ def masked_attention_xla(
     *,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_bits: int = 8,
     compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
     """q,k,v: [B, H, Lq, Dh] / [B, H, Lk, Dh]; mask: bool [B, 1, 1, Lk].
 
     Matmuls run in ``compute_dtype`` on the MXU; softmax in float32.
+    dropout_bits: random bits per attention-map keep decision
+    (ops/dropout.py; 32 = exact jax.random.bernoulli rate).
     """
     d_k = q.shape[-1]
     scale = 1.0 / (d_k ** 0.5)
@@ -49,8 +52,8 @@ def masked_attention_xla(
         scores = jnp.where(mask, _NEG_INF, scores)
     att = jax.nn.softmax(scores, axis=-1)  # fp32
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, att.shape)
-        att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
+        from mcan_vqa_tpu.ops.dropout import dropout as _dropout
+        att = _dropout(att, dropout_rate, dropout_rng, dropout_bits)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", att.astype(compute_dtype), v.astype(compute_dtype),
         preferred_element_type=jnp.float32)
@@ -308,6 +311,7 @@ def masked_attention(
     q, k, v, mask, *,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    dropout_bits: int = 8,
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = False,
     interpret: bool = False,
@@ -318,4 +322,4 @@ def masked_attention(
         return masked_attention_pallas(q, k, v, mask, interpret=interpret)
     return masked_attention_xla(
         q, k, v, mask, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-        compute_dtype=compute_dtype)
+        dropout_bits=dropout_bits, compute_dtype=compute_dtype)

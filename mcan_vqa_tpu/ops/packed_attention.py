@@ -47,6 +47,7 @@ def packed_masked_attention(
     pack: int,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_bits: int = 8,
     compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
     """q [B, H, Lq, Dh], k/v [B, H, Lk, Dh], mask bool [B, 1, 1, Lk].
@@ -59,7 +60,8 @@ def packed_masked_attention(
         from mcan_vqa_tpu.ops.masked_attention import masked_attention_xla
         return masked_attention_xla(
             q, k, v, mask, dropout_rate=dropout_rate,
-            dropout_rng=dropout_rng, compute_dtype=compute_dtype)
+            dropout_rng=dropout_rng, dropout_bits=dropout_bits,
+            compute_dtype=compute_dtype)
 
     G = B // pack  # packed groups
 
@@ -88,8 +90,8 @@ def packed_masked_attention(
     scores = jnp.where(allowed[:, None, :, :], scores, _NEG_INF)
     att = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, att.shape)
-        att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
+        from mcan_vqa_tpu.ops.dropout import dropout as _dropout
+        att = _dropout(att, dropout_rate, dropout_rng, dropout_bits)
     out = jnp.einsum(
         "ghqk,ghkd->ghqd", att.astype(compute_dtype), vp.astype(compute_dtype),
         preferred_element_type=jnp.float32)              # [G, H, pack*Lq, Dh]
