@@ -50,7 +50,11 @@ def main() -> None:
     ablate = os.environ.get("BENCH_ABLATE", "")
     mu_dtype = os.environ.get("BENCH_MU_DTYPE", "")   # e.g. bfloat16
     no_dropout = os.environ.get("BENCH_NO_DROPOUT", "0") == "1"
-    dropout_bits = int(os.environ.get("BENCH_DROPOUT_BITS", "8"))
+    dropout_bits = int(os.environ.get("BENCH_DROPOUT_BITS", "32"))
+    # fused-block engine: decoder fwd+bwd through the custom-VJP SGA
+    # megakernel (train/fused_engine.py); value = samples packed per grid
+    # step (0 = off)
+    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "0"))
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
@@ -79,6 +83,30 @@ def main() -> None:
                               grad_accu_steps=cfg.grad_accu_steps,
                               lr_schedule=make_lr_schedule(
                                   cfg.lr_base, B * 100, B))
+
+    if fused_block:
+        import optax
+
+        from mcan_vqa_tpu.train.fused_engine import make_fused_train_forward
+        from mcan_vqa_tpu.train.step import bce_with_logits_sum
+
+        fwd = make_fused_train_forward(
+            cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
+            dropout_bits=dropout_bits, group=fused_block)
+
+        def loss_fn(params, batch, rng):
+            logits = fwd(params, batch["img"], batch["ques"], rng)
+            return bce_with_logits_sum(logits, batch["target"])
+
+        lr_schedule = make_lr_schedule(cfg.lr_base, B * 100, B)
+
+        def step_fn(st, batch):  # noqa: F811
+            rng = jax.random.fold_in(st.dropout_rng, st.step)
+            loss, grads = jax.value_and_grad(loss_fn)(st.params, batch, rng)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return st.replace(params=params, opt_state=opt_state,
+                              step=st.step + 1), {"loss": loss}
 
     if ablate:
         from mcan_vqa_tpu.train.step import bce_with_logits_sum
@@ -145,7 +173,8 @@ def main() -> None:
         **({"ablate": ablate} if ablate else {}),
         **({"mu_dtype": mu_dtype} if mu_dtype else {}),
         **({"no_dropout": True} if no_dropout else {}),
-        **({"dropout_bits": dropout_bits} if dropout_bits != 8 else {}),
+        **({"dropout_bits": dropout_bits} if dropout_bits != 32 else {}),
+        **({"fused_block": fused_block} if fused_block else {}),
     }))
 
 

@@ -99,11 +99,14 @@ class Config:
     # threefry dropout measured 42% of the MCAN-small train step) or
     # "threefry" (jax default; jax-version-stable mask sequences)
     dropout_rng_impl: str = "rbg"
-    # random bits drawn per dropout keep decision: 8 (default, 4x less
-    # RngBitGenerator work; keep prob quantized to 1/256 — 0.16% rate skew
-    # at rate=0.1, rescale stays exactly unbiased), 16 (<2e-5 skew), or
-    # 32 (jax.random.bernoulli, exact reference rate). See ops/dropout.py.
-    dropout_bits: int = 8
+    # random bits drawn per dropout keep decision: 32 (default —
+    # jax.random.bernoulli, exact reference rate), 16, or 8. Measured on
+    # TPU v5e at MCAN-small B=256: 32 -> 49.0 ms/step, 16 -> 58.6, 8 ->
+    # 57.3 — the narrow-int bitcast/compare costs MORE than the saved
+    # RngBitGenerator work, so sub-32-bit masks stay opt-in (they matter
+    # only as the uint8 input format of the fused train kernels, where the
+    # select runs in-kernel). See ops/dropout.py.
+    dropout_bits: int = 32
     # eval engine: "auto" (fused serving engine on single-TPU, model.apply
     # elsewhere) or "plain" (always model.apply)
     eval_engine: str = "auto"

@@ -29,7 +29,7 @@ class MHAtt(nn.Module):
     # reference weights.
     qkv_mode: str = "separate"
     # random bits per attention-map dropout decision (ops/dropout.py)
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, v, k, q, mask, deterministic: bool = True):

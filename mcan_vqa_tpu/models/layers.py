@@ -87,7 +87,7 @@ class FCLayer(nn.Module):
     dropout_rate: float = 0.0
     use_relu: bool = True
     dtype: jnp.dtype = jnp.bfloat16
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -108,7 +108,7 @@ class MLPBlock(nn.Module):
     dropout_rate: float = 0.0
     use_relu: bool = True
     dtype: jnp.dtype = jnp.bfloat16
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):

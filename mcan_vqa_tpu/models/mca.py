@@ -26,7 +26,7 @@ class FFN(nn.Module):
     ff_size: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -47,7 +47,7 @@ class SA(nn.Module):
     use_pallas: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
@@ -81,7 +81,7 @@ class SGA(nn.Module):
     use_pallas: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
@@ -125,7 +125,7 @@ class MCAEncoderDecoder(nn.Module):
     use_remat: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, y, x_mask, y_mask, deterministic: bool = True):
@@ -161,7 +161,7 @@ class MCAEncoder(nn.Module):
     use_pallas: bool = False
     use_packing: bool = False
     fused_qkv: bool = False
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, y, y_mask, deterministic: bool = True):

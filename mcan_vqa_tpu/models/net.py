@@ -39,7 +39,7 @@ class AttFlat(nn.Module):
     flat_out_size: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
@@ -85,7 +85,7 @@ class MCANet(nn.Module):
     use_packing: bool = False
     fused_qkv: bool = False
     # random bits per dropout keep decision (ops/dropout.py; 32 = exact)
-    dropout_bits: int = 8
+    dropout_bits: int = 32
     # GloVe init: a callable (key, shape, dtype) -> array, or None for N(0,1).
     # A callable (not the raw matrix) so the module stays hashable for jit.
     emb_init_fn: Optional[Any] = None
@@ -152,7 +152,7 @@ class ClassifierNet(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
-    dropout_bits: int = 8
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, img_feat, deterministic: bool = True) -> Dict[str, Any]:
@@ -207,6 +207,6 @@ def build_mcan(cfg, token_size: int, answer_size: int,
         use_packing=(getattr(cfg, "attention_packing", False)
                      if use_packing is None else use_packing),
         fused_qkv=getattr(cfg, "fused_qkv", False),
-        dropout_bits=getattr(cfg, "dropout_bits", 8),
+        dropout_bits=getattr(cfg, "dropout_bits", 32),
         emb_init_fn=emb_init_fn,
     )

@@ -28,8 +28,11 @@ class TrainState:
         TPU-native XLA RngBitGenerator — measured 30 ms/step cheaper than
         the default threefry at MCAN-small B=256 (dropout was 42% of the
         step); dropout masks are statistically equivalent but not
-        bit-identical to threefry's. "threefry" restores the jax default
-        (and jax-version-stable mask sequences)."""
+        bit-identical to threefry's. "threefry" (alias for jax's
+        "threefry2x32") restores the jax default (and jax-version-stable
+        mask sequences)."""
+        if rng_impl == "threefry":
+            rng_impl = "threefry2x32"
         return cls(
             params=params,
             opt_state=tx.init(params),

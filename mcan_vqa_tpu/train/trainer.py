@@ -63,7 +63,7 @@ class Trainer:
                 flat_out_size=cfg.flat_out_size,
                 dropout_rate=cfg.dropout_rate,
                 dtype=jnp.dtype(cfg.compute_dtype), use_pallas=use_pallas,
-                dropout_bits=getattr(cfg, "dropout_bits", 8))
+                dropout_bits=getattr(cfg, "dropout_bits", 32))
         else:
             self.model = build_mcan(
                 cfg, self.token_size, self.ans_size,
