@@ -1,0 +1,161 @@
+"""Fused TRAINING engine: raw-params MCAN forward built for value_and_grad.
+
+The serving engine (ops/serving.py) routes inference through the SGA
+megakernel; this is its training counterpart. The full forward is a pure,
+differentiable function of the standard MCANet param pytree:
+
+  * the 6 decoder (SGA) blocks — ~80% of model FLOPs — run through the
+    custom-VJP fused block (ops/sga_train.py): one kernel launch forward,
+    two backward (recompute-style), dropout masks external and shared
+    between fwd and bwd;
+  * everything else (embedding, LSTM, encoder SA stack over 14 tokens,
+    AttFlat heads, classifier proj) is plain XLA with ops.dropout masks —
+    small shapes where XLA fusion is already the right tool;
+  * the param relayout (qkv concat, bf16 weight casts) happens inside the
+    differentiated function, so ``jax.grad`` lands in the standard tree.
+
+Single-device training path (like the fused eval engine): the sharded
+multi-chip step keeps the model.apply route. Reference semantics:
+core/model/net.py:337-375 (Net2.forward), core/model/mca.py:85-207.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from mcan_vqa_tpu.models.layers import make_mask
+from mcan_vqa_tpu.ops.dropout import dropout as bit_dropout
+from mcan_vqa_tpu.ops.serving import _dense, _lstm, _mlp, _std_layer_norm
+from mcan_vqa_tpu.ops.sga_train import (fused_sga_block_train,
+                                        make_dropout_masks,
+                                        prepare_sga_train_params)
+
+BF16 = jnp.bfloat16
+
+
+def _masked_attention_train(p, v, k, q, mask, num_heads, rate, rng, bits):
+    """XLA multi-head attention with attention-map dropout (encoder path)."""
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    Dh = D // num_heads
+
+    def split(x, L):
+        return x.reshape(B, L, num_heads, Dh).transpose(0, 2, 1, 3)
+
+    qp = split(_dense(p["linear_q"], q), Lq)
+    kp = split(_dense(p["linear_k"], k), Lk)
+    vp = split(_dense(p["linear_v"], v), Lk)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qp.astype(BF16), kp.astype(BF16),
+                        preferred_element_type=jnp.float32) / (Dh ** 0.5)
+    scores = jnp.where(mask, -1e9, scores)
+    att = jax.nn.softmax(scores, axis=-1)
+    if rate > 0.0:
+        att = bit_dropout(att, rate, rng, bits)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att.astype(BF16), vp.astype(BF16),
+                     preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return _dense(p["linear_merge"], out)
+
+
+def _mlp_train(p, x, rate, rng, bits):
+    h = jax.nn.relu(_dense(p["FCLayer_0"]["Dense_0"], x))
+    if rate > 0.0:
+        h = bit_dropout(h, rate, rng, bits)
+    return _dense(p["Dense_0"], h)
+
+
+def _attflat_train(p, x, mask, rate, rng, bits):
+    logits = _mlp_train(p["mlp"], x, rate, rng, bits)
+    logits = jnp.where(mask[:, 0, 0, :, None], -1e9, logits)
+    att = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    pooled = jnp.einsum("blg,bld->bgd", att.astype(BF16), x.astype(BF16),
+                        preferred_element_type=jnp.float32)
+    return _dense(p["linear_merge"], pooled.reshape(x.shape[0], -1))
+
+
+def make_fused_train_forward(num_layers: int, num_heads: int,
+                             dropout_rate: float = 0.1,
+                             dropout_bits: int = 32,
+                             group: int = 2,
+                             interpret: bool = False):
+    """Build forward(params, img_feat, ques_ix, rng) -> logits [B, A].
+
+    Differentiable w.r.t. params (standard MCANet tree). rng drives every
+    dropout site; pass rate=0 for a deterministic forward.
+    """
+
+    def forward(params, img_feat, ques_ix, rng):
+        q_mask = make_mask(ques_ix[..., None])
+        v_mask = make_mask(img_feat)
+        rate = dropout_rate
+
+        # one key per consumer site, fixed order
+        n_enc_keys = 3 * num_layers
+        keys = jax.random.split(rng, n_enc_keys + num_layers + 2)
+        enc_keys, dec_keys = keys[:n_enc_keys], keys[n_enc_keys:-2]
+        flat_keys = keys[-2:]
+
+        q = jnp.take(params["embedding"]["embedding"], ques_ix, axis=0)
+        q = _lstm(params["lstm"], q)
+        v = _dense(params["img_feat_linear"], img_feat)
+
+        bb = params["backbone"]
+        # ---- encoder SA stack (question path, XLA) ----
+        for i in range(num_layers):
+            p = bb[f"enc_{i}"]
+            k_att, k_sub, k_ffn = enc_keys[3 * i:3 * i + 3]
+            att = _masked_attention_train(
+                p["mhatt"], q, q, q, q_mask, num_heads, rate, k_att,
+                dropout_bits)
+            if rate > 0.0:
+                att = bit_dropout(att, rate, k_sub, dropout_bits)
+            q = _std_layer_norm(p["norm1"], q + att)
+            ff = _mlp_train(p["ffn"]["mlp"], q, rate,
+                            jax.random.fold_in(k_ffn, 1), dropout_bits)
+            if rate > 0.0:
+                ff = bit_dropout(ff, rate, k_ffn, dropout_bits)
+            q = _std_layer_norm(p["norm2"], q + ff)
+
+        # ---- decoder SGA stack (fused custom-VJP blocks) ----
+        B, Lv, D = v.shape
+        Lq = q.shape[1]
+        F = bb["dec_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+            "kernel"].shape[1]
+        Dh = D // num_heads
+
+        def cross_kv(p, qenc):
+            kx = _dense(p["linear_k"], qenc)
+            vx = _dense(p["linear_v"], qenc)
+            sp = lambda t: t.reshape(B, Lq, num_heads, Dh).transpose(
+                0, 2, 1, 3)
+            return sp(kx), sp(vx)
+
+        v = v.astype(jnp.float32)
+        for i in range(num_layers):
+            p = bb[f"dec_{i}"]
+            masks, inv_keep = make_dropout_masks(
+                dec_keys[i], rate, B, Lv, Lq, D, F, num_heads, group,
+                dropout_bits)
+            kq, vq = cross_kv(p["mhatt2"], q)
+            w = prepare_sga_train_params(p)
+            # bf16 matmul weights into the kernels (VMEM + HBM halving);
+            # grads flow back through the casts
+            for name in ("wqkv", "wm1", "wq2", "wm2", "w1", "w2"):
+                w[name] = w[name].astype(BF16)
+            v = fused_sga_block_train(
+                v, kq, vq, v_mask, q_mask, masks, w,
+                num_heads=num_heads, group=group, inv_keep=inv_keep,
+                interpret=interpret)
+
+        lang_flat = _attflat_train(params["attflat_lang"], q, q_mask, rate,
+                                   flat_keys[0], dropout_bits)
+        img_flat = _attflat_train(params["attflat_img"], v, v_mask, rate,
+                                  flat_keys[1], dropout_bits)
+        fused = _std_layer_norm(params["proj_norm"], lang_flat + img_flat)
+        return _dense(params["proj"], fused)
+
+    return forward
