@@ -76,8 +76,11 @@ def _lstm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
 def megakernel_vmem_ok(D: int, F: int) -> bool:
     """True when one decoder block's weights fit the megakernel's VMEM
-    budget in bf16 (MCAN-small ~7.6 MB yes; MCAN-large ~27 MB no)."""
-    return (6 * D * D + 2 * D * F) * 2 <= 12 * 1024 * 1024
+    budget in bf16. The kernels raise the scoped-VMEM cap above the 16 MB
+    default (ops/sga_block._compiler_params), so MCAN-large (~28.6 MB
+    block weights) qualifies too; the 48 MB budget leaves room for the
+    stream blocks, double-buffered I/O and scratch."""
+    return (6 * D * D + 2 * D * F) * 2 <= 48 * 1024 * 1024
 
 
 def prepare_params(params: Dict[str, Any], num_layers: int,
@@ -130,12 +133,15 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
             "kernel"].shape[1]
         if megakernel_vmem_ok(D, F):
             from mcan_vqa_tpu.ops.sga_block import (
-                prepare_sa_block_params, prepare_sga_block_params)
+                decoder_vmem_ok, prepare_sa_block_params,
+                prepare_sga_block_params, prepare_sga_decoder_params)
             for i in range(num_layers):
                 bb[f"enc_{i}"]["_mk"] = prepare_sa_block_params(
                     bb[f"enc_{i}"])
                 bb[f"dec_{i}"]["_mk"] = prepare_sga_block_params(
                     bb[f"dec_{i}"], num_heads)
+            if decoder_vmem_ok(D, F, num_layers):
+                bb["_mk_dec"] = prepare_sga_decoder_params(bb, num_layers)
     return out
 
 
@@ -231,7 +237,10 @@ def make_serving_fn(num_layers: int, num_heads: int,
     SGA megakernel (ops/sga_block.py) — the image stream never leaves
     VMEM inside a block; overrides the per-sub-op kernels for the
     decoder. 1/True = head-major stacked weights; 2 = fused-projection
-    variant (fewer, larger matmuls, per-head lane slices).
+    variant (fewer, larger matmuls, per-head lane slices); 3 = the
+    ALL-LAYER fused decoder (every SGA block in one launch, weights
+    VMEM-resident, cross k/v projected in-kernel) — degrades to 2 when
+    the stacked weights exceed VMEM (MCAN-large).
     sga_group = samples packed per matmul inside it.
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
@@ -281,10 +290,14 @@ def make_serving_fn(num_layers: int, num_heads: int,
             D = v.shape[-1]
             F_ff = params["backbone"]["dec_0"]["ffn"]["mlp"][
                 "FCLayer_0"]["Dense_0"]["kernel"].shape[1]
+            if sga_mode == 3:
+                from mcan_vqa_tpu.ops.sga_block import decoder_vmem_ok
+                if not decoder_vmem_ok(D, F_ff, num_layers):
+                    sga_mode = 2
             if not megakernel_vmem_ok(D, F_ff):
                 sga_mode = 0
 
-        if sga_mode == 2:
+        if sga_mode >= 2:
             # question path through the fused SA-block megakernel too
             from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,
                                                     prepare_sa_block_params)
@@ -308,7 +321,15 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     q = ln(p["norm2"],
                            q + _mlp(p["ffn"]["mlp"], q).astype(stream))
 
-        if sga_mode:
+        if sga_mode == 3:
+            from mcan_vqa_tpu.ops.sga_block import (
+                fused_sga_decoder, prepare_sga_decoder_params)
+            wp = (bb["_mk_dec"] if "_mk_dec" in bb
+                  else prepare_sga_decoder_params(bb, num_layers))
+            v = fused_sga_decoder(v, q, v_mask, q_mask, wp,
+                                  num_heads=num_heads, group=sga_group,
+                                  interpret=interpret)
+        elif sga_mode:
             from mcan_vqa_tpu.ops.sga_block import (
                 fused_sga_block, prepare_sga_block_params)
             for i in range(num_layers):
@@ -321,6 +342,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     num_heads=num_heads, group=sga_group,
                     fused_proj=(sga_mode == 2),
                     interpret=interpret)
+        if sga_mode:
             lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
                                     use_pallas, interpret)
             img_flat, _ = _attflat(params["attflat_img"], v, v_mask,

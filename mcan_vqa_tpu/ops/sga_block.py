@@ -39,6 +39,17 @@ import jax.numpy as jnp
 _NEG_INF = -1e9
 
 
+def _compiler_params(interpret: bool):
+    """Raise the scoped-VMEM cap above the 16 MB default: v5e physical
+    VMEM is far larger (measured: >16.2 MB compiles fine), which admits
+    MCAN-large block weights (~28.6 MB bf16) and the all-layer decoder
+    (~42 MB at MCAN-small)."""
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def prepare_sga_block_params(p: Dict[str, Any], num_heads: int) -> Dict[str, Any]:
     """Re-layout one decoder block's params for the megakernel.
 
@@ -344,6 +355,7 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
             out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
+            compiler_params=_compiler_params(interpret),
             interpret=interpret,
         )(v, kq, vq, vpad, qpad,
           wp["wqkv1"], wp["bqkv1"], wp["wm1_full"], wp["bm1"],
@@ -379,12 +391,225 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
         out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(v, kq, vq, vpad, qpad,
       wp["wq1"], wp["wk1"], wp["wv1"], wp["bq1"], wp["bk1"], wp["bv1"],
       wp["wm1"], wp["bm1"], wp["ln1_s"], wp["ln1_b"],
       wp["wq2"], wp["bq2"], wp["wm2"], wp["bm2"], wp["ln2_s"], wp["ln2_b"],
       wp["w1"], wp["b1"], wp["w2"], wp["b2"], wp["ln3_s"], wp["ln3_b"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# All-layer fused decoder: every SGA block in ONE kernel launch
+# ---------------------------------------------------------------------------
+
+def decoder_vmem_ok(D: int, F: int, num_layers: int) -> bool:
+    """True when ALL decoder layers' weights (incl. the cross k/v
+    projections, which the all-layer kernel computes in-kernel) fit
+    VMEM-resident in bf16. MCAN-small: 6*(8*512^2+2*512*2048)*2 = 50 MB —
+    yes under the raised cap (v5e physical VMEM ~128 MB); MCAN-large:
+    201 MB — no (falls back to the per-block megakernel)."""
+    return num_layers * (8 * D * D + 2 * D * F) * 2 <= 64 * 1024 * 1024
+
+
+def prepare_sga_decoder_params(bb: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """Stack every decoder block's fused-projection layout along a leading
+    layer axis for the all-layer kernel. Unlike prepare_sga_block_params,
+    the cross k/v weights are included ([D, 2D] fused): the kernel projects
+    keys/values from the encoder output itself, so the external _cross_kv
+    launches disappear too."""
+    def stack(fn):
+        return jnp.stack([fn(bb[f"dec_{i}"]) for i in range(num_layers)])
+
+    return {
+        "wqkv1": stack(lambda p: jnp.concatenate(
+            [p["mhatt1"]["linear_q"]["kernel"],
+             p["mhatt1"]["linear_k"]["kernel"],
+             p["mhatt1"]["linear_v"]["kernel"]], axis=1)),
+        "bqkv1": stack(lambda p: jnp.concatenate(
+            [p["mhatt1"]["linear_q"]["bias"],
+             p["mhatt1"]["linear_k"]["bias"],
+             p["mhatt1"]["linear_v"]["bias"]])),
+        "wm1": stack(lambda p: p["mhatt1"]["linear_merge"]["kernel"]),
+        "bm1": stack(lambda p: p["mhatt1"]["linear_merge"]["bias"]),
+        "ln1_s": stack(lambda p: p["norm1"]["scale"]),
+        "ln1_b": stack(lambda p: p["norm1"]["bias"]),
+        "wkv2": stack(lambda p: jnp.concatenate(
+            [p["mhatt2"]["linear_k"]["kernel"],
+             p["mhatt2"]["linear_v"]["kernel"]], axis=1)),
+        "bkv2": stack(lambda p: jnp.concatenate(
+            [p["mhatt2"]["linear_k"]["bias"],
+             p["mhatt2"]["linear_v"]["bias"]])),
+        "wq2": stack(lambda p: p["mhatt2"]["linear_q"]["kernel"]),
+        "bq2": stack(lambda p: p["mhatt2"]["linear_q"]["bias"]),
+        "wm2": stack(lambda p: p["mhatt2"]["linear_merge"]["kernel"]),
+        "bm2": stack(lambda p: p["mhatt2"]["linear_merge"]["bias"]),
+        "ln2_s": stack(lambda p: p["norm2"]["scale"]),
+        "ln2_b": stack(lambda p: p["norm2"]["bias"]),
+        "w1": stack(lambda p: p["ffn"]["mlp"]["FCLayer_0"]["Dense_0"]["kernel"]),
+        "b1": stack(lambda p: p["ffn"]["mlp"]["FCLayer_0"]["Dense_0"]["bias"]),
+        "w2": stack(lambda p: p["ffn"]["mlp"]["Dense_0"]["kernel"]),
+        "b2": stack(lambda p: p["ffn"]["mlp"]["Dense_0"]["bias"]),
+        "ln3_s": stack(lambda p: p["norm3"]["scale"]),
+        "ln3_b": stack(lambda p: p["norm3"]["bias"]),
+    }
+
+
+def _sga_decoder_kernel(v_ref, q_ref, vpad_ref, qpad_ref,
+                        wqkv1_ref, bqkv1_ref, wm1_ref, bm1_ref,
+                        ln1s_ref, ln1b_ref,
+                        wkv2_ref, bkv2_ref, wq2_ref, bq2_ref,
+                        wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
+                        w1_ref, b1_ref, w2_ref, b2_ref,
+                        ln3s_ref, ln3b_ref,
+                        o_ref, *, heads: int, group: int, layers: int,
+                        scale: float):
+    """All decoder layers for one G-sample group; the image stream and
+    every intermediate stay in VMEM for the whole decoder. Reference
+    semantics: /root/reference/core/model/mca.py:171-186 (all SGA layers
+    attend to the final encoder output)."""
+    G = group
+    Lv, D = v_ref.shape[1], v_ref.shape[2]
+    Lq = q_ref.shape[1]
+    Dh = D // heads
+    M, N = G * Lv, G * Lq
+
+    x = v_ref[:].reshape(M, D).astype(jnp.float32)
+    qx = q_ref[:].reshape(N, D).astype(jnp.bfloat16)
+
+    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
+    self_mask = (vv_off.astype(jnp.float32)
+                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    cross_mask = (vq_off.astype(jnp.float32)
+                  + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    def sdpa(qh, kh, vh, mask_add):
+        s = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jnp.dot(att, vh, preferred_element_type=jnp.float32)
+
+    for l in range(layers):
+        # ---- self-attention: ONE qkv matmul, lane-sliced heads ----
+        qkv = jnp.dot(x.astype(jnp.bfloat16),
+                      wqkv1_ref[l].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bqkv1_ref[l]
+        ohs = []
+        for h in range(heads):
+            qh = qkv[:, h * Dh:(h + 1) * Dh]
+            kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
+            vh = qkv[:, 2 * D + h * Dh:
+                     2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
+            ohs.append(sdpa(qh, kh, vh, self_mask))
+        atted = jnp.concatenate(ohs, axis=1)
+        y = jnp.dot(atted.astype(jnp.bfloat16),
+                    wm1_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        v1 = _ln(x + y + bm1_ref[l], ln1s_ref[l], ln1b_ref[l])
+
+        # ---- cross-attention: k/v projected in-kernel from encoder out ----
+        kv = jnp.dot(qx, wkv2_ref[l].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + bkv2_ref[l]
+        qp = jnp.dot(v1.astype(jnp.bfloat16),
+                     wq2_ref[l].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + bq2_ref[l]
+        ohs = []
+        for h in range(heads):
+            kh = kv[:, h * Dh:(h + 1) * Dh].astype(jnp.bfloat16)
+            vh = kv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
+            ohs.append(sdpa(qp[:, h * Dh:(h + 1) * Dh], kh, vh, cross_mask))
+        atted = jnp.concatenate(ohs, axis=1)
+        y = jnp.dot(atted.astype(jnp.bfloat16),
+                    wm2_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        v2 = _ln(v1 + y + bm2_ref[l], ln2s_ref[l], ln2b_ref[l])
+
+        # ---- FFN + LN3 ----
+        h1 = jnp.dot(v2.astype(jnp.bfloat16), w1_ref[l].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + b1_ref[l]
+        h1 = jnp.maximum(h1, 0.0)
+        y = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b2_ref[l]
+        x = _ln(v2 + y, ln3s_ref[l], ln3b_ref[l])
+
+    o_ref[:] = x.reshape(G, Lv, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "group", "interpret"))
+def fused_sga_decoder(v, q, v_mask, q_mask, wp: Dict[str, Any], *,
+                      num_heads: int, group: int = 4,
+                      interpret: bool = False):
+    """Run the ENTIRE decoder (all SGA blocks) in one kernel launch.
+    v [B, Lv, D] image stream; q [B, Lq, D] final encoder output;
+    wp from prepare_sga_decoder_params (stacked along layers). Returns
+    [B, Lv, D] in v's dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lv, D = v.shape
+    Lq = q.shape[1]
+    L = wp["w1"].shape[0]
+    F = wp["w1"].shape[2]
+    H = num_heads
+    scale = 1.0 / ((D // H) ** 0.5)
+    G = max(1, group)
+    while B % G:
+        G -= 1
+
+    def flat_pad(mask, Lx):
+        if mask is None:
+            return jnp.zeros((B // G, 1, G * Lx), jnp.int8)
+        return mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * Lx)
+
+    vpad = flat_pad(v_mask, Lv)
+    qpad = flat_pad(q_mask, Lq)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_sga_decoder_kernel, heads=H, group=G,
+                          layers=L, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lv), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((L, D, 3 * D)), rep((L, 3 * D)),
+            rep((L, D, D)), rep((L, D)), rep((L, D)), rep((L, D)),
+            rep((L, D, 2 * D)), rep((L, 2 * D)),
+            rep((L, D, D)), rep((L, D)),
+            rep((L, D, D)), rep((L, D)), rep((L, D)), rep((L, D)),
+            rep((L, D, F)), rep((L, F)), rep((L, F, D)), rep((L, D)),
+            rep((L, D)), rep((L, D)),
+        ],
+        out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(v, q, vpad, qpad,
+      wp["wqkv1"], wp["bqkv1"], wp["wm1"], wp["bm1"],
+      wp["ln1_s"], wp["ln1_b"],
+      wp["wkv2"], wp["bkv2"], wp["wq2"], wp["bq2"],
+      wp["wm2"], wp["bm2"], wp["ln2_s"], wp["ln2_b"],
+      wp["w1"], wp["b1"], wp["w2"], wp["b2"],
+      wp["ln3_s"], wp["ln3_b"])
     return out
 
 
@@ -482,6 +707,7 @@ def fused_sa_block(x, x_mask, wp: Dict[str, Any], *, num_heads: int,
         out_specs=pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lq, D), x.dtype),
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(x, pad, wp["wqkv"], wp["bqkv"], wp["wm"], wp["bm"],
       wp["ln1_s"], wp["ln1_b"], wp["w1"], wp["b1"], wp["w2"], wp["b2"],

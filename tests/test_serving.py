@@ -199,6 +199,59 @@ class TestSGAMegakernel:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
 
+    def test_alllayer_decoder_matches_model(self):
+        """Mode 3: the whole decoder in ONE kernel launch vs model.apply."""
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(13)
+        img = rng.normal(size=(4, 12, 32)).astype(np.float32)
+        img[0, 8:] = 0.0
+        img[2, 5:] = 0.0
+        ques = rng.integers(1, 50, size=(4, 7)).astype(np.int32)
+        ques[1, 3:] = 0
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=3, sga_group=2,
+                              interpret=True)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_alllayer_decoder_direct_parity(self):
+        """fused_sga_decoder vs layer-by-layer op composition."""
+        from mcan_vqa_tpu.ops.sga_block import (fused_sga_decoder,
+                                                prepare_sga_decoder_params)
+        from mcan_vqa_tpu.ops.serving import (_dense, _mhatt,
+                                              _std_layer_norm, _mlp)
+        cfg, model, params, img, ques = _setup()
+        bb = params["backbone"]
+        H = cfg.multi_head
+        rng = np.random.default_rng(14)
+        B, Lv, Lq, D = 4, 12, 7, cfg.hidden_size
+        v = rng.normal(size=(B, Lv, D)).astype(np.float32)
+        q = rng.normal(size=(B, Lq, D)).astype(np.float32)
+        v_mask = np.zeros((B, 1, 1, Lv), bool); v_mask[1, ..., 9:] = True
+        q_mask = np.zeros((B, 1, 1, Lq), bool); q_mask[0, ..., 4:] = True
+
+        ref = jnp.asarray(v)
+        for i in range(cfg.layer):
+            p = bb[f"dec_{i}"]
+            att = _mhatt(p["mhatt1"], ref, ref, ref, jnp.asarray(v_mask),
+                         H, False, False)
+            v1 = _std_layer_norm(p["norm1"], ref + att)
+            att = _mhatt(p["mhatt2"], jnp.asarray(q), jnp.asarray(q), v1,
+                         jnp.asarray(q_mask), H, False, False)
+            v2 = _std_layer_norm(p["norm2"], v1 + att)
+            ref = _std_layer_norm(p["norm3"],
+                                  v2 + _mlp(p["ffn"]["mlp"], v2))
+
+        wp = prepare_sga_decoder_params(bb, cfg.layer)
+        ours = fused_sga_decoder(jnp.asarray(v), jnp.asarray(q),
+                                 jnp.asarray(v_mask), jnp.asarray(q_mask),
+                                 wp, num_heads=H, group=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=3e-2, rtol=3e-2)
+
     def test_sa_block_direct_parity(self):
         """fused_sa_block vs the op-by-op encoder block composition."""
         from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,
