@@ -53,8 +53,15 @@ def main() -> None:
     dropout_bits = int(os.environ.get("BENCH_DROPOUT_BITS", "32"))
     # fused-block engine: decoder fwd+bwd through the custom-VJP SGA
     # megakernel (train/fused_engine.py); value = samples packed per grid
-    # step (0 = off)
-    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "0"))
+    # step (0 = off/plain XLA step). Default 2 at MCAN-small — the
+    # measured-best single-chip config (docs/PERFORMANCE.md round-2
+    # continuation); 0 at hidden>512 (a D=1024 fused-train run faulted
+    # the TPU worker — under investigation, opt in explicitly to retry).
+    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK",
+                                     "2" if hidden <= 512 else "0"))
+    # in-kernel TPU-PRNG dropout for the fused blocks (no mask generation
+    # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
+    kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
@@ -92,7 +99,8 @@ def main() -> None:
 
         fwd = make_fused_train_forward(
             cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
-            dropout_bits=dropout_bits, group=fused_block)
+            dropout_bits=dropout_bits, group=fused_block,
+            in_kernel_dropout=kernel_dropout)
 
         def loss_fn(params, batch, rng):
             logits = fwd(params, batch["img"], batch["ques"], rng)
@@ -175,6 +183,7 @@ def main() -> None:
         **({"no_dropout": True} if no_dropout else {}),
         **({"dropout_bits": dropout_bits} if dropout_bits != 32 else {}),
         **({"fused_block": fused_block} if fused_block else {}),
+        **({"kernel_dropout": True} if kernel_dropout else {}),
     }))
 
 

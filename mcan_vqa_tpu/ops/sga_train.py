@@ -119,6 +119,86 @@ def _drop(x, m_u8, inv_keep):
     return jnp.where(m_u8 != 0, x * inv_keep, 0.0)
 
 
+# Per-site seed-mix constants for the in-kernel PRNG dropout variant.
+# Each dropout site reseeds the hardware PRNG with (step_seed, site_code,
+# program_id), so fwd and bwd kernels regenerate IDENTICAL masks for any
+# site in any order — no mask bytes ever touch HBM.
+_SITE_ATT1 = 0x100   # + head index
+_SITE_ATT2 = 0x200   # + head index
+_SITE_Y1 = 0x301
+_SITE_Y2 = 0x302
+_SITE_H1 = 0x303
+_SITE_Y3 = 0x304
+
+
+class _ExtMasks:
+    """Dropout via externally generated uint8 masks (testable on CPU)."""
+
+    def __init__(self, m1, m2, my1, my2, mh, my3, inv_keep):
+        self.m1, self.m2 = m1, m2
+        self.my1, self.my2, self.mh, self.my3 = my1, my2, mh, my3
+        self.inv = inv_keep
+
+    def att1(self, x, h):
+        return _drop(x, self.m1[0, h], self.inv)
+
+    def att2(self, x, h):
+        return _drop(x, self.m2[0, h], self.inv)
+
+    def y1(self, x):
+        return _drop(x, self.my1[0], self.inv)
+
+    def y2(self, x):
+        return _drop(x, self.my2[0], self.inv)
+
+    def h1(self, x):
+        return _drop(x, self.mh[0], self.inv)
+
+    def y3(self, x):
+        return _drop(x, self.my3[0], self.inv)
+
+
+class _PrngMasks:
+    """Dropout via the TPU hardware PRNG, regenerated in-kernel.
+
+    keep decision: uint32 bits < keep_thresh, where keep_thresh =
+    round((1-rate) * 2^32); kept values scale by the exact quantized
+    inverse keep probability (2^32 / keep_thresh) so E[drop(x)] == x.
+    """
+
+    def __init__(self, seed, pid, keep_thresh, inv_keep):
+        self.seed, self.pid = seed, pid
+        self.thresh = jnp.uint32(keep_thresh)
+        self.inv = inv_keep
+
+    def _d(self, x, site):
+        from jax.experimental.pallas import tpu as pltpu
+        # Mosaic accepts at most 2 seed values: pack (site, program_id)
+        # into one int32 — site < 2^12, grid size < 2^19.
+        pltpu.prng_seed(self.seed, (site << 19) | self.pid)
+        bits = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(x.shape), jnp.uint32)
+        return jnp.where(bits < self.thresh, x * self.inv, 0.0)
+
+    def att1(self, x, h):
+        return self._d(x, _SITE_ATT1 + h)
+
+    def att2(self, x, h):
+        return self._d(x, _SITE_ATT2 + h)
+
+    def y1(self, x):
+        return self._d(x, _SITE_Y1)
+
+    def y2(self, x):
+        return self._d(x, _SITE_Y2)
+
+    def h1(self, x):
+        return self._d(x, _SITE_H1)
+
+    def y3(self, x):
+        return self._d(x, _SITE_Y3)
+
+
 def _softmax_fwd(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -157,13 +237,12 @@ def _mm_bt(a, b):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
-                m1_ref, m2_ref, my1_ref, my2_ref, mh_ref, my3_ref,
-                wqkv_ref, bqkv_ref, wm1_ref, bm1_ref, ln1s_ref, ln1b_ref,
-                wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
-                w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref, ln3b_ref,
-                v3_ref, v1_ref, v2_ref,
-                *, heads: int, group: int, scale: float, inv_keep: float):
+def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+              wqkv_ref, bqkv_ref, wm1_ref, bm1_ref, ln1s_ref, ln1b_ref,
+              wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
+              w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref, ln3b_ref,
+              v3_ref, v1_ref, v2_ref,
+              *, heads: int, group: int, scale: float):
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
     Lq = kq_ref.shape[2]
@@ -182,11 +261,11 @@ def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh]
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
         p = _softmax_fwd(_mm_bt(qh, kh) * scale + self_mask)
-        pd = _drop(p, m1_ref[0, h], inv_keep)
+        pd = drop.att1(p, h)
         ohs.append(_mm(pd, vh))
     atted1 = jnp.concatenate(ohs, axis=1)
     y1 = _mm(atted1, wm1_ref[:]) + bm1_ref[:]
-    r1 = x + _drop(y1, my1_ref[0], inv_keep)
+    r1 = x + drop.y1(y1)
     v1 = _ln_fwd(r1, ln1s_ref[:], ln1b_ref[:])
 
     # ---- cross-attention (keys/values pre-projected outside) ----
@@ -197,18 +276,18 @@ def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         vh = vq_ref[:, h].reshape(N, Dh)
         p = _softmax_fwd(_mm_bt(qx[:, h * Dh:(h + 1) * Dh], kh) * scale
                          + cross_mask)
-        pd = _drop(p, m2_ref[0, h], inv_keep)
+        pd = drop.att2(p, h)
         ohs.append(_mm(pd, vh))
     atted2 = jnp.concatenate(ohs, axis=1)
     y2 = _mm(atted2, wm2_ref[:]) + bm2_ref[:]
-    r2 = v1 + _drop(y2, my2_ref[0], inv_keep)
+    r2 = v1 + drop.y2(y2)
     v2 = _ln_fwd(r2, ln2s_ref[:], ln2b_ref[:])
 
     # ---- FFN ----
     a1 = _mm(v2, w1_ref[:]) + b1_ref[:]
-    h1d = _drop(jnp.maximum(a1, 0.0), mh_ref[0], inv_keep)
+    h1d = drop.h1(jnp.maximum(a1, 0.0))
     y3 = _mm(h1d, w2_ref[:]) + b2_ref[:]
-    r3 = v2 + _drop(y3, my3_ref[0], inv_keep)
+    r3 = v2 + drop.y3(y3)
     v3 = _ln_fwd(r3, ln3s_ref[:], ln3b_ref[:])
 
     v3_ref[:] = v3.reshape(G, Lv, D).astype(v3_ref.dtype)
@@ -216,14 +295,32 @@ def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     v2_ref[:] = v2.reshape(G, Lv, D).astype(v2_ref.dtype)
 
 
+def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+                m1_ref, m2_ref, my1_ref, my2_ref, mh_ref, my3_ref,
+                *rest, heads: int, group: int, scale: float,
+                inv_keep: float):
+    drop = _ExtMasks(m1_ref, m2_ref, my1_ref, my2_ref, mh_ref, my3_ref,
+                     inv_keep)
+    _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref, *rest,
+              heads=heads, group=group, scale=scale)
+
+
+def _fwd_kernel_prng(seed_ref, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+                     *rest, heads: int, group: int, scale: float,
+                     keep_thresh: int, inv_keep: float):
+    from jax.experimental import pallas as pl
+    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
+    _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref, *rest,
+              heads=heads, group=group, scale=scale)
+
+
 # ---------------------------------------------------------------------------
 # backward kernel 1: LN3 + FFN (recomputes FFN internals from v2)
 # ---------------------------------------------------------------------------
 
-def _bwd_ffn_kernel(v2_ref, g_ref, mh_ref, my3_ref,
-                    w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref,
-                    gv2_ref, dy3_ref, h1d_ref, da1_ref,
-                    *, group: int, inv_keep: float):
+def _bwd_ffn_body(drop, v2_ref, g_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref,
+                  gv2_ref, dy3_ref, h1d_ref, da1_ref, *, group: int):
     G = group
     Lv, D = v2_ref.shape[1], v2_ref.shape[2]
     M = G * Lv
@@ -232,14 +329,14 @@ def _bwd_ffn_kernel(v2_ref, g_ref, mh_ref, my3_ref,
     g = g_ref[:].reshape(M, D).astype(F32)
 
     a1 = _mm(v2, w1_ref[:]) + b1_ref[:]
-    h1d = _drop(jnp.maximum(a1, 0.0), mh_ref[0], inv_keep)
+    h1d = drop.h1(jnp.maximum(a1, 0.0))
     y3 = _mm(h1d, w2_ref[:]) + b2_ref[:]
-    r3 = v2 + _drop(y3, my3_ref[0], inv_keep)
+    r3 = v2 + drop.y3(y3)
 
     gr3 = _ln_bwd(g, r3, ln3s_ref[:])
-    dy3 = _drop(gr3, my3_ref[0], inv_keep)
+    dy3 = drop.y3(gr3)
     dh1d = _mm_bt(dy3, w2_ref[:])                   # dy3 @ W2^T
-    da1 = jnp.where(a1 > 0.0, _drop(dh1d, mh_ref[0], inv_keep), 0.0)
+    da1 = jnp.where(a1 > 0.0, drop.h1(dh1d), 0.0)
     gv2 = gr3 + _mm_bt(da1, w1_ref[:])              # residual + da1 @ W1^T
 
     gv2_ref[:] = gv2.reshape(G, Lv, D).astype(gv2_ref.dtype)
@@ -248,20 +345,31 @@ def _bwd_ffn_kernel(v2_ref, g_ref, mh_ref, my3_ref,
     da1_ref[:] = da1.reshape(G, Lv, -1).astype(da1_ref.dtype)
 
 
+def _bwd_ffn_kernel(v2_ref, g_ref, mh_ref, my3_ref, *rest,
+                    group: int, inv_keep: float):
+    drop = _ExtMasks(None, None, None, None, mh_ref, my3_ref, inv_keep)
+    _bwd_ffn_body(drop, v2_ref, g_ref, *rest, group=group)
+
+
+def _bwd_ffn_kernel_prng(seed_ref, v2_ref, g_ref, *rest,
+                         group: int, keep_thresh: int, inv_keep: float):
+    from jax.experimental import pallas as pl
+    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
+    _bwd_ffn_body(drop, v2_ref, g_ref, *rest, group=group)
+
+
 # ---------------------------------------------------------------------------
 # backward kernel 2: LN2 + cross-att + LN1 + self-att
 # ---------------------------------------------------------------------------
 
-def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
-                    vpad_ref, qpad_ref,
-                    m1_ref, m2_ref, my1_ref, my2_ref,
-                    wqkv_ref, bqkv_ref, wm1_ref, bm1_ref, ln1s_ref,
-                    wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref,
-                    dx_ref, dkq_ref, dvq_ref,
-                    dqkv_ref, atted1_ref, dy1_ref,
-                    dqx_ref, atted2_ref, dy2_ref, gv1_ref,
-                    *, heads: int, group: int, scale: float,
-                    inv_keep: float):
+def _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
+                  vpad_ref, qpad_ref,
+                  wqkv_ref, bqkv_ref, wm1_ref, bm1_ref, ln1s_ref,
+                  wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref,
+                  dx_ref, dkq_ref, dvq_ref,
+                  dqkv_ref, atted1_ref, dy1_ref,
+                  dqx_ref, atted2_ref, dy2_ref, gv1_ref,
+                  *, heads: int, group: int, scale: float):
     G = group
     Lv, D = x_ref.shape[1], x_ref.shape[2]
     Lq = kq_ref.shape[2]
@@ -282,16 +390,16 @@ def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
         kh = kq_ref[:, h].reshape(N, Dh)
         p2 = _softmax_fwd(_mm_bt(qx[:, h * Dh:(h + 1) * Dh], kh) * scale
                           + cross_mask)
-        p2d = _drop(p2, m2_ref[0, h], inv_keep)
+        p2d = drop.att2(p2, h)
         p2s.append(p2)
         p2ds.append(p2d)
         o2s.append(_mm(p2d, vq_ref[:, h].reshape(N, Dh)))
     atted2 = jnp.concatenate(o2s, axis=1)
     y2 = _mm(atted2, wm2_ref[:]) + bm2_ref[:]
-    r2 = v1 + _drop(y2, my2_ref[0], inv_keep)
+    r2 = v1 + drop.y2(y2)
 
     gr2 = _ln_bwd(gv2, r2, ln2s_ref[:])
-    dy2 = _drop(gr2, my2_ref[0], inv_keep)
+    dy2 = drop.y2(gr2)
     datted2 = _mm_bt(dy2, wm2_ref[:])
     dqx_hs, dkq_hs, dvq_hs = [], [], []
     for h in range(heads):
@@ -302,7 +410,7 @@ def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
             p2ds[h].astype(BF16), do2.astype(BF16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=F32))
-        ds2 = _softmax_bwd(p2s[h], _drop(dp2d, m2_ref[0, h], inv_keep))
+        ds2 = _softmax_bwd(p2s[h], drop.att2(dp2d, h))
         dqx_hs.append(_mm(ds2, kh) * scale)
         dkq_hs.append(jax.lax.dot_general(                # ds2^T @ qx_h
             ds2.astype(BF16),
@@ -320,16 +428,16 @@ def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh]
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
         p1 = _softmax_fwd(_mm_bt(qh, kh) * scale + self_mask)
-        p1d = _drop(p1, m1_ref[0, h], inv_keep)
+        p1d = drop.att1(p1, h)
         p1s.append(p1)
         p1ds.append(p1d)
         o1s.append(_mm(p1d, vh))
     atted1 = jnp.concatenate(o1s, axis=1)
     y1 = _mm(atted1, wm1_ref[:]) + bm1_ref[:]
-    r1 = x + _drop(y1, my1_ref[0], inv_keep)
+    r1 = x + drop.y1(y1)
 
     gr1 = _ln_bwd(gv1, r1, ln1s_ref[:])
-    dy1 = _drop(gr1, my1_ref[0], inv_keep)
+    dy1 = drop.y1(gr1)
     datted1 = _mm_bt(dy1, wm1_ref[:])
     dq_hs, dk_hs, dv_hs = [], [], []
     for h in range(heads):
@@ -342,7 +450,7 @@ def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
             p1ds[h].astype(BF16), do1.astype(BF16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=F32))
-        ds1 = _softmax_bwd(p1s[h], _drop(dp1d, m1_ref[0, h], inv_keep))
+        ds1 = _softmax_bwd(p1s[h], drop.att1(dp1d, h))
         dq_hs.append(_mm(ds1, kh) * scale)
         dk_hs.append(jax.lax.dot_general(                 # ds1^T @ qh
             ds1.astype(BF16), qh.astype(BF16),
@@ -366,6 +474,27 @@ def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     gv1_ref[:] = gv1.reshape(G, Lv, D).astype(gv1_ref.dtype)
 
 
+def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
+                    vpad_ref, qpad_ref,
+                    m1_ref, m2_ref, my1_ref, my2_ref, *rest,
+                    heads: int, group: int, scale: float, inv_keep: float):
+    drop = _ExtMasks(m1_ref, m2_ref, my1_ref, my2_ref, None, None, inv_keep)
+    _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
+                  vpad_ref, qpad_ref, *rest,
+                  heads=heads, group=group, scale=scale)
+
+
+def _bwd_att_kernel_prng(seed_ref, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
+                         vpad_ref, qpad_ref, *rest,
+                         heads: int, group: int, scale: float,
+                         keep_thresh: int, inv_keep: float):
+    from jax.experimental import pallas as pl
+    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
+    _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
+                  vpad_ref, qpad_ref, *rest,
+                  heads=heads, group=group, scale=scale)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -381,6 +510,13 @@ def _grid_specs(B, G, Lv, Lq, D, F, H, Dh):
     rep = lambda shape: blk(shape, lambda b: (0,) * len(shape))
     per_g = lambda *trail: blk((G,) + trail, lambda b: (b,) + (0,) * len(trail))
     return blk, rep, per_g
+
+
+def _compiler_params():
+    """Raise the scoped-VMEM cap: the default 16 MB scope rejects the
+    fwd kernel at G=4 by ~180 KB; physical VMEM is larger on v5e."""
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _mask_specs(blk, G, H, M, N, Lv, Lq, D, F):
@@ -428,8 +564,16 @@ def make_dropout_masks(rng, rate, B, Lv, Lq, D, F, H, group,
     return masks, inv_keep
 
 
+def _seed_spec():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
 def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
-              inv_keep):
+              inv_keep, prng=None):
+    """prng: None for external uint8 masks, else (seed_arr[1] int32,
+    keep_thresh) — masks regenerated by the TPU hardware PRNG in-kernel."""
     from jax.experimental import pallas as pl
 
     B, Lv, D = x.shape
@@ -442,16 +586,36 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
     scale = 1.0 / (Dh ** 0.5)
 
     blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, F, H, Dh)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=H, group=G, scale=scale,
-                          inv_keep=inv_keep),
-        grid=(B // G,),
-        in_specs=[
+    if prng is None:
+        kernel = functools.partial(_fwd_kernel, heads=H, group=G,
+                                   scale=scale, inv_keep=inv_keep)
+        head_specs = [
             per_g(Lv, D),                                   # x
             per_g(H, Lq, Dh), per_g(H, Lq, Dh),             # kq, vq
             blk((1, 1, M), lambda b: (b, 0, 0)),            # vpad
             blk((1, 1, N), lambda b: (b, 0, 0)),            # qpad
             *_mask_specs(blk, G, H, M, N, Lv, Lq, D, F),
+        ]
+        head_ops = (x, kq, vq, vpad, qpad,
+                    masks["att1"], masks["att2"], masks["y1"], masks["y2"],
+                    masks["h1"], masks["y3"])
+    else:
+        seed, keep_thresh = prng
+        kernel = functools.partial(_fwd_kernel_prng, heads=H, group=G,
+                                   scale=scale, keep_thresh=keep_thresh,
+                                   inv_keep=inv_keep)
+        head_specs = [
+            _seed_spec(),
+            per_g(Lv, D),
+            per_g(H, Lq, Dh), per_g(H, Lq, Dh),
+            blk((1, 1, M), lambda b: (b, 0, 0)),
+            blk((1, 1, N), lambda b: (b, 0, 0)),
+        ]
+        head_ops = (seed, x, kq, vq, vpad, qpad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=head_specs + [
             rep((D, 3 * D)), rep((3 * D,)),
             rep((D, D)), rep((D,)), rep((D,)), rep((D,)),   # m1 + ln1
             rep((D, D)), rep((D,)),                         # q2
@@ -461,17 +625,17 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
         ],
         out_specs=[per_g(Lv, D)] * 3,
         out_shape=[jax.ShapeDtypeStruct((B, Lv, D), F32)] * 3,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(x, kq, vq, vpad, qpad,
-      masks["att1"], masks["att2"], masks["y1"], masks["y2"],
-      masks["h1"], masks["y3"],
+    )(*head_ops,
       w["wqkv"], w["bqkv"], w["wm1"], w["bm1"], w["ln1_s"], w["ln1_b"],
       w["wq2"], w["bq2"], w["wm2"], w["bm2"], w["ln2_s"], w["ln2_b"],
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln3_s"], w["ln3_b"])
     return out  # (v3, v1, v2)
 
 
-def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep):
+def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep,
+                  prng=None):
     from jax.experimental import pallas as pl
 
     B, Lv, D = v2.shape
@@ -479,13 +643,26 @@ def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep):
     M = G * Lv
     F = w["w1"].shape[1]
     blk, rep, per_g = _grid_specs(B, G, Lv, 1, D, F, 1, 1)
-    outs = pl.pallas_call(
-        functools.partial(_bwd_ffn_kernel, group=G, inv_keep=inv_keep),
-        grid=(B // G,),
-        in_specs=[
+    if prng is None:
+        kernel = functools.partial(_bwd_ffn_kernel, group=G,
+                                   inv_keep=inv_keep)
+        head_specs = [
             per_g(Lv, D), per_g(Lv, D),                     # v2, g
             blk((1, M, F), lambda b: (b, 0, 0)),            # mask h1
             blk((1, M, D), lambda b: (b, 0, 0)),            # mask y3
+        ]
+        head_ops = (v2, g, masks["h1"], masks["y3"])
+    else:
+        seed, keep_thresh = prng
+        kernel = functools.partial(_bwd_ffn_kernel_prng, group=G,
+                                   keep_thresh=keep_thresh,
+                                   inv_keep=inv_keep)
+        head_specs = [_seed_spec(), per_g(Lv, D), per_g(Lv, D)]
+        head_ops = (seed, v2, g)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=head_specs + [
             rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),
             rep((D,)),                                      # ln3_s
         ],
@@ -496,14 +673,15 @@ def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep):
             jax.ShapeDtypeStruct((B, Lv, F), BF16),         # h1d
             jax.ShapeDtypeStruct((B, Lv, F), BF16),         # da1
         ],
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(v2, g, masks["h1"], masks["y3"],
+    )(*head_ops,
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln3_s"])
     return outs
 
 
 def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
-                  heads, group, interpret, inv_keep):
+                  heads, group, interpret, inv_keep, prng=None):
     from jax.experimental import pallas as pl
 
     B, Lv, D = x.shape
@@ -514,11 +692,10 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
     M, N = G * Lv, G * Lq
     scale = 1.0 / (Dh ** 0.5)
     blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, 1, H, Dh)
-    outs = pl.pallas_call(
-        functools.partial(_bwd_att_kernel, heads=H, group=G, scale=scale,
-                          inv_keep=inv_keep),
-        grid=(B // G,),
-        in_specs=[
+    if prng is None:
+        kernel = functools.partial(_bwd_att_kernel, heads=H, group=G,
+                                   scale=scale, inv_keep=inv_keep)
+        head_specs = [
             per_g(Lv, D), per_g(Lv, D),                     # x, v1
             per_g(H, Lq, Dh), per_g(H, Lq, Dh),             # kq, vq
             per_g(Lv, D),                                   # gv2
@@ -528,6 +705,27 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
             blk((1, H, M, N), lambda b: (b, 0, 0, 0)),      # att2
             blk((1, M, D), lambda b: (b, 0, 0)),            # y1
             blk((1, M, D), lambda b: (b, 0, 0)),            # y2
+        ]
+        head_ops = (x, v1, kq, vq, gv2, vpad, qpad,
+                    masks["att1"], masks["att2"], masks["y1"], masks["y2"])
+    else:
+        seed, keep_thresh = prng
+        kernel = functools.partial(_bwd_att_kernel_prng, heads=H, group=G,
+                                   scale=scale, keep_thresh=keep_thresh,
+                                   inv_keep=inv_keep)
+        head_specs = [
+            _seed_spec(),
+            per_g(Lv, D), per_g(Lv, D),
+            per_g(H, Lq, Dh), per_g(H, Lq, Dh),
+            per_g(Lv, D),
+            blk((1, 1, M), lambda b: (b, 0, 0)),
+            blk((1, 1, N), lambda b: (b, 0, 0)),
+        ]
+        head_ops = (seed, x, v1, kq, vq, gv2, vpad, qpad)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=head_specs + [
             rep((D, 3 * D)), rep((3 * D,)),                 # wqkv, bqkv
             rep((D, D)), rep((D,)), rep((D,)),              # wm1, bm1, ln1_s
             rep((D, D)), rep((D,)),                         # wq2, bq2
@@ -553,9 +751,9 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
             jax.ShapeDtypeStruct((B, Lv, D), BF16),
             jax.ShapeDtypeStruct((B, Lv, D), BF16),
         ],
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(x, v1, kq, vq, gv2, vpad, qpad,
-      masks["att1"], masks["att2"], masks["y1"], masks["y2"],
+    )(*head_ops,
       w["wqkv"], w["bqkv"], w["wm1"], w["bm1"], w["ln1_s"],
       w["wq2"], w["bq2"], w["wm2"], w["bm2"], w["ln2_s"])
     return outs
@@ -656,3 +854,170 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
     qpad = _flat_pad(q_mask, B, G, Lq)
     f = make_sga_block_train(num_heads, G, interpret, inv_keep)
     return f(x, kq, vq, vpad, qpad, masks, w)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel PRNG dropout variant (TPU hardware RNG; no mask HBM traffic)
+# ---------------------------------------------------------------------------
+
+def prng_keep_params(rate: float):
+    """(keep_thresh, inv_keep) for the in-kernel uint32 keep decision.
+
+    keep iff bits < keep_thresh = round((1-rate) * 2^32); kept values
+    scale by the exact quantized inverse keep probability so
+    E[drop(x)] == x holds exactly (same contract as ops/dropout)."""
+    q = 1 << 32
+    t = int(round((1.0 - rate) * q))
+    t = max(1, min(q - 1, t))
+    return t, float(q) / t
+
+
+def make_sga_block_train_prng(num_heads: int, group: int, rate: float):
+    """PRNG-dropout fused block: f(x, kq, vq, vpad, qpad, seed, w) -> v3.
+
+    seed is an int32 [1] array; each dropout site reseeds the hardware
+    PRNG with (seed, site_code, program_id), so the two backward kernels
+    regenerate the exact forward masks — zero mask bytes cross HBM.
+    TPU-only (the Mosaic PRNG has no interpret-mode lowering); the
+    external-mask path (make_sga_block_train) stays the CPU-testable
+    reference.
+    """
+    keep_thresh, inv_keep = prng_keep_params(rate)
+    kw = dict(heads=num_heads, group=group, interpret=False,
+              inv_keep=inv_keep)
+
+    @jax.custom_vjp
+    def f(x, kq, vq, vpad, qpad, seed, w):
+        v3, _, _ = _fwd_call(x, kq, vq, vpad, qpad, None, w,
+                             prng=(seed, keep_thresh), **kw)
+        return v3
+
+    def f_fwd(x, kq, vq, vpad, qpad, seed, w):
+        v3, v1, v2 = _fwd_call(x, kq, vq, vpad, qpad, None, w,
+                               prng=(seed, keep_thresh), **kw)
+        return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, v3)
+
+    def f_bwd(res, g):
+        x, kq, vq, vpad, qpad, seed, w, v1, v2, v3 = res
+        gv2, dy3, h1d, da1 = _bwd_ffn_call(
+            v2, g, None, w, group=group, interpret=False,
+            inv_keep=inv_keep, prng=(seed, keep_thresh))
+        (dx, dkq, dvq, dqkv, atted1, dy1, dqx, atted2, dy2,
+         gv1) = _bwd_att_call(
+            x, v1, kq, vq, gv2, vpad, qpad, None, w,
+            prng=(seed, keep_thresh), **kw)
+        dw = _weight_grads(g, x, v1, v2, v3, w, dqkv, atted1, dy1, dqx,
+                           atted2, dy2, gv1, gv2, da1, h1d, dy3)
+        f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)
+        return (dx, dkq, dvq, f0(vpad), f0(qpad), f0(seed), dw)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _weight_grads(g, x, v1, v2, v3, w, dqkv, atted1, dy1, dqx, atted2,
+                  dy2, gv1, gv2, da1, h1d, dy3):
+    """dW from the bwd kernels' emissions (shared by both mask modes)."""
+    def mm_flat(a, b):
+        return jnp.einsum("blp,blq->pq", a.astype(BF16), b.astype(BF16),
+                          preferred_element_type=F32)
+
+    def rsum(t):
+        return jnp.sum(t.astype(F32), axis=(0, 1))
+
+    def u_of(v, s, b):
+        return (v.astype(F32) - b) / s
+
+    return {
+        "wqkv": mm_flat(x, dqkv), "bqkv": rsum(dqkv),
+        "wm1": mm_flat(atted1, dy1), "bm1": rsum(dy1),
+        "ln1_s": jnp.sum(gv1.astype(F32)
+                         * u_of(v1, w["ln1_s"], w["ln1_b"]), axis=(0, 1)),
+        "ln1_b": rsum(gv1),
+        "wq2": mm_flat(v1, dqx), "bq2": rsum(dqx),
+        "wm2": mm_flat(atted2, dy2), "bm2": rsum(dy2),
+        "ln2_s": jnp.sum(gv2.astype(F32)
+                         * u_of(v2, w["ln2_s"], w["ln2_b"]), axis=(0, 1)),
+        "ln2_b": rsum(gv2),
+        "w1": mm_flat(v2, da1), "b1": rsum(da1),
+        "w2": mm_flat(h1d, dy3), "b2": rsum(dy3),
+        "ln3_s": jnp.sum(g.astype(F32)
+                         * u_of(v3, w["ln3_s"], w["ln3_b"]), axis=(0, 1)),
+        "ln3_b": rsum(g),
+    }
+
+
+def _mask_dump_kernel(seed_ref, att1_ref, att2_ref, y1_ref, y2_ref,
+                      h1_ref, y3_ref, *, heads: int, keep_thresh: int):
+    """Write the exact masks the PRNG kernels generate (validation aid)."""
+    from jax.experimental import pallas as pl
+    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, 1.0)
+
+    def keep(site, shape):
+        from jax.experimental.pallas import tpu as pltpu
+        pltpu.prng_seed(drop.seed, (site << 19) | drop.pid)
+        bits = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(shape), jnp.uint32)
+        return (bits < drop.thresh).astype(jnp.int8)
+
+    M = y1_ref.shape[1]
+    N = att2_ref.shape[3]
+    for h in range(heads):
+        att1_ref[0, h] = keep(_SITE_ATT1 + h, (M, M))
+        att2_ref[0, h] = keep(_SITE_ATT2 + h, (M, N))
+    y1_ref[0] = keep(_SITE_Y1, y1_ref.shape[1:])
+    y2_ref[0] = keep(_SITE_Y2, y2_ref.shape[1:])
+    h1_ref[0] = keep(_SITE_H1, h1_ref.shape[1:])
+    y3_ref[0] = keep(_SITE_Y3, y3_ref.shape[1:])
+
+
+def dump_prng_masks(seed, rate, B, Lv, Lq, D, F, H, group):
+    """The masks the PRNG-dropout kernels will generate for this seed, in
+    make_dropout_masks packed layout (int8). TPU-only; used to validate
+    the in-kernel PRNG path against the external-mask path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = group
+    nb = B // G
+    M, N = G * Lv, G * Lq
+    keep_thresh, inv_keep = prng_keep_params(rate)
+    blk = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_mask_dump_kernel, heads=H,
+                          keep_thresh=keep_thresh),
+        grid=(nb,),
+        in_specs=[_seed_spec()],
+        out_specs=[blk((H, M, M)), blk((H, M, N)), blk((M, D)),
+                   blk((M, D)), blk((M, F)), blk((M, D))],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, H, M, M), jnp.int8),
+            jax.ShapeDtypeStruct((nb, H, M, N), jnp.int8),
+            jax.ShapeDtypeStruct((nb, M, D), jnp.int8),
+            jax.ShapeDtypeStruct((nb, M, D), jnp.int8),
+            jax.ShapeDtypeStruct((nb, M, F), jnp.int8),
+            jax.ShapeDtypeStruct((nb, M, D), jnp.int8),
+        ],
+        compiler_params=_compiler_params(),
+    )(seed)
+    masks = dict(zip(MASK_NAMES, (o.astype(jnp.uint8) for o in outs)))
+    return masks, inv_keep
+
+
+def fused_sga_block_train_prng(x, kq, vq, v_mask, q_mask, seed, w, *,
+                               num_heads: int, group: int = 2,
+                               rate: float = 0.1):
+    """fused_sga_block_train with in-kernel PRNG dropout (TPU only).
+
+    seed: int32 [1] array, distinct per (step, layer)."""
+    B, Lv, _ = x.shape
+    Lq = kq.shape[2]
+    G = max(1, group)
+    while B % G:
+        G -= 1
+    vpad = _flat_pad(v_mask, B, G, Lv)
+    qpad = _flat_pad(q_mask, B, G, Lq)
+    f = make_sga_block_train_prng(num_heads, G, rate)
+    return f(x, kq, vq, vpad, qpad, seed, w)

@@ -31,6 +31,7 @@ from mcan_vqa_tpu.models.layers import make_mask
 from mcan_vqa_tpu.ops.dropout import dropout as bit_dropout
 from mcan_vqa_tpu.ops.serving import _dense, _lstm, _mlp, _std_layer_norm
 from mcan_vqa_tpu.ops.sga_train import (fused_sga_block_train,
+                                        fused_sga_block_train_prng,
                                         make_dropout_masks,
                                         prepare_sga_train_params)
 
@@ -81,11 +82,15 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                              dropout_rate: float = 0.1,
                              dropout_bits: int = 32,
                              group: int = 2,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             in_kernel_dropout: bool = False):
     """Build forward(params, img_feat, ques_ix, rng) -> logits [B, A].
 
     Differentiable w.r.t. params (standard MCANet tree). rng drives every
     dropout site; pass rate=0 for a deterministic forward.
+    in_kernel_dropout: generate the decoder blocks' dropout masks with the
+    TPU hardware PRNG inside the fused kernels (no mask generation or HBM
+    mask traffic; TPU-only — the Mosaic PRNG has no CPU lowering).
     """
 
     def forward(params, img_feat, ques_ix, rng):
@@ -137,19 +142,27 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
         v = v.astype(jnp.float32)
         for i in range(num_layers):
             p = bb[f"dec_{i}"]
-            masks, inv_keep = make_dropout_masks(
-                dec_keys[i], rate, B, Lv, Lq, D, F, num_heads, group,
-                dropout_bits)
             kq, vq = cross_kv(p["mhatt2"], q)
             w = prepare_sga_train_params(p)
             # bf16 matmul weights into the kernels (VMEM + HBM halving);
             # grads flow back through the casts
             for name in ("wqkv", "wm1", "wq2", "wm2", "w1", "w2"):
                 w[name] = w[name].astype(BF16)
-            v = fused_sga_block_train(
-                v, kq, vq, v_mask, q_mask, masks, w,
-                num_heads=num_heads, group=group, inv_keep=inv_keep,
-                interpret=interpret)
+            if in_kernel_dropout and rate > 0.0:
+                seed = jax.random.randint(
+                    dec_keys[i], (1,), 0, jnp.iinfo(jnp.int32).max,
+                    jnp.int32)
+                v = fused_sga_block_train_prng(
+                    v, kq, vq, v_mask, q_mask, seed, w,
+                    num_heads=num_heads, group=group, rate=rate)
+            else:
+                masks, inv_keep = make_dropout_masks(
+                    dec_keys[i], rate, B, Lv, Lq, D, F, num_heads, group,
+                    dropout_bits)
+                v = fused_sga_block_train(
+                    v, kq, vq, v_mask, q_mask, masks, w,
+                    num_heads=num_heads, group=group, inv_keep=inv_keep,
+                    interpret=interpret)
 
         lang_flat = _attflat_train(params["attflat_lang"], q, q_mask, rate,
                                    flat_keys[0], dropout_bits)

@@ -155,6 +155,17 @@ def test_gradients_match_reference(rate):
             rtol=0, atol=3e-2, err_msg=key)
 
 
+def test_prng_keep_params_quantization():
+    """In-kernel PRNG keep threshold: exact quantized unbiasedness."""
+    t, inv = st.prng_keep_params(0.1)
+    assert t == round(0.9 * 2**32)
+    assert abs(inv * (t / 2**32) - 1.0) < 1e-12
+    t0, inv0 = st.prng_keep_params(0.0)
+    assert t0 == 2**32 - 1 and abs(inv0 - 1.0) < 1e-9
+    t5, inv5 = st.prng_keep_params(0.5)
+    assert t5 == 1 << 31 and inv5 == 2.0
+
+
 def test_values_finite_and_dropout_changes_output():
     x, kq, vq, vm, qm, masks, w, inv = _make_inputs(2, 0.25)
     out_d = _fused(x, kq, vq, vm, qm, masks, w, inv)
