@@ -110,6 +110,12 @@ class Config:
     # eval engine: "auto" (fused serving engine on single-TPU, model.apply
     # elsewhere) or "plain" (always model.apply)
     eval_engine: str = "auto"
+    # train engine: "auto" (custom-VJP fused SGA blocks + in-kernel
+    # TPU-PRNG dropout on single-TPU VQA runs at hidden<=512 — measured
+    # 42.8 vs 49.0 ms/step at MCAN-small B=256), "fused" (force; on CPU
+    # runs the kernels in interpret mode — test-only), or "plain"
+    # (always model.apply autodiff)
+    train_engine: str = "auto"
     profile_dir: str = ""             # if set, jax.profiler traces go here
 
     # ---- paths (reference: cfgs/path_cfgs.py) ----

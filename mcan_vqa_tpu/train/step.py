@@ -64,6 +64,7 @@ def make_train_step(
     lr_schedule: Optional[Callable] = None,
     image_only: bool = False,
     reg_mode: str = "l1l2",
+    forward_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the pure train step: (state, batch) -> (state, metrics).
 
@@ -71,13 +72,21 @@ def make_train_step(
     with B = grad_accu_steps * sub_batch_size. image_only drops "ques"
     (ClassifierNet flow); reg_mode selects the penalty: "l1l2" (MIMIC VQA,
     core/exec.py:598-607) or "smooth_l1" (classifier, core/exec.py:922-926).
+    forward_fn: optional training-forward override,
+    (params, img, ques, rng) -> logits — the Trainer passes the fused
+    custom-VJP engine (train/fused_engine.py) here on single-TPU runs;
+    grad accumulation / reg / optimizer wiring is identical either way.
     """
     penalty = {"l1l2": l1_l2_penalty, "smooth_l1": smooth_l1_penalty}[reg_mode]
 
     def loss_fn(params, inputs, target, rng):
-        out = model.apply({"params": params}, *inputs,
-                          deterministic=False, rngs={"dropout": rng})
-        loss = bce_with_logits_sum(out["logits"], target)
+        if forward_fn is not None:
+            logits = forward_fn(params, *inputs, rng)
+        else:
+            out = model.apply({"params": params}, *inputs,
+                              deterministic=False, rngs={"dropout": rng})
+            logits = out["logits"]
+        loss = bce_with_logits_sum(logits, target)
         if reg_factor > 0.0:
             loss = loss + reg_factor * penalty(params)
         return loss

@@ -190,11 +190,29 @@ class Trainer:
         except ValueError:
             old_handlers = {}  # non-main thread: run without handlers
         if self._jit_train is None:
+            forward_fn = None
+            if self._use_fused_train():
+                # single-TPU VQA training through the custom-VJP fused SGA
+                # blocks with in-kernel PRNG dropout (docs/PERFORMANCE.md:
+                # 42.8 vs 49.0 ms/step at MCAN-small B=256). CPU (forced
+                # via train_engine="fused") runs interpret mode with
+                # external masks — the testable reference path.
+                from mcan_vqa_tpu.train.fused_engine import \
+                    make_fused_train_forward
+                on_tpu = jax.default_backend() == "tpu"
+                forward_fn = make_fused_train_forward(
+                    cfg.layer, cfg.multi_head,
+                    dropout_rate=cfg.dropout_rate,
+                    dropout_bits=cfg.dropout_bits, group=2,
+                    interpret=not on_tpu, in_kernel_dropout=on_tpu)
+                self.logger.write("train engine: fused SGA blocks "
+                                  f"(in_kernel_dropout={on_tpu})")
             step_fn = make_train_step(
                 self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
                 reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule,
                 image_only=self.image_only,
-                reg_mode="smooth_l1" if self.image_only else "l1l2")
+                reg_mode="smooth_l1" if self.image_only else "l1l2",
+                forward_fn=forward_fn)
             self._jit_train = shd.jit_train_step(
                 step_fn, self.mesh, jax.device_get(state),
                 donate=cfg.donate_buffers)
@@ -266,6 +284,24 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _use_fused_train(self) -> bool:
+        """Fused train engine: VQA task on a trivial (1-device, 1-process)
+        mesh. "auto" additionally requires a TPU backend and the validated
+        dimension envelope (hidden<=512, lane-aligned); "fused" forces it
+        (CPU: interpret mode, test-only). A D=1024 run faulted the TPU
+        worker (docs/PERFORMANCE.md) so large models stay on model.apply
+        until diagnosed."""
+        mode = getattr(self.cfg, "train_engine", "auto")
+        if mode == "plain" or self.image_only:
+            return False
+        if self.mesh.devices.size != 1 or jax.process_count() != 1:
+            return False
+        if mode == "fused":
+            return True
+        return (jax.default_backend() == "tpu"
+                and self.cfg.hidden_size % 128 == 0
+                and self.cfg.hidden_size <= 512)
+
     def _use_fused_eval(self) -> bool:
         """Fused-engine eval: TPU backend, VQA task, trivial (1-device)
         mesh — the Pallas path needs shard_map wiring for dp>1, and CPU

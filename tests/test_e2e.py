@@ -86,6 +86,22 @@ class TestTrainerE2E:
         res = trainer.evaluate(train_ds_as_eval(cfg, train_ds))
         assert res["roc_micro"] > 0.7
 
+    def test_fused_train_engine(self, tmp_path):
+        """train_engine="fused" routes the Trainer step through the
+        custom-VJP fused SGA blocks (interpret mode on CPU) and trains."""
+        cfg = _tiny_cfg(tmp_path, train_engine="fused", max_epoch=1,
+                        batch_size=8)
+        from mcan_vqa_tpu.train.trainer import Trainer
+        ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=8,
+                                 run_mode="train")
+        trainer = Trainer(cfg, train_dataset=ds)
+        assert trainer._use_fused_train()
+        state = trainer.train()
+        assert int(state.step) == 2
+        log = open(os.path.join(cfg.log_path,
+                                f"log_run_{cfg.version}.txt")).read()
+        assert "train engine: fused" in log and "loss=nan" not in log
+
     def test_resume_from_checkpoint(self, tmp_path):
         cfg = _tiny_cfg(tmp_path, max_epoch=1)
         from mcan_vqa_tpu.train.trainer import Trainer
