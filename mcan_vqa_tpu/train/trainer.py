@@ -303,13 +303,18 @@ class Trainer:
                 and self.cfg.hidden_size <= 512)
 
     def _use_fused_eval(self) -> bool:
-        """Fused-engine eval: TPU backend, VQA task, trivial (1-device)
-        mesh — the Pallas path needs shard_map wiring for dp>1, and CPU
-        runs keep the model.apply oracle path."""
-        if getattr(self.cfg, "eval_engine", "auto") == "plain":
+        """Fused-engine eval: VQA task on a pure-DP mesh (the fused engine
+        has no TP wiring). "auto" requires a TPU backend and one process;
+        "fused" forces it (CPU: kernels in interpret mode, test-only).
+        dp>1 runs the engine per data shard under shard_map."""
+        mode = getattr(self.cfg, "eval_engine", "auto")
+        if mode == "plain" or self.image_only:
             return False
-        return (jax.default_backend() == "tpu" and not self.image_only
-                and self.mesh.devices.size == 1
+        if dict(self.cfg.mesh_shape).get("model", 1) != 1:
+            return False
+        if mode == "fused":
+            return True
+        return (jax.default_backend() == "tpu"
                 and jax.process_count() == 1)
 
     def _process_kwargs(self) -> Dict[str, int]:
@@ -329,24 +334,37 @@ class Trainer:
         state = self.ensure_state()
         eval_params = state.params
         if self._use_fused_eval():
-            # production eval on a single TPU: route through the fused
-            # serving engine (megakernel decoder) — ~1.6x the model.apply
-            # path; logits are golden-tested against model.apply. Params
-            # are re-prepared per call (on-device concat/cast, cheap) so
-            # mid-training evals see the current weights.
+            # production eval: route through the fused serving engine
+            # (megakernel decoder) — ~1.6x the model.apply path; logits
+            # are golden-tested against model.apply. Params are
+            # re-prepared per call (on-device concat/cast, cheap) so
+            # mid-training evals see the current weights. dp>1: the
+            # engine runs per data shard under shard_map (params
+            # replicated, batch sharded over "data").
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
                                                   prepare_params)
             if self._jit_eval is None:
+                on_tpu = jax.default_backend() == "tpu"
                 serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                         use_pallas=False,
                                         use_pallas_ffn=True,
-                                        use_sga_megakernel=2)
+                                        use_sga_megakernel=2,
+                                        interpret=not on_tpu)
                 import jax.numpy as jnp
 
                 def _fused_eval(p, img, ques):
                     return jax.nn.sigmoid(
                         serve(p, img, ques).astype(jnp.float32))
-                self._jit_eval = jax.jit(_fused_eval)
+
+                if self.mesh.devices.size == 1:
+                    self._jit_eval = jax.jit(_fused_eval)
+                else:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+                    self._jit_eval = jax.jit(shard_map(
+                        _fused_eval, mesh=self.mesh,
+                        in_specs=(P(), P("data"), P("data")),
+                        out_specs=P("data"), check_vma=False))
             eval_params = prepare_params(state.params, cfg.layer,
                                          num_heads=cfg.multi_head)
         elif self._jit_eval is None:

@@ -102,6 +102,31 @@ class TestTrainerE2E:
                                 f"log_run_{cfg.version}.txt")).read()
         assert "train engine: fused" in log and "loss=nan" not in log
 
+    def test_fused_eval_dp_mesh(self, tmp_path):
+        """eval_engine="fused" on a dp=4 mesh: the fused serving engine
+        runs per data shard under shard_map and matches the plain
+        (model.apply) engine's probabilities."""
+        from mcan_vqa_tpu.train.trainer import Trainer
+        kw = dict(mesh_shape={"data": 4, "model": 1}, batch_size=16,
+                  eval_batch_size=16, max_epoch=1)
+        cfg_f = _tiny_cfg(tmp_path / "f", eval_engine="fused", **kw)
+        cfg_p = _tiny_cfg(tmp_path / "p", eval_engine="plain", **kw)
+        (tmp_path / "f").mkdir(exist_ok=True)
+        (tmp_path / "p").mkdir(exist_ok=True)
+        ds = SyntheticVQADataset(cfg_f, size=32, token_size=40,
+                                 answer_size=8, run_mode="train")
+        t_f = Trainer(cfg_f, train_dataset=ds)
+        t_p = Trainer(cfg_p, train_dataset=ds)
+        assert t_f._use_fused_eval() and not t_p._use_fused_eval()
+        # same seed -> identical init params in both trainers
+        rf = t_f.predict(train_ds_as_eval(cfg_f, ds))
+        rp = t_p.predict(train_ds_as_eval(cfg_p, ds))
+        np.testing.assert_array_equal(rf["qids"], rp["qids"])
+        np.testing.assert_allclose(rf["probs"], rp["probs"],
+                                   atol=5e-2, rtol=5e-2)
+        assert (rf["probs"].argmax(-1) == rp["probs"].argmax(-1)).mean() \
+            >= 0.9
+
     def test_resume_from_checkpoint(self, tmp_path):
         cfg = _tiny_cfg(tmp_path, max_epoch=1)
         from mcan_vqa_tpu.train.trainer import Trainer
