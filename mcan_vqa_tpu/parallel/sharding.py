@@ -105,6 +105,25 @@ def jit_train_step(train_step, mesh: Mesh, state, donate: bool = True):
     )
 
 
+def shardmap_train_step(train_step, mesh: Mesh, donate: bool = True):
+    """shard_map the train step over the data axis (pure-DP meshes only).
+
+    Used for the fused-Pallas train engine: XLA's SPMD partitioner cannot
+    split a pallas_call by itself, so the step runs per shard — the step
+    must be built with ``make_train_step(..., data_axis=DATA_AXIS)`` so it
+    psums loss/grads before the (replicated) optimizer update. State in/out
+    is replicated; the batch is sharded on dim 0.
+    """
+    from jax import shard_map
+
+    smapped = shard_map(
+        train_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(smapped, donate_argnums=(0,) if donate else ())
+
+
 def jit_eval_step(eval_step, mesh: Mesh, state, image_only: bool = False):
     param_sh = make_param_shardings(mesh, state.params)
     data_sh = NamedSharding(mesh, P(DATA_AXIS))

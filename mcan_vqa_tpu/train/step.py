@@ -65,6 +65,7 @@ def make_train_step(
     image_only: bool = False,
     reg_mode: str = "l1l2",
     forward_fn: Optional[Callable] = None,
+    data_axis: Optional[str] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the pure train step: (state, batch) -> (state, metrics).
 
@@ -76,6 +77,10 @@ def make_train_step(
     (params, img, ques, rng) -> logits — the Trainer passes the fused
     custom-VJP engine (train/fused_engine.py) here on single-TPU runs;
     grad accumulation / reg / optimizer wiring is identical either way.
+    data_axis: set when the step runs INSIDE shard_map over that mesh
+    axis (the fused-engine dp>1 path): the step then sees only its local
+    batch shard, folds the axis index into the dropout rng, and psums
+    loss+grads before the (replicated) optimizer update.
     """
     penalty = {"l1l2": l1_l2_penalty, "smooth_l1": smooth_l1_penalty}[reg_mode]
 
@@ -98,6 +103,10 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+        if data_axis is not None:
+            # distinct dropout masks per data shard
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(data_axis))
 
         if grad_accu_steps == 1:
             loss, grads = grad_fn(state.params, batch_inputs(batch),
@@ -120,6 +129,12 @@ def make_train_step(
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             (loss, grads), _ = jax.lax.scan(
                 body, (jnp.zeros((), jnp.float32), zero_grads), (micro, rngs))
+
+        if data_axis is not None:
+            # global loss/grads; the optimizer update below is then
+            # identical (replicated) on every shard
+            loss = jax.lax.psum(loss, data_axis)
+            grads = jax.lax.psum(grads, data_axis)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

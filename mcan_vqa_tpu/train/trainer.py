@@ -207,15 +207,25 @@ class Trainer:
                     interpret=not on_tpu, in_kernel_dropout=on_tpu)
                 self.logger.write("train engine: fused SGA blocks "
                                   f"(in_kernel_dropout={on_tpu})")
+            fused_dp = (forward_fn is not None
+                        and self.mesh.devices.size > 1)
             step_fn = make_train_step(
                 self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
                 reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule,
                 image_only=self.image_only,
                 reg_mode="smooth_l1" if self.image_only else "l1l2",
-                forward_fn=forward_fn)
-            self._jit_train = shd.jit_train_step(
-                step_fn, self.mesh, jax.device_get(state),
-                donate=cfg.donate_buffers)
+                forward_fn=forward_fn,
+                data_axis="data" if fused_dp else None)
+            if fused_dp:
+                # XLA's SPMD partitioner cannot split a pallas_call, so
+                # the fused step runs per data shard under shard_map
+                # (explicit in-step grad psum)
+                self._jit_train = shd.shardmap_train_step(
+                    step_fn, self.mesh, donate=cfg.donate_buffers)
+            else:
+                self._jit_train = shd.jit_train_step(
+                    step_fn, self.mesh, jax.device_get(state),
+                    donate=cfg.donate_buffers)
 
         loader = BatchLoader(
             self.train_dataset, cfg.batch_size, shuffle=True, drop_last=True,
@@ -294,7 +304,9 @@ class Trainer:
         mode = getattr(self.cfg, "train_engine", "auto")
         if mode == "plain" or self.image_only:
             return False
-        if self.mesh.devices.size != 1 or jax.process_count() != 1:
+        if dict(self.cfg.mesh_shape).get("model", 1) != 1:
+            return False          # fused engine has no TP wiring
+        if jax.process_count() != 1:
             return False
         if mode == "fused":
             return True
