@@ -62,6 +62,9 @@ def main() -> None:
     # in-kernel TPU-PRNG dropout for the fused blocks (no mask generation
     # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
     kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"
+    # encoder SA stack through the fused custom-VJP blocks (measured
+    # slightly slower than XLA at MCAN-small: 44.1 vs 43.4 ms — off)
+    fused_sa = os.environ.get("BENCH_FUSED_SA", "0") == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
@@ -100,7 +103,7 @@ def main() -> None:
         fwd = make_fused_train_forward(
             cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
             dropout_bits=dropout_bits, group=fused_block,
-            in_kernel_dropout=kernel_dropout)
+            in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa)
 
         def loss_fn(params, batch, rng):
             logits = fwd(params, batch["img"], batch["ques"], rng)
@@ -184,6 +187,7 @@ def main() -> None:
         **({"dropout_bits": dropout_bits} if dropout_bits != 32 else {}),
         **({"fused_block": fused_block} if fused_block else {}),
         **({"kernel_dropout": True} if kernel_dropout else {}),
+        **({"fused_sa": True} if fused_block and fused_sa else {}),
     }))
 
 

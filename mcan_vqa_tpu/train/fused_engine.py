@@ -30,6 +30,9 @@ import jax.numpy as jnp
 from mcan_vqa_tpu.models.layers import make_mask
 from mcan_vqa_tpu.ops.dropout import dropout as bit_dropout
 from mcan_vqa_tpu.ops.serving import _dense, _lstm, _mlp, _std_layer_norm
+from mcan_vqa_tpu.ops.sa_train import (fused_sa_block_train,
+                                       make_sa_dropout_masks,
+                                       prepare_sa_train_params)
 from mcan_vqa_tpu.ops.sga_train import (fused_sga_block_train,
                                         fused_sga_block_train_prng,
                                         make_dropout_masks,
@@ -83,14 +86,23 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                              dropout_bits: int = 32,
                              group: int = 2,
                              interpret: bool = False,
-                             in_kernel_dropout: bool = False):
+                             in_kernel_dropout: bool = False,
+                             fused_encoder: bool = False):
     """Build forward(params, img_feat, ques_ix, rng) -> logits [B, A].
 
     Differentiable w.r.t. params (standard MCANet tree). rng drives every
     dropout site; pass rate=0 for a deterministic forward.
-    in_kernel_dropout: generate the decoder blocks' dropout masks with the
-    TPU hardware PRNG inside the fused kernels (no mask generation or HBM
+    in_kernel_dropout: generate the fused blocks' dropout masks with the
+    TPU hardware PRNG inside the kernels (no mask generation or HBM
     mask traffic; TPU-only — the Mosaic PRNG has no CPU lowering).
+    fused_encoder: run the encoder SA stack through the custom-VJP fused
+    SA blocks (ops/sa_train.py) instead of the XLA composition. Measured
+    SLIGHTLY SLOWER on TPU v5e (44.1 vs 43.4 ms/step at MCAN-small
+    B=256): the encoder's [B*14, D] matmuls are large enough that XLA
+    autodiff is already efficient, and the packed-group kernels add
+    relayout overhead without a matching HBM saving (the question stream
+    is 4x smaller than the image stream). Kept as a measured option;
+    default off.
     """
 
     def forward(params, img_feat, ques_ix, rng):
@@ -109,21 +121,50 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
         v = _dense(params["img_feat_linear"], img_feat)
 
         bb = params["backbone"]
-        # ---- encoder SA stack (question path, XLA) ----
-        for i in range(num_layers):
-            p = bb[f"enc_{i}"]
-            k_att, k_sub, k_ffn = enc_keys[3 * i:3 * i + 3]
-            att = _masked_attention_train(
-                p["mhatt"], q, q, q, q_mask, num_heads, rate, k_att,
-                dropout_bits)
-            if rate > 0.0:
-                att = bit_dropout(att, rate, k_sub, dropout_bits)
-            q = _std_layer_norm(p["norm1"], q + att)
-            ff = _mlp_train(p["ffn"]["mlp"], q, rate,
-                            jax.random.fold_in(k_ffn, 1), dropout_bits)
-            if rate > 0.0:
-                ff = bit_dropout(ff, rate, k_ffn, dropout_bits)
-            q = _std_layer_norm(p["norm2"], q + ff)
+        if fused_encoder:
+            # ---- encoder SA stack through the fused custom-VJP blocks ----
+            Bq, Lq_, D_ = q.shape
+            F_ = bb["enc_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+                "kernel"].shape[1]
+            q = q.astype(jnp.float32)
+            for i in range(num_layers):
+                p = bb[f"enc_{i}"]
+                w = prepare_sa_train_params(p)
+                for name in ("wqkv", "wm", "w1", "w2"):
+                    w[name] = w[name].astype(BF16)
+                key_i = enc_keys[3 * i]
+                if in_kernel_dropout and rate > 0.0:
+                    seed = jax.random.randint(
+                        key_i, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+                    q = fused_sa_block_train(
+                        q, q_mask, seed, w, num_heads=num_heads, rate=rate,
+                        interpret=interpret)
+                else:
+                    sa_G = max(1, 128 // Lq_)
+                    while Bq % sa_G:
+                        sa_G -= 1
+                    masks, inv_keep = make_sa_dropout_masks(
+                        key_i, rate, Bq, Lq_, D_, F_, num_heads, sa_G,
+                        dropout_bits)
+                    q = fused_sa_block_train(
+                        q, q_mask, masks, w, num_heads=num_heads,
+                        group=sa_G, inv_keep=inv_keep, interpret=interpret)
+        else:
+            # ---- encoder SA stack (question path, XLA) ----
+            for i in range(num_layers):
+                p = bb[f"enc_{i}"]
+                k_att, k_sub, k_ffn = enc_keys[3 * i:3 * i + 3]
+                att = _masked_attention_train(
+                    p["mhatt"], q, q, q, q_mask, num_heads, rate, k_att,
+                    dropout_bits)
+                if rate > 0.0:
+                    att = bit_dropout(att, rate, k_sub, dropout_bits)
+                q = _std_layer_norm(p["norm1"], q + att)
+                ff = _mlp_train(p["ffn"]["mlp"], q, rate,
+                                jax.random.fold_in(k_ffn, 1), dropout_bits)
+                if rate > 0.0:
+                    ff = bit_dropout(ff, rate, k_ffn, dropout_bits)
+                q = _std_layer_norm(p["norm2"], q + ff)
 
         # ---- decoder SGA stack (fused custom-VJP blocks) ----
         B, Lv, D = v.shape

@@ -38,11 +38,16 @@ def _setup():
     return cfg, model, params, img, ques, target
 
 
-def test_engine_matches_model_grads_no_dropout():
+import pytest
+
+
+@pytest.mark.parametrize("fused_encoder", [False, True])
+def test_engine_matches_model_grads_no_dropout(fused_encoder):
     cfg, model, params, img, ques, target = _setup()
     fwd = make_fused_train_forward(cfg.layer, cfg.multi_head,
                                    dropout_rate=0.0, group=2,
-                                   interpret=True)
+                                   interpret=True,
+                                   fused_encoder=fused_encoder)
 
     def loss_engine(p):
         return bce_with_logits_sum(fwd(p, img, ques, jax.random.PRNGKey(9)),
@@ -78,7 +83,7 @@ def test_engine_dropout_runs_and_varies():
     cfg, model, params, img, ques, target = _setup()
     fwd = make_fused_train_forward(cfg.layer, cfg.multi_head,
                                    dropout_rate=0.2, group=2,
-                                   interpret=True)
+                                   interpret=True, fused_encoder=True)
 
     def loss(p, key):
         return bce_with_logits_sum(fwd(p, img, ques, key), target)

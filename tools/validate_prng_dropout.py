@@ -106,6 +106,34 @@ def main():
         assert err < 3e-3, (jax.tree_util.keystr(pa), err)
     print("PRNG-vs-external masks: values and ALL grads agree. PASSED")
 
+    # ---- SA encoder block PRNG variant (same reseeding scheme) ----
+    from mcan_vqa_tpu.ops.sa_train import (fused_sa_block_train,
+                                           prepare_sa_train_params)
+    pw = prepare_sa_train_params({
+        "mhatt": p["mhatt1"], "ffn": p["ffn"],
+        "norm1": p["norm1"], "norm2": p["norm2"]})
+    qx = jnp.asarray(rng.normal(size=(B, Lq, D)).astype(np.float32))
+    qprobe = jnp.asarray(rng.normal(size=(B, Lq, D)).astype(np.float32))
+
+    @jax.jit
+    def vg_sa(x, w, seed):
+        def loss(x, w):
+            x2 = fused_sa_block_train(x, None, seed, w, num_heads=H,
+                                      rate=rate)
+            return jnp.sum(x2 * qprobe)
+        return jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+
+    s1 = jnp.array([7], jnp.int32)
+    s2 = jnp.array([8888], jnp.int32)
+    l1, g1 = vg_sa(qx, pw, s1)
+    l1b, _ = vg_sa(qx, pw, s1)
+    l2, _ = vg_sa(qx, pw, s2)
+    assert float(l1) == float(l1b), "SA PRNG not deterministic"
+    assert float(l1) != float(l2), "SA PRNG seed has no effect"
+    assert all(bool(jnp.isfinite(t).all()) for t in jax.tree.leaves(g1))
+    print("SA-block PRNG dropout: deterministic, seed-sensitive, finite "
+          "grads. PASSED")
+
 
 if __name__ == "__main__":
     main()
