@@ -199,6 +199,28 @@ class TestSGAMegakernel:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
 
+    def test_megakernel_prepared_params_match_model(self):
+        """prepare_params attaches the _mk layouts; the megakernel engine
+        with prepared params must match model.apply."""
+        from mcan_vqa_tpu.ops.serving import prepare_params
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(21)
+        img = rng.normal(size=(4, 12, 32)).astype(np.float32)
+        img[2, 7:] = 0.0
+        ques = rng.integers(1, 50, size=(4, 7)).astype(np.int32)
+        ques[3, 4:] = 0
+        prepared = prepare_params(params, cfg.layer,
+                                  num_heads=cfg.multi_head)
+        assert "_mk" in prepared["backbone"]["dec_0"]
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=2, sga_group=2,
+                              interpret=True)
+        ours = fwd(prepared, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
     def test_alllayer_decoder_matches_model(self):
         """Mode 3: the whole decoder in ONE kernel launch vs model.apply."""
         cfg, model, params, img, ques = _setup()
