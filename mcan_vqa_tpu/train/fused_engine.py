@@ -213,3 +213,57 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
         return _dense(params["proj"], fused)
 
     return forward
+
+
+def make_fused_classifier_forward(num_layers: int, num_heads: int,
+                                  dropout_rate: float = 0.1,
+                                  dropout_bits: int = 32,
+                                  interpret: bool = False,
+                                  in_kernel_dropout: bool = False):
+    """Fused training forward for ClassifierNet (image-only multi-label;
+    reference core/model/net.py:140-196): the SA stack runs over the
+    60-region image stream — the geometry where block fusion pays — via
+    the custom-VJP fused SA blocks (ops/sa_train.py).
+
+    Returns forward(params, img_feat, rng) -> logits [B, A],
+    differentiable w.r.t. the standard ClassifierNet param tree.
+    """
+
+    def forward(params, img_feat, rng):
+        v_mask = make_mask(img_feat)
+        rate = dropout_rate
+        keys = jax.random.split(rng, num_layers + 1)
+
+        v = _dense(params["img_feat_linear"], img_feat).astype(jnp.float32)
+        bb = params["backbone"]
+        B, Lv, D = v.shape
+        F = bb["enc_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+            "kernel"].shape[1]
+        for i in range(num_layers):
+            p = bb[f"enc_{i}"]
+            w = prepare_sa_train_params(p)
+            for name in ("wqkv", "wm", "w1", "w2"):
+                w[name] = w[name].astype(BF16)
+            if in_kernel_dropout and rate > 0.0:
+                seed = jax.random.randint(
+                    keys[i], (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+                v = fused_sa_block_train(
+                    v, v_mask, seed, w, num_heads=num_heads, rate=rate,
+                    interpret=interpret)
+            else:
+                sa_G = max(1, 128 // Lv)
+                while B % sa_G:
+                    sa_G -= 1
+                masks, inv_keep = make_sa_dropout_masks(
+                    keys[i], rate, B, Lv, D, F, num_heads, sa_G,
+                    dropout_bits)
+                v = fused_sa_block_train(
+                    v, v_mask, masks, w, num_heads=num_heads, group=sa_G,
+                    inv_keep=inv_keep, interpret=interpret)
+
+        img_flat = _attflat_train(params["attflat_img"], v, v_mask, rate,
+                                  keys[-1], dropout_bits)
+        fused = _std_layer_norm(params["proj_norm"], img_flat)
+        return _dense(params["proj"], fused)
+
+    return forward

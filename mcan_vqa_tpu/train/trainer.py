@@ -197,16 +197,26 @@ class Trainer:
                 # 42.8 vs 49.0 ms/step at MCAN-small B=256). CPU (forced
                 # via train_engine="fused") runs interpret mode with
                 # external masks — the testable reference path.
-                from mcan_vqa_tpu.train.fused_engine import \
-                    make_fused_train_forward
+                from mcan_vqa_tpu.train.fused_engine import (
+                    make_fused_classifier_forward, make_fused_train_forward)
                 on_tpu = jax.default_backend() == "tpu"
-                forward_fn = make_fused_train_forward(
-                    cfg.layer, cfg.multi_head,
-                    dropout_rate=cfg.dropout_rate,
-                    dropout_bits=cfg.dropout_bits, group=2,
-                    interpret=not on_tpu, in_kernel_dropout=on_tpu)
-                self.logger.write("train engine: fused SGA blocks "
-                                  f"(in_kernel_dropout={on_tpu})")
+                if self.image_only:
+                    forward_fn = make_fused_classifier_forward(
+                        cfg.layer, cfg.multi_head,
+                        dropout_rate=cfg.dropout_rate,
+                        dropout_bits=cfg.dropout_bits,
+                        interpret=not on_tpu, in_kernel_dropout=on_tpu)
+                    self.logger.write("train engine: fused SA blocks "
+                                      f"(classifier, "
+                                      f"in_kernel_dropout={on_tpu})")
+                else:
+                    forward_fn = make_fused_train_forward(
+                        cfg.layer, cfg.multi_head,
+                        dropout_rate=cfg.dropout_rate,
+                        dropout_bits=cfg.dropout_bits, group=2,
+                        interpret=not on_tpu, in_kernel_dropout=on_tpu)
+                    self.logger.write("train engine: fused SGA blocks "
+                                      f"(in_kernel_dropout={on_tpu})")
             fused_dp = (forward_fn is not None
                         and self.mesh.devices.size > 1)
             step_fn = make_train_step(
@@ -302,7 +312,7 @@ class Trainer:
         worker (docs/PERFORMANCE.md) so large models stay on model.apply
         until diagnosed."""
         mode = getattr(self.cfg, "train_engine", "auto")
-        if mode == "plain" or self.image_only:
+        if mode == "plain":
             return False
         if dict(self.cfg.mesh_shape).get("model", 1) != 1:
             return False          # fused engine has no TP wiring
@@ -310,6 +320,10 @@ class Trainer:
             return False
         if mode == "fused":
             return True
+        # auto: VQA via the fused SGA blocks (42.8 vs 49.0 ms/step at
+        # MCAN-small B=256); classifier via the fused SA blocks over the
+        # 60-region image stream (25.4 vs 30.5 ms/step, +20%) — both
+        # measured on TPU v5e, docs/PERFORMANCE.md
         return (jax.default_backend() == "tpu"
                 and self.cfg.hidden_size % 128 == 0
                 and self.cfg.hidden_size <= 512)

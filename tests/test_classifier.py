@@ -52,6 +52,22 @@ class TestClassifierTrainer:
         log = open(f"{cfg.log_path}/log_run_{cfg.version}.txt").read()
         assert "[step 2] val:" in log
 
+    def test_fused_train_engine(self, tmp_path):
+        """train_engine="fused" routes classifier training through the
+        custom-VJP fused SA blocks (interpret on CPU) and trains."""
+        from mcan_vqa_tpu.train.trainer import Trainer
+        cfg = _tiny_cfg(tmp_path, train_engine="fused", max_epoch=1,
+                        batch_size=8)
+        ds = SyntheticMIMICDataset(cfg, size=16, answer_size=14,
+                                   run_mode="train")
+        trainer = Trainer(cfg, train_dataset=ds, task="classify")
+        assert trainer._use_fused_train()
+        state = trainer.train()
+        assert int(state.step) == 2
+        log = open(f"{cfg.log_path}/log_run_{cfg.version}.txt").read()
+        assert "train engine: fused SA blocks" in log
+        assert "loss=nan" not in log
+
 
 class TestClassifierCLI:
     def test_synthetic_train(self, tmp_path, capsys):

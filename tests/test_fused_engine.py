@@ -94,3 +94,46 @@ def test_engine_dropout_runs_and_varies():
     assert float(l1) != float(l2)
     for leaf in jax.tree.leaves(g1):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_classifier_engine_matches_model_grads_no_dropout():
+    """make_fused_classifier_forward vs ClassifierNet.apply autodiff."""
+    from mcan_vqa_tpu.models.net import ClassifierNet
+    from mcan_vqa_tpu.train.fused_engine import make_fused_classifier_forward
+
+    model = ClassifierNet(answer_size=7, hidden_size=32, num_layers=2,
+                          num_heads=4, ff_size=64, img_feat_size=24,
+                          flat_mlp_size=16, flat_glimpses=1,
+                          flat_out_size=32, dropout_rate=0.0,
+                          dtype=jnp.float32)
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, Lv, 24), jnp.float32)
+    img = img.at[1, -5:].set(0.0)
+    target = (jax.random.uniform(jax.random.PRNGKey(2), (B, 7)) < 0.3
+              ).astype(jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(3)}, img)["params"]
+    fwd = make_fused_classifier_forward(2, 4, dropout_rate=0.0,
+                                        interpret=True)
+
+    def loss_engine(p):
+        return bce_with_logits_sum(fwd(p, img, jax.random.PRNGKey(9)),
+                                   target)
+
+    def loss_model(p):
+        out = model.apply({"params": p}, img, deterministic=True)
+        return bce_with_logits_sum(out["logits"], target)
+
+    le, ge = jax.value_and_grad(loss_engine)(params)
+    lm, gm = jax.value_and_grad(loss_model)(params)
+    assert abs(float(le) - float(lm)) / max(1.0, abs(float(lm))) < 1e-3
+    flat_e = {jax.tree_util.keystr(kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(ge)[0]}
+    flat_m = {jax.tree_util.keystr(kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(gm)[0]}
+    assert set(flat_e) == set(flat_m)
+    global_max = max(float(jnp.max(jnp.abs(v))) for v in flat_m.values())
+    for name, a in flat_e.items():
+        b = flat_m[name]
+        scale = max(1e-2 * global_max, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale,
+            rtol=0, atol=4e-2, err_msg=name)
