@@ -100,7 +100,8 @@ def main() -> None:
             # Falls back automatically when block weights exceed VMEM
             # (MCAN-large). BENCH_SGA=0 restores the per-sub-op engine.
             use_sga_megakernel=int(os.environ.get("BENCH_SGA", "2")),
-            sga_group=int(os.environ.get("BENCH_SGA_GROUP", "4")))
+            sga_group=int(os.environ.get("BENCH_SGA_GROUP", "4")),
+            use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1")
     elif use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn
         forward = make_serving_fn(cfg.layer, cfg.multi_head,

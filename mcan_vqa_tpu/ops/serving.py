@@ -222,7 +222,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     bf16_stream: bool = False,
                     use_pallas_ffn: bool = False,
                     use_sga_megakernel: bool = False,
-                    sga_group: int = 4):
+                    sga_group: int = 4,
+                    use_pallas_attflat: bool = False):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
@@ -344,9 +345,11 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     interpret=interpret)
         if sga_mode:
             lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
-                                    use_pallas, interpret)
+                                    use_pallas or use_pallas_attflat,
+                                    interpret)
             img_flat, _ = _attflat(params["attflat_img"], v, v_mask,
-                                   use_pallas, interpret)
+                                   use_pallas or use_pallas_attflat,
+                                   interpret)
             fused = _std_layer_norm(params["proj_norm"],
                                     lang_flat + img_flat)
             return _dense(params["proj"], fused)
@@ -370,9 +373,9 @@ def make_serving_fn(num_layers: int, num_heads: int,
                        v + _mlp(p["ffn"]["mlp"], v).astype(stream))
 
         lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
-                                use_pallas, interpret)
+                                use_pallas or use_pallas_attflat, interpret)
         img_flat, _ = _attflat(params["attflat_img"], v, v_mask,
-                               use_pallas, interpret)
+                               use_pallas or use_pallas_attflat, interpret)
         fused = _std_layer_norm(params["proj_norm"], lang_flat + img_flat)
         return _dense(params["proj"], fused)
 

@@ -90,7 +90,7 @@ class TestTrainerE2E:
         """train_engine="fused" routes the Trainer step through the
         custom-VJP fused SGA blocks (interpret mode on CPU) and trains."""
         cfg = _tiny_cfg(tmp_path, train_engine="fused", max_epoch=1,
-                        batch_size=8)
+                        batch_size=8, grad_accu_steps=2)
         from mcan_vqa_tpu.train.trainer import Trainer
         ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=8,
                                  run_mode="train")
