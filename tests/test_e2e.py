@@ -89,7 +89,7 @@ class TestTrainerE2E:
     def test_fused_train_engine(self, tmp_path):
         """train_engine="fused" routes the Trainer step through the
         custom-VJP fused SGA blocks (interpret mode on CPU) and trains."""
-        cfg = _tiny_cfg(tmp_path, train_engine="fused", max_epoch=1,
+        cfg = _tiny_cfg(tmp_path, train_engine="fused", max_epoch=2,
                         batch_size=8, grad_accu_steps=2)
         from mcan_vqa_tpu.train.trainer import Trainer
         ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=8,
@@ -97,10 +97,15 @@ class TestTrainerE2E:
         trainer = Trainer(cfg, train_dataset=ds)
         assert trainer._use_fused_train()
         state = trainer.train()
-        assert int(state.step) == 2
+        assert int(state.step) == 4
         log = open(os.path.join(cfg.log_path,
                                 f"log_run_{cfg.version}.txt")).read()
         assert "train engine: fused" in log and "loss=nan" not in log
+        # the fused engine actually LEARNS: epoch losses decrease
+        import re
+        losses = [float(m) for m in re.findall(r"epoch \d+: loss=([\d.]+)",
+                                               log)]
+        assert len(losses) == 2 and losses[1] < losses[0]
 
     def test_fused_train_dp_mesh(self, tmp_path):
         """train_engine="fused" on a dp=4 mesh (shard_map + in-step grad
