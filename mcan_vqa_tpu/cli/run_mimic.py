@@ -48,6 +48,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                  "flat_out_size", "flat_mlp_size", "max_token"):
         p.add_argument(f"--{knob}", type=int)
     p.add_argument("--compute_dtype", type=str)
+    p.add_argument("--train_engine", choices=["auto", "fused", "plain"])
+    p.add_argument("--eval_engine", choices=["auto", "fused", "plain"])
     p.add_argument("--verbose", type=lambda s: s == "True")
     p.add_argument("--ckpts_dir", type=str)
     p.add_argument("--log_path", type=str)

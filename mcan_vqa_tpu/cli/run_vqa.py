@@ -52,6 +52,10 @@ def parse_args(argv=None) -> argparse.Namespace:
         p.add_argument(f"--{knob}", type=int)
     p.add_argument("--lr_base", type=float)
     p.add_argument("--compute_dtype", type=str)
+    p.add_argument("--train_engine", choices=["auto", "fused", "plain"],
+                   help="training engine: auto (fused Pallas blocks on "
+                        "single-TPU, see docs/PERFORMANCE.md), fused, plain")
+    p.add_argument("--eval_engine", choices=["auto", "fused", "plain"])
     p.add_argument("--ckpts_dir", type=str)
     p.add_argument("--log_path", type=str)
     p.add_argument("--result_path", type=str)
