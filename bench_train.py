@@ -146,7 +146,13 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown BENCH_ABLATE={ablate!r}")
 
-    @functools.partial(jax.jit, static_argnames="n", donate_argnums=(0,))
+    # BENCH_DONATE=0: skip TrainState buffer donation — REQUIRED for the
+    # fused engine at hidden>512 (donation + the Pallas train kernels
+    # crash the TPU worker at D=1024; isolated to the donate_argnums
+    # interaction, see docs/PERFORMANCE.md)
+    donate = (0,) if os.environ.get("BENCH_DONATE", "1") == "1" else ()
+
+    @functools.partial(jax.jit, static_argnames="n", donate_argnums=donate)
     def bench_loop(state, batch, n):
         def body(st, _):
             st, metrics = step_fn(st, batch)
