@@ -122,11 +122,17 @@ def main() -> None:
     if ablate:
         from mcan_vqa_tpu.train.step import bce_with_logits_sum
 
-        def loss_of(params, batch, rng):
-            out = model.apply({"params": params}, batch["img"],
-                              batch["ques"], deterministic=False,
-                              rngs={"dropout": rng})
-            return bce_with_logits_sum(out["logits"], batch["target"])
+        if fused_block:
+            def loss_of(params, batch, rng):
+                return bce_with_logits_sum(
+                    fwd(params, batch["img"], batch["ques"], rng),
+                    batch["target"])
+        else:
+            def loss_of(params, batch, rng):
+                out = model.apply({"params": params}, batch["img"],
+                                  batch["ques"], deterministic=False,
+                                  rngs={"dropout": rng})
+                return bce_with_logits_sum(out["logits"], batch["target"])
 
         if ablate == "fwd":
             def step_fn(st, batch):  # noqa: F811

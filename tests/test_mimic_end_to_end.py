@@ -154,3 +154,24 @@ class TestMIMICRealFormat:
         trainer.train()
         res = trainer.evaluate(val_ds)
         assert res["roc_macro"] > 0.9, res
+
+    def test_fused_engine_with_reg(self, mimic_env):
+        """MIMIC VQA flow through the fused train engine: the L1+L2
+        regularization penalty (reference core/exec.py:598-607) composes
+        with the custom-VJP fused blocks."""
+        import dataclasses
+
+        from mcan_vqa_tpu.data.mimic import MIMICDataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        _, cfg, _ = mimic_env
+        cfg = dataclasses.replace(cfg, train_engine="fused",
+                                  reg_factor=1e-4, max_epoch=1,
+                                  version=f"{cfg.version}_fused")
+        ds = MIMICDataset(cfg, "train")
+        trainer = Trainer(cfg, train_dataset=ds)
+        assert trainer._use_fused_train()
+        state = trainer.train()
+        assert int(state.step) > 0
+        log = open(f"{cfg.log_path}/log_run_{cfg.version}.txt").read()
+        assert "train engine: fused SGA blocks" in log
+        assert "loss=nan" not in log
