@@ -125,7 +125,8 @@ def prepare_sa_train_params(p: Dict[str, Any]) -> Dict[str, Any]:
 def _fwd_body(drop, x_ref, pad_ref,
               wqkv_ref, bqkv_ref, wm_ref, bm_ref, ln1s_ref, ln1b_ref,
               w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
-              x2_ref, x1_ref, *, heads: int, group: int, scale: float):
+              x2_ref, x1_ref, r2_ref=None, h1d_ref=None,
+              *, heads: int, group: int, scale: float):
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
     Dh = D // heads
@@ -156,6 +157,11 @@ def _fwd_body(drop, x_ref, pad_ref,
 
     x2_ref[:] = x2.reshape(G, Lq, D).astype(x2_ref.dtype)
     x1_ref[:] = x1.reshape(G, Lq, D).astype(x1_ref.dtype)
+    if r2_ref is not None:
+        # save-acts mode: the backward then skips the FFN recompute
+        # matmuls (same trick as ops/sga_train save_acts)
+        r2_ref[:] = r2.reshape(G, Lq, D).astype(r2_ref.dtype)
+        h1d_ref[:] = h1d.reshape(G, Lq, -1).astype(h1d_ref.dtype)
 
 
 def _fwd_kernel(x_ref, pad_ref, m_att, my1, mh, my2, *rest,
@@ -179,7 +185,12 @@ def _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref,
               w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref,
               dx_ref, dqkv_ref, atted_ref, dy1_ref, gx1_ref,
               h1d_ref, da1_ref, dy2_ref,
-              *, heads: int, group: int, scale: float):
+              *, heads: int, group: int, scale: float,
+              r2h=None, inv_keep_f: float = 1.0):
+    """r2h: (r2_ref, h1d_ref) saved-activation inputs — the FFN recompute
+    is skipped and da1 uses the where(h1d>0, inv_keep*dh1d) identity
+    (see ops/sga_train._bwd_ffn_body_sav); h1d_ref/da1 outputs: in sav
+    mode h1d_ref is None (the caller already holds the saved h1d)."""
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
     Dh = D // heads
@@ -191,16 +202,23 @@ def _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref,
     self_mask, _ = _block_masks(M, M, Lq, Lq, pad_ref[0].astype(F32),
                                 pad_ref[0].astype(F32))
 
-    # ---- recompute FFN from x1, backprop LN2 + FFN ----
-    a1 = _mm(x1, w1_ref[:]) + b1_ref[:]
-    h1d = drop.h1(jnp.maximum(a1, 0.0))
-    y2 = _mm(h1d, w2_ref[:]) + b2_ref[:]
-    r2 = x1 + drop.y2(y2)
+    if r2h is None:
+        # ---- recompute FFN from x1, backprop LN2 + FFN ----
+        a1 = _mm(x1, w1_ref[:]) + b1_ref[:]
+        h1d = drop.h1(jnp.maximum(a1, 0.0))
+        y2 = _mm(h1d, w2_ref[:]) + b2_ref[:]
+        r2 = x1 + drop.y2(y2)
+    else:
+        r2 = r2h[0][:].reshape(M, D).astype(F32)
+        h1d = r2h[1][:].reshape(M, -1).astype(F32)
 
     gr2 = _ln_bwd(g, r2, ln2s_ref[:])
     dy2 = drop.y2(gr2)
     dh1d = _mm_bt(dy2, w2_ref[:])
-    da1 = jnp.where(a1 > 0.0, drop.h1(dh1d), 0.0)
+    if r2h is None:
+        da1 = jnp.where(a1 > 0.0, drop.h1(dh1d), 0.0)
+    else:
+        da1 = jnp.where(h1d > 0.0, dh1d * inv_keep_f, 0.0)
     gx1 = gr2 + _mm_bt(da1, w1_ref[:])
 
     # ---- recompute self-attention from x, backprop LN1 + attention ----
@@ -247,7 +265,8 @@ def _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref,
     atted_ref[:] = atted.reshape(G, Lq, D).astype(atted_ref.dtype)
     dy1_ref[:] = dy1.reshape(G, Lq, D).astype(dy1_ref.dtype)
     gx1_ref[:] = gx1.reshape(G, Lq, D).astype(gx1_ref.dtype)
-    h1d_ref[:] = h1d.reshape(G, Lq, -1).astype(h1d_ref.dtype)
+    if h1d_ref is not None:
+        h1d_ref[:] = h1d.reshape(G, Lq, -1).astype(h1d_ref.dtype)
     da1_ref[:] = da1.reshape(G, Lq, -1).astype(da1_ref.dtype)
     dy2_ref[:] = dy2.reshape(G, Lq, D).astype(dy2_ref.dtype)
 
@@ -266,6 +285,30 @@ def _bwd_kernel_prng(seed_ref, x_ref, x1_ref, g_ref, pad_ref, *rest,
                         inv_keep)
     _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref, *rest,
               heads=heads, group=group, scale=scale)
+
+
+def _bwd_kernel_sav(x_ref, x1_ref, g_ref, pad_ref, r2_ref, h1df_ref,
+                    m_att, my1, my2, *rest,
+                    heads, group, scale, inv_keep):
+    drop = _ExtMasksSA(m_att, my1, None, my2, inv_keep)
+    w_refs, (dx, dqkv, atted, dy1, gx1, da1, dy2) = rest[:10], rest[10:]
+    _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref, *w_refs,
+              dx, dqkv, atted, dy1, gx1, None, da1, dy2,
+              heads=heads, group=group, scale=scale,
+              r2h=(r2_ref, h1df_ref), inv_keep_f=inv_keep)
+
+
+def _bwd_kernel_sav_prng(seed_ref, x_ref, x1_ref, g_ref, pad_ref,
+                         r2_ref, h1df_ref, *rest,
+                         heads, group, scale, keep_thresh, inv_keep):
+    from jax.experimental import pallas as pl
+    drop = _PrngMasksSA(seed_ref[0], pl.program_id(0), keep_thresh,
+                        inv_keep)
+    w_refs, (dx, dqkv, atted, dy1, gx1, da1, dy2) = rest[:10], rest[10:]
+    _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref, *w_refs,
+              dx, dqkv, atted, dy1, gx1, None, da1, dy2,
+              heads=heads, group=group, scale=scale,
+              r2h=(r2_ref, h1df_ref), inv_keep_f=inv_keep)
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +344,7 @@ def _mask_specs_sa(blk, H, M, D, F):
 
 
 def _fwd_call(x, pad, masks, w, *, heads, group, interpret, inv_keep,
-              prng=None):
+              prng=None, save_acts=False):
     from jax.experimental import pallas as pl
 
     B, Lq, D = x.shape
@@ -326,6 +369,12 @@ def _fwd_call(x, pad, masks, w, *, heads, group, interpret, inv_keep,
         head_specs = [_seed_spec(), per_g(Lq, D),
                       blk((1, 1, M), lambda b: (b, 0, 0))]
         head_ops = (seed, x, pad)
+    out_specs = [per_g(Lq, D)] * 2
+    out_shape = [jax.ShapeDtypeStruct((B, Lq, D), F32)] * 2
+    if save_acts:
+        out_specs += [per_g(Lq, D), per_g(Lq, F)]
+        out_shape += [jax.ShapeDtypeStruct((B, Lq, D), F32),     # r2
+                      jax.ShapeDtypeStruct((B, Lq, F), BF16)]    # h1d
     outs = pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -335,18 +384,20 @@ def _fwd_call(x, pad, masks, w, *, heads, group, interpret, inv_keep,
             rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),
             rep((D,)), rep((D,)),                           # ffn + ln2
         ],
-        out_specs=[per_g(Lq, D)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((B, Lq, D), F32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*head_ops,
       w["wqkv"], w["bqkv"], w["wm"], w["bm"], w["ln1_s"], w["ln1_b"],
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln2_s"], w["ln2_b"])
-    return outs  # (x2, x1)
+    return outs  # (x2, x1[, r2, h1d])
 
 
 def _bwd_call(x, x1, g, pad, masks, w, *, heads, group, interpret,
-              inv_keep, prng=None):
+              inv_keep, prng=None, saved=None):
+    """saved: (r2, h1d) from the save_acts forward — the kernel then
+    skips the FFN recompute and does not emit h1d (the caller has it)."""
     from jax.experimental import pallas as pl
 
     B, Lq, D = x.shape
@@ -355,23 +406,64 @@ def _bwd_call(x, x1, g, pad, masks, w, *, heads, group, interpret,
     F = w["w1"].shape[1]
     scale = 1.0 / ((D // heads) ** 0.5)
     blk, rep, per_g = _grid_specs(B, G, Lq, 1, D, F, heads, 1)
+    sav_specs = [per_g(Lq, D), per_g(Lq, F)] if saved is not None else []
     if prng is None:
-        kernel = functools.partial(_bwd_kernel, heads=heads, group=G,
-                                   scale=scale, inv_keep=inv_keep)
-        head_specs = [per_g(Lq, D), per_g(Lq, D), per_g(Lq, D),
-                      blk((1, 1, M), lambda b: (b, 0, 0)),
-                      *_mask_specs_sa(blk, heads, M, D, F)]
-        head_ops = (x, x1, g, pad, masks["att"], masks["y1"], masks["h1"],
-                    masks["y2"])
+        if saved is not None:
+            kernel = functools.partial(_bwd_kernel_sav, heads=heads,
+                                       group=G, scale=scale,
+                                       inv_keep=inv_keep)
+            head_specs = [per_g(Lq, D), per_g(Lq, D), per_g(Lq, D),
+                          blk((1, 1, M), lambda b: (b, 0, 0)),
+                          *sav_specs,
+                          blk((1, heads, M, M), lambda b: (b, 0, 0, 0)),
+                          blk((1, M, D), lambda b: (b, 0, 0)),
+                          blk((1, M, D), lambda b: (b, 0, 0))]
+            head_ops = (x, x1, g, pad, saved[0], saved[1],
+                        masks["att"], masks["y1"], masks["y2"])
+        else:
+            kernel = functools.partial(_bwd_kernel, heads=heads, group=G,
+                                       scale=scale, inv_keep=inv_keep)
+            head_specs = [per_g(Lq, D), per_g(Lq, D), per_g(Lq, D),
+                          blk((1, 1, M), lambda b: (b, 0, 0)),
+                          *_mask_specs_sa(blk, heads, M, D, F)]
+            head_ops = (x, x1, g, pad, masks["att"], masks["y1"],
+                        masks["h1"], masks["y2"])
     else:
         seed, keep_thresh = prng
-        kernel = functools.partial(_bwd_kernel_prng, heads=heads, group=G,
-                                   scale=scale, keep_thresh=keep_thresh,
-                                   inv_keep=inv_keep)
-        head_specs = [_seed_spec(), per_g(Lq, D), per_g(Lq, D),
-                      per_g(Lq, D),
-                      blk((1, 1, M), lambda b: (b, 0, 0))]
-        head_ops = (seed, x, x1, g, pad)
+        if saved is not None:
+            kernel = functools.partial(_bwd_kernel_sav_prng, heads=heads,
+                                       group=G, scale=scale,
+                                       keep_thresh=keep_thresh,
+                                       inv_keep=inv_keep)
+            head_specs = [_seed_spec(), per_g(Lq, D), per_g(Lq, D),
+                          per_g(Lq, D),
+                          blk((1, 1, M), lambda b: (b, 0, 0)),
+                          *sav_specs]
+            head_ops = (seed, x, x1, g, pad, saved[0], saved[1])
+        else:
+            kernel = functools.partial(_bwd_kernel_prng, heads=heads,
+                                       group=G, scale=scale,
+                                       keep_thresh=keep_thresh,
+                                       inv_keep=inv_keep)
+            head_specs = [_seed_spec(), per_g(Lq, D), per_g(Lq, D),
+                          per_g(Lq, D),
+                          blk((1, 1, M), lambda b: (b, 0, 0))]
+            head_ops = (seed, x, x1, g, pad)
+    out_specs = [per_g(Lq, D), per_g(Lq, 3 * D), per_g(Lq, D),
+                 per_g(Lq, D), per_g(Lq, D)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Lq, D), F32),          # dx
+        jax.ShapeDtypeStruct((B, Lq, 3 * D), BF16),     # dqkv
+        jax.ShapeDtypeStruct((B, Lq, D), BF16),         # atted
+        jax.ShapeDtypeStruct((B, Lq, D), BF16),         # dy1
+        jax.ShapeDtypeStruct((B, Lq, D), BF16),         # gx1
+    ]
+    if saved is None:
+        out_specs += [per_g(Lq, F)]
+        out_shape += [jax.ShapeDtypeStruct((B, Lq, F), BF16)]   # h1d
+    out_specs += [per_g(Lq, F), per_g(Lq, D)]
+    out_shape += [jax.ShapeDtypeStruct((B, Lq, F), BF16),       # da1
+                  jax.ShapeDtypeStruct((B, Lq, D), BF16)]       # dy2
     outs = pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -381,24 +473,16 @@ def _bwd_call(x, x1, g, pad, masks, w, *, heads, group, interpret,
             rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),
             rep((D,)),                                      # ln2_s
         ],
-        out_specs=[per_g(Lq, D), per_g(Lq, 3 * D), per_g(Lq, D),
-                   per_g(Lq, D), per_g(Lq, D), per_g(Lq, F),
-                   per_g(Lq, F), per_g(Lq, D)],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Lq, D), F32),          # dx
-            jax.ShapeDtypeStruct((B, Lq, 3 * D), BF16),     # dqkv
-            jax.ShapeDtypeStruct((B, Lq, D), BF16),         # atted
-            jax.ShapeDtypeStruct((B, Lq, D), BF16),         # dy1
-            jax.ShapeDtypeStruct((B, Lq, D), BF16),         # gx1
-            jax.ShapeDtypeStruct((B, Lq, F), BF16),         # h1d
-            jax.ShapeDtypeStruct((B, Lq, F), BF16),         # da1
-            jax.ShapeDtypeStruct((B, Lq, D), BF16),         # dy2
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*head_ops,
       w["wqkv"], w["bqkv"], w["wm"], w["bm"], w["ln1_s"],
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln2_s"])
+    if saved is not None:
+        dx, dqkv, atted, dy1, gx1, da1, dy2 = outs
+        return dx, dqkv, atted, dy1, gx1, saved[1], da1, dy2
     return outs
 
 
@@ -433,10 +517,12 @@ def _sa_weight_grads(g, x, x1, x2, w, dqkv, atted, dy1, gx1, h1d, da1, dy2):
 
 def make_sa_block_train(num_heads: int, group: int,
                         interpret: bool = False, inv_keep: float = 1.0,
-                        rate: Optional[float] = None):
+                        rate: Optional[float] = None,
+                        save_acts: bool = True):
     """Differentiable fused SA block. rate=None: external-mask variant
     f(x, pad, masks, w); rate set: in-kernel PRNG variant
-    f(x, pad, seed, w) (TPU-only)."""
+    f(x, pad, seed, w) (TPU-only). save_acts: the forward saves r2/h1d
+    so the backward skips the FFN recompute matmuls."""
     use_prng = rate is not None
     if use_prng:
         keep_thresh, inv_keep = prng_keep_params(rate)
@@ -447,22 +533,24 @@ def make_sa_block_train(num_heads: int, group: int,
     @jax.custom_vjp
     def f(x, pad, m_or_seed, w):
         prng = prng_of(m_or_seed) if use_prng else None
-        x2, _ = _fwd_call(x, pad, None if use_prng else m_or_seed, w,
-                          prng=prng, **kw)
-        return x2
+        outs = _fwd_call(x, pad, None if use_prng else m_or_seed, w,
+                         prng=prng, **kw)
+        return outs[0]
 
     def f_fwd(x, pad, m_or_seed, w):
         prng = prng_of(m_or_seed) if use_prng else None
-        x2, x1 = _fwd_call(x, pad, None if use_prng else m_or_seed, w,
-                           prng=prng, **kw)
-        return x2, (x, pad, m_or_seed, w, x1, x2)
+        outs = _fwd_call(x, pad, None if use_prng else m_or_seed, w,
+                         prng=prng, save_acts=save_acts, **kw)
+        x2, x1 = outs[:2]
+        r2, h1d = (outs[2], outs[3]) if save_acts else (None, None)
+        return x2, (x, pad, m_or_seed, w, x1, x2, r2, h1d)
 
     def f_bwd(res, g):
-        x, pad, m_or_seed, w, x1, x2 = res
+        x, pad, m_or_seed, w, x1, x2, r2, h1d_s = res
         prng = prng_of(m_or_seed) if use_prng else None
         (dx, dqkv, atted, dy1, gx1, h1d, da1, dy2) = _bwd_call(
             x, x1, g, pad, None if use_prng else m_or_seed, w,
-            prng=prng, **kw)
+            prng=prng, saved=(r2, h1d_s) if save_acts else None, **kw)
         dw = _sa_weight_grads(g, x, x1, x2, w, dqkv, atted, dy1, gx1,
                               h1d, da1, dy2)
         f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)

@@ -241,7 +241,7 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
               wqkv_ref, bqkv_ref, wm1_ref, bm1_ref, ln1s_ref, ln1b_ref,
               wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
               w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref, ln3b_ref,
-              v3_ref, v1_ref, v2_ref,
+              v3_ref, v1_ref, v2_ref, r3_ref=None, h1d_ref=None,
               *, heads: int, group: int, scale: float):
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
@@ -293,6 +293,11 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     v3_ref[:] = v3.reshape(G, Lv, D).astype(v3_ref.dtype)
     v1_ref[:] = v1.reshape(G, Lv, D).astype(v1_ref.dtype)
     v2_ref[:] = v2.reshape(G, Lv, D).astype(v2_ref.dtype)
+    if r3_ref is not None:
+        # save-acts mode: the FFN backward then skips BOTH recompute
+        # matmuls (a1 and y3) — see _bwd_ffn_body_sav
+        r3_ref[:] = r3.reshape(G, Lv, D).astype(r3_ref.dtype)
+        h1d_ref[:] = h1d.reshape(G, Lv, -1).astype(h1d_ref.dtype)
 
 
 def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
@@ -356,6 +361,51 @@ def _bwd_ffn_kernel_prng(seed_ref, v2_ref, g_ref, *rest,
     from jax.experimental import pallas as pl
     drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
     _bwd_ffn_body(drop, v2_ref, g_ref, *rest, group=group)
+
+
+def _bwd_ffn_body_sav(drop, r3_ref, g_ref, h1d_ref,
+                      w1_ref, w2_ref, ln3s_ref,
+                      gv2_ref, dy3_ref, da1_ref,
+                      *, group: int, inv_keep: float):
+    """FFN backward from SAVED activations (r3 f32, h1d bf16): no
+    recompute matmuls. da1 uses the identity
+    where(a1>0, drop_h1(dh1d)) == where(h1d>0, inv_keep*dh1d):
+    h1d = drop_h1(relu(a1)) is nonzero exactly where the mask kept AND
+    a1>0 — and where the mask dropped, drop_h1 zeroes dh1d anyway."""
+    G = group
+    Lv, D = r3_ref.shape[1], r3_ref.shape[2]
+    M = G * Lv
+
+    r3 = r3_ref[:].reshape(M, D).astype(F32)
+    g = g_ref[:].reshape(M, D).astype(F32)
+    # f32 for the compare: Mosaic has no bf16 comparison
+    h1d = h1d_ref[:].reshape(M, -1).astype(F32)
+
+    gr3 = _ln_bwd(g, r3, ln3s_ref[:])
+    dy3 = drop.y3(gr3)
+    dh1d = _mm_bt(dy3, w2_ref[:])                   # dy3 @ W2^T
+    da1 = jnp.where(h1d > 0.0, dh1d * inv_keep, 0.0)
+    gv2 = gr3 + _mm_bt(da1, w1_ref[:])              # residual + da1 @ W1^T
+
+    gv2_ref[:] = gv2.reshape(G, Lv, D).astype(gv2_ref.dtype)
+    dy3_ref[:] = dy3.reshape(G, Lv, D).astype(dy3_ref.dtype)
+    da1_ref[:] = da1.reshape(G, Lv, -1).astype(da1_ref.dtype)
+
+
+def _bwd_ffn_kernel_sav(r3_ref, g_ref, h1d_ref, my3_ref, *rest,
+                        group: int, inv_keep: float):
+    drop = _ExtMasks(None, None, None, None, None, my3_ref, inv_keep)
+    _bwd_ffn_body_sav(drop, r3_ref, g_ref, h1d_ref, *rest,
+                      group=group, inv_keep=inv_keep)
+
+
+def _bwd_ffn_kernel_sav_prng(seed_ref, r3_ref, g_ref, h1d_ref, *rest,
+                             group: int, keep_thresh: int,
+                             inv_keep: float):
+    from jax.experimental import pallas as pl
+    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
+    _bwd_ffn_body_sav(drop, r3_ref, g_ref, h1d_ref, *rest,
+                      group=group, inv_keep=inv_keep)
 
 
 # ---------------------------------------------------------------------------
@@ -571,9 +621,11 @@ def _seed_spec():
 
 
 def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
-              inv_keep, prng=None):
+              inv_keep, prng=None, save_acts=False):
     """prng: None for external uint8 masks, else (seed_arr[1] int32,
-    keep_thresh) — masks regenerated by the TPU hardware PRNG in-kernel."""
+    keep_thresh) — masks regenerated by the TPU hardware PRNG in-kernel.
+    save_acts: additionally emit r3 (f32) and h1d (bf16) so the FFN
+    backward skips its recompute matmuls."""
     from jax.experimental import pallas as pl
 
     B, Lv, D = x.shape
@@ -612,6 +664,12 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
             blk((1, 1, N), lambda b: (b, 0, 0)),
         ]
         head_ops = (seed, x, kq, vq, vpad, qpad)
+    out_specs = [per_g(Lv, D)] * 3
+    out_shape = [jax.ShapeDtypeStruct((B, Lv, D), F32)] * 3
+    if save_acts:
+        out_specs += [per_g(Lv, D), per_g(Lv, F)]
+        out_shape += [jax.ShapeDtypeStruct((B, Lv, D), F32),     # r3
+                      jax.ShapeDtypeStruct((B, Lv, F), BF16)]    # h1d
     out = pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -623,15 +681,15 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
             rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),
             rep((D,)), rep((D,)),                           # ffn + ln3
         ],
-        out_specs=[per_g(Lv, D)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((B, Lv, D), F32)] * 3,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*head_ops,
       w["wqkv"], w["bqkv"], w["wm1"], w["bm1"], w["ln1_s"], w["ln1_b"],
       w["wq2"], w["bq2"], w["wm2"], w["bm2"], w["ln2_s"], w["ln2_b"],
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln3_s"], w["ln3_b"])
-    return out  # (v3, v1, v2)
+    return out  # (v3, v1, v2[, r3, h1d])
 
 
 def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep,
@@ -677,6 +735,48 @@ def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep,
         interpret=interpret,
     )(*head_ops,
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln3_s"])
+    return outs
+
+
+def _bwd_ffn_call_sav(r3, g, h1d, masks, w, *, group, interpret, inv_keep,
+                      prng=None):
+    """FFN backward from saved r3/h1d (no recompute matmuls)."""
+    from jax.experimental import pallas as pl
+
+    B, Lv, D = r3.shape
+    G = group
+    M = G * Lv
+    F = w["w1"].shape[1]
+    blk, rep, per_g = _grid_specs(B, G, Lv, 1, D, F, 1, 1)
+    if prng is None:
+        kernel = functools.partial(_bwd_ffn_kernel_sav, group=G,
+                                   inv_keep=inv_keep)
+        head_specs = [per_g(Lv, D), per_g(Lv, D), per_g(Lv, F),
+                      blk((1, M, D), lambda b: (b, 0, 0))]   # mask y3
+        head_ops = (r3, g, h1d, masks["y3"])
+    else:
+        seed, keep_thresh = prng
+        kernel = functools.partial(_bwd_ffn_kernel_sav_prng, group=G,
+                                   keep_thresh=keep_thresh,
+                                   inv_keep=inv_keep)
+        head_specs = [_seed_spec(), per_g(Lv, D), per_g(Lv, D),
+                      per_g(Lv, F)]
+        head_ops = (seed, r3, g, h1d)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=head_specs + [
+            rep((D, F)), rep((F, D)), rep((D,)),            # w1, w2, ln3_s
+        ],
+        out_specs=[per_g(Lv, D), per_g(Lv, D), per_g(Lv, F)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lv, D), F32),          # gv2
+            jax.ShapeDtypeStruct((B, Lv, D), BF16),         # dy3
+            jax.ShapeDtypeStruct((B, Lv, F), BF16),         # da1
+        ],
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(*head_ops, w["w1"], w["w2"], w["ln3_s"])
     return outs
 
 
@@ -764,7 +864,8 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
 # ---------------------------------------------------------------------------
 
 def make_sga_block_train(num_heads: int, group: int = 2,
-                         interpret: bool = False, inv_keep: float = 1.0):
+                         interpret: bool = False, inv_keep: float = 1.0,
+                         save_acts: bool = True):
     """Build the differentiable fused-block op for a fixed config.
 
     Returns f(x, kq, vq, vpad, qpad, masks, w) -> v3 where
@@ -774,60 +875,40 @@ def make_sga_block_train(num_heads: int, group: int = 2,
       masks the uint8 dict from make_dropout_masks,
       w     the dict from prepare_sga_train_params.
     Gradients flow to x, kq, vq, and every entry of w.
+    save_acts: the forward additionally saves r3/h1d so the FFN backward
+    skips its recompute matmuls (trades ~1 ms HBM for ~4 ms MXU at
+    MCAN-small B=256); False restores the pure-recompute backward.
     """
     kw = dict(heads=num_heads, group=group, interpret=interpret,
               inv_keep=inv_keep)
 
     @jax.custom_vjp
     def f(x, kq, vq, vpad, qpad, masks, w):
-        v3, _, _ = _fwd_call(x, kq, vq, vpad, qpad, masks, w, **kw)
-        return v3
+        outs = _fwd_call(x, kq, vq, vpad, qpad, masks, w, **kw)
+        return outs[0]
 
     def f_fwd(x, kq, vq, vpad, qpad, masks, w):
-        v3, v1, v2 = _fwd_call(x, kq, vq, vpad, qpad, masks, w, **kw)
-        return v3, (x, kq, vq, vpad, qpad, masks, w, v1, v2, v3)
+        outs = _fwd_call(x, kq, vq, vpad, qpad, masks, w,
+                         save_acts=save_acts, **kw)
+        v3, v1, v2 = outs[:3]
+        r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
+        return v3, (x, kq, vq, vpad, qpad, masks, w, v1, v2, v3, r3, h1d)
 
     def f_bwd(res, g):
-        x, kq, vq, vpad, qpad, masks, w, v1, v2, v3 = res
-        gv2, dy3, h1d, da1 = _bwd_ffn_call(
-            v2, g, masks, w, group=group, interpret=interpret,
-            inv_keep=inv_keep)
+        x, kq, vq, vpad, qpad, masks, w, v1, v2, v3, r3, h1d = res
+        if save_acts:
+            gv2, dy3, da1 = _bwd_ffn_call_sav(
+                r3, g, h1d, masks, w, group=group, interpret=interpret,
+                inv_keep=inv_keep)
+        else:
+            gv2, dy3, h1d, da1 = _bwd_ffn_call(
+                v2, g, masks, w, group=group, interpret=interpret,
+                inv_keep=inv_keep)
         (dx, dkq, dvq, dqkv, atted1, dy1, dqx, atted2, dy2,
          gv1) = _bwd_att_call(
             x, v1, kq, vq, gv2, vpad, qpad, masks, w, **kw)
-
-        def mm_flat(a, b):
-            """sum_b a[b]^T @ b[b] over batch+rows: [B,L,P]x[B,L,Q]->[P,Q]"""
-            return jnp.einsum(
-                "blp,blq->pq", a.astype(BF16), b.astype(BF16),
-                preferred_element_type=F32)
-
-        def rsum(t):
-            return jnp.sum(t.astype(F32), axis=(0, 1))
-
-        def u_of(v, s, b):
-            return (v.astype(F32) - b) / s
-
-        dw = {
-            "wqkv": mm_flat(x, dqkv), "bqkv": rsum(dqkv),
-            "wm1": mm_flat(atted1, dy1), "bm1": rsum(dy1),
-            "ln1_s": jnp.sum(gv1.astype(F32)
-                             * u_of(v1, w["ln1_s"], w["ln1_b"]),
-                             axis=(0, 1)),
-            "ln1_b": rsum(gv1),
-            "wq2": mm_flat(v1, dqx), "bq2": rsum(dqx),
-            "wm2": mm_flat(atted2, dy2), "bm2": rsum(dy2),
-            "ln2_s": jnp.sum(gv2.astype(F32)
-                             * u_of(v2, w["ln2_s"], w["ln2_b"]),
-                             axis=(0, 1)),
-            "ln2_b": rsum(gv2),
-            "w1": mm_flat(v2, da1), "b1": rsum(da1),
-            "w2": mm_flat(h1d, dy3), "b2": rsum(dy3),
-            "ln3_s": jnp.sum(g.astype(F32)
-                             * u_of(v3, w["ln3_s"], w["ln3_b"]),
-                             axis=(0, 1)),
-            "ln3_b": rsum(g),
-        }
+        dw = _weight_grads(g, x, v1, v2, v3, w, dqkv, atted1, dy1, dqx,
+                           atted2, dy2, gv1, gv2, da1, h1d, dy3)
         f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)
         return (dx, dkq, dvq, f0(vpad), f0(qpad),
                 jax.tree.map(f0, masks), dw)
@@ -839,7 +920,8 @@ def make_sga_block_train(num_heads: int, group: int = 2,
 def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
                           num_heads: int, group: int = 2,
                           inv_keep: float = 1.0,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          save_acts: bool = True):
     """Convenience wrapper: takes the standard bool [B,1,1,L] pad masks.
 
     w from prepare_sga_train_params (weights may be pre-cast to bf16 by the
@@ -852,7 +934,8 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
         G -= 1
     vpad = _flat_pad(v_mask, B, G, Lv)
     qpad = _flat_pad(q_mask, B, G, Lq)
-    f = make_sga_block_train(num_heads, G, interpret, inv_keep)
+    f = make_sga_block_train(num_heads, G, interpret, inv_keep,
+                             save_acts=save_acts)
     return f(x, kq, vq, vpad, qpad, masks, w)
 
 
@@ -872,7 +955,8 @@ def prng_keep_params(rate: float):
     return t, float(q) / t
 
 
-def make_sga_block_train_prng(num_heads: int, group: int, rate: float):
+def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
+                              save_acts: bool = True):
     """PRNG-dropout fused block: f(x, kq, vq, vpad, qpad, seed, w) -> v3.
 
     seed is an int32 [1] array; each dropout site reseeds the hardware
@@ -880,7 +964,7 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float):
     regenerate the exact forward masks — zero mask bytes cross HBM.
     TPU-only (the Mosaic PRNG has no interpret-mode lowering); the
     external-mask path (make_sga_block_train) stays the CPU-testable
-    reference.
+    reference. save_acts as in make_sga_block_train.
     """
     keep_thresh, inv_keep = prng_keep_params(rate)
     kw = dict(heads=num_heads, group=group, interpret=False,
@@ -888,20 +972,28 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float):
 
     @jax.custom_vjp
     def f(x, kq, vq, vpad, qpad, seed, w):
-        v3, _, _ = _fwd_call(x, kq, vq, vpad, qpad, None, w,
-                             prng=(seed, keep_thresh), **kw)
-        return v3
+        outs = _fwd_call(x, kq, vq, vpad, qpad, None, w,
+                         prng=(seed, keep_thresh), **kw)
+        return outs[0]
 
     def f_fwd(x, kq, vq, vpad, qpad, seed, w):
-        v3, v1, v2 = _fwd_call(x, kq, vq, vpad, qpad, None, w,
-                               prng=(seed, keep_thresh), **kw)
-        return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, v3)
+        outs = _fwd_call(x, kq, vq, vpad, qpad, None, w,
+                         prng=(seed, keep_thresh), save_acts=save_acts,
+                         **kw)
+        v3, v1, v2 = outs[:3]
+        r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
+        return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, v3, r3, h1d)
 
     def f_bwd(res, g):
-        x, kq, vq, vpad, qpad, seed, w, v1, v2, v3 = res
-        gv2, dy3, h1d, da1 = _bwd_ffn_call(
-            v2, g, None, w, group=group, interpret=False,
-            inv_keep=inv_keep, prng=(seed, keep_thresh))
+        x, kq, vq, vpad, qpad, seed, w, v1, v2, v3, r3, h1d = res
+        if save_acts:
+            gv2, dy3, da1 = _bwd_ffn_call_sav(
+                r3, g, h1d, None, w, group=group, interpret=False,
+                inv_keep=inv_keep, prng=(seed, keep_thresh))
+        else:
+            gv2, dy3, h1d, da1 = _bwd_ffn_call(
+                v2, g, None, w, group=group, interpret=False,
+                inv_keep=inv_keep, prng=(seed, keep_thresh))
         (dx, dkq, dvq, dqkv, atted1, dy1, dqx, atted2, dy2,
          gv1) = _bwd_att_call(
             x, v1, kq, vq, gv2, vpad, qpad, None, w,

@@ -111,10 +111,12 @@ def _reference_block(x, kq, vq, v_mask, q_mask, masks, w, inv_keep):
     return jnp.stack(outs)
 
 
-def _fused(x, kq, vq, v_mask, q_mask, masks, w, inv_keep):
+def _fused(x, kq, vq, v_mask, q_mask, masks, w, inv_keep,
+           save_acts=True):
     return st.fused_sga_block_train(
         x, kq, vq, v_mask, q_mask, masks, w,
-        num_heads=H, group=G, inv_keep=inv_keep, interpret=True)
+        num_heads=H, group=G, inv_keep=inv_keep, interpret=True,
+        save_acts=save_acts)
 
 
 @pytest.mark.parametrize("rate", [0.0, 0.25])
@@ -126,13 +128,15 @@ def test_forward_matches_reference(rate):
                                rtol=0, atol=2e-4)
 
 
-@pytest.mark.parametrize("rate", [0.0, 0.25])
-def test_gradients_match_reference(rate):
+@pytest.mark.parametrize("rate,save_acts",
+                         [(0.0, True), (0.25, True), (0.25, False)])
+def test_gradients_match_reference(rate, save_acts):
     x, kq, vq, vm, qm, masks, w, inv = _make_inputs(1, rate)
     probe = jax.random.normal(jax.random.PRNGKey(5), (B, Lv, D))
 
     def loss_fused(x, kq, vq, w):
-        return jnp.sum(_fused(x, kq, vq, vm, qm, masks, w, inv) * probe)
+        return jnp.sum(_fused(x, kq, vq, vm, qm, masks, w, inv,
+                              save_acts=save_acts) * probe)
 
     def loss_ref(x, kq, vq, w):
         return jnp.sum(
