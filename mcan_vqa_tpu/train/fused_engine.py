@@ -21,9 +21,6 @@ core/model/net.py:337-375 (Net2.forward), core/model/mca.py:85-207.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 
