@@ -34,7 +34,7 @@ def masked_attention_xla(
     *,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    dropout_bits: int = 8,
+    dropout_bits: int = 32,
     compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
     """q,k,v: [B, H, Lq, Dh] / [B, H, Lk, Dh]; mask: bool [B, 1, 1, Lk].
@@ -311,7 +311,7 @@ def masked_attention(
     q, k, v, mask, *,
     dropout_rate: float = 0.0,
     dropout_rng=None,
-    dropout_bits: int = 8,
+    dropout_bits: int = 32,
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = False,
     interpret: bool = False,

@@ -47,7 +47,7 @@ def packed_masked_attention(
     pack: int,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    dropout_bits: int = 8,
+    dropout_bits: int = 32,
     compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
     """q [B, H, Lq, Dh], k/v [B, H, Lk, Dh], mask bool [B, 1, 1, Lk].

@@ -499,7 +499,10 @@ def _sa_weight_grads(g, x, x1, x2, w, dqkv, atted, dy1, gx1, h1d, da1, dy2):
         return jnp.sum(t.astype(F32), axis=(0, 1))
 
     def u_of(v, s, b):
-        return (v.astype(F32) - b) / s
+        # see sga_train._weight_grads.u_of: guard the exactly-zero-scale
+        # singularity (zero grad there instead of NaN/Inf)
+        s_safe = jnp.where(s == 0.0, 1.0, s)
+        return (v.astype(F32) - b) / s_safe
 
     return {
         "wqkv": mm_flat(x, dqkv), "bqkv": rsum(dqkv),

@@ -1018,7 +1018,13 @@ def _weight_grads(g, x, v1, v2, v3, w, dqkv, atted1, dy1, dqx, atted2,
         return jnp.sum(t.astype(F32), axis=(0, 1))
 
     def u_of(v, s, b):
-        return (v.astype(F32) - b) / s
+        # Reconstruct the normalized activation u from v = u*s + b. Exact
+        # for any s != 0; at an exactly-zero scale entry u is unrecoverable
+        # (v == b), so substitute a safe divisor — that entry's scale grad
+        # becomes 0 instead of NaN/Inf poisoning every weight grad (the XLA
+        # autodiff path never divides by s and has no such singularity).
+        s_safe = jnp.where(s == 0.0, 1.0, s)
+        return (v.astype(F32) - b) / s_safe
 
     return {
         "wqkv": mm_flat(x, dqkv), "bqkv": rsum(dqkv),

@@ -93,7 +93,15 @@ def make_train_step(
             logits = out["logits"]
         loss = bce_with_logits_sum(logits, target)
         if reg_factor > 0.0:
-            loss = loss + reg_factor * penalty(params)
+            pen = reg_factor * penalty(params)
+            if data_axis is not None:
+                # Under shard_map every shard holds the full (replicated)
+                # params, so an unscaled per-shard penalty would be
+                # multiplied by the shard count at the loss/grad psum
+                # below. Divide by the axis size so the summed penalty
+                # matches the plain jit path exactly.
+                pen = pen / jax.lax.psum(1.0, data_axis)
+            loss = loss + pen
         return loss
 
     grad_fn = jax.value_and_grad(loss_fn)

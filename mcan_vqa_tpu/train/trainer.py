@@ -318,6 +318,10 @@ class Trainer:
             return False          # fused engine has no TP wiring
         if jax.process_count() != 1:
             return False
+        if getattr(self.cfg, "fused_qkv", False):
+            # fused_qkv builds a linear_qkv param tree the fused engines'
+            # prepare_*_params (which expect linear_q/k/v) cannot split
+            return False
         if mode == "fused":
             return True
         # auto: VQA via the fused SGA blocks (42.8 vs 49.0 ms/step at
@@ -338,6 +342,8 @@ class Trainer:
             return False
         if dict(self.cfg.mesh_shape).get("model", 1) != 1:
             return False
+        if getattr(self.cfg, "fused_qkv", False):
+            return False          # see _use_fused_train
         if mode == "fused":
             return True
         return (jax.default_backend() == "tpu"

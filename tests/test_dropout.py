@@ -2,8 +2,9 @@
 
 The reference applies standard inverted dropout (rate 0.1) on attention
 maps, FFN activations, and each sublayer output (core/model/mca.py:75-77,
-net_utils.py:24). The TPU rebuild draws 8 random bits per keep decision by
-default (4x less RngBitGenerator work); these tests pin the statistical
+net_utils.py:24). The TPU rebuild draws 32 random bits per keep decision by
+default (exact bernoulli; set dropout_bits=8/16 for 4x/2x less
+RngBitGenerator work at a quantized rate); these tests pin the statistical
 contract: realized drop rate matches the quantized target, the rescale is
 exactly unbiased, masks differ across RNG keys, and the model integrates
 the knob end to end.

@@ -109,3 +109,17 @@ class TestFusedQKVModel:
         dec2 = sh["backbone"]["dec_0"]["mhatt2"]
         assert dec2["linear_kv"]["kernel"].spec == P(None, "model")
         assert dec2["linear_merge"]["kernel"].spec == P("model", None)
+
+    def test_fused_engines_excluded(self):
+        """fused_qkv builds a linear_qkv param tree the fused Pallas
+        engines' prepare_*_params cannot split — the Trainer must route
+        such configs to model.apply (ADVICE r2 medium)."""
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        cfg = _cfg(fused_qkv=True, train_engine="fused",
+                   eval_engine="fused")
+        ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=10,
+                                 run_mode="train")
+        tr = Trainer(cfg, train_dataset=ds)
+        assert not tr._use_fused_train()
+        assert not tr._use_fused_eval()

@@ -116,6 +116,39 @@ class TestDistributedEquivalence:
         assert abs(l_single - l_tp) / abs(l_single) < 1e-4
         self._compare(g_single, g_tp)
 
+    @pytest.mark.parametrize("grad_accu_steps", [1, 2])
+    def test_fused_dp_reg_parity(self, grad_accu_steps):
+        """The shard_map (fused-engine) dp path with reg_factor>0 must match
+        the plain jit path: the L1+L2 penalty is computed on replicated
+        params by every shard, so without the axis-size correction it would
+        be multiplied by the shard count at the loss/grad psum (ADVICE r2)."""
+        import optax
+        cfg, model, state, _, batch = _setup(grad_accu_steps)
+        tx = optax.sgd(1.0)
+        state = TrainState.create(state.params, tx, seed=0)
+        reg = 1e-3
+
+        plain = make_train_step(model, tx, grad_accu_steps=grad_accu_steps,
+                                reg_factor=reg)
+        mesh1 = make_mesh({"data": 1, "model": 1})
+        s1, m1 = shd.jit_train_step(plain, mesh1, state, donate=False)(
+            shd.shard_state(mesh1, state), shd.shard_batch(mesh1, batch))
+
+        sharded = make_train_step(model, tx, grad_accu_steps=grad_accu_steps,
+                                  reg_factor=reg, data_axis="data")
+        mesh4 = make_mesh({"data": 4, "model": 1})
+        jstep = shd.shardmap_train_step(sharded, mesh4, donate=False)
+        s4, m4 = jstep(shd.shard_state(mesh4, state),
+                       shd.shard_batch(mesh4, batch))
+
+        assert abs(float(m1["loss"]) - float(m4["loss"])) \
+            / abs(float(m1["loss"])) < 1e-5
+        g1 = jax.tree.map(lambda p0, p1: p0 - p1, state.params,
+                          jax.device_get(s1.params))
+        g4 = jax.tree.map(lambda p0, p1: p0 - p1, state.params,
+                          jax.device_get(s4.params))
+        self._compare(g1, g4)
+
     def test_dp4_tp2_with_accumulation(self):
         g_single, l_single = _run_mesh({"data": 1, "model": 1},
                                        grad_accu_steps=2)
