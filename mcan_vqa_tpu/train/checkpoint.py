@@ -186,7 +186,14 @@ def import_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Load a reference .pkl/.pt -> (flax params, meta {'lr_base': ...}).
+    """Load a reference .pkl/.pt -> (flax params, meta).
+
+    meta carries 'lr_base' when present, plus — when the pickle holds the
+    reference's optimizer state (core/exec.py:241-245 saves it; :90-92
+    restores it on resume) — 'optimizer' (the raw torch AdamW state_dict)
+    and 'param_keys' (the model param names in registration order, which is
+    the index order AdamW's saved state uses). Feed both to
+    ``import_torch_opt_state`` for a trajectory-faithful resume.
 
     Requires torch (CPU) — available on build hosts; TPU jobs consume the
     converted orbax checkpoint instead.
@@ -196,7 +203,178 @@ def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = blob["state_dict"] if "state_dict" in blob else blob
     meta = {k: blob[k] for k in ("lr_base",) if isinstance(blob, dict) and k in blob}
+    if isinstance(blob, dict) and isinstance(blob.get("optimizer"), dict):
+        meta["optimizer"] = blob["optimizer"]
+        # state_dict key order == model.parameters() order (Net2 has no
+        # buffers), which is the order the reference passed to AdamW
+        # (core/model/optim.py:58-60) — i.e. the optimizer's index space.
+        meta["param_keys"] = list(_strip_module_prefix(state_dict).keys())
     return import_torch_state_dict(state_dict), meta
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state (AdamW moments) interop — trajectory-faithful resume
+# ---------------------------------------------------------------------------
+
+def reference_param_keys(num_layers: int) -> list:
+    """Net2's state_dict keys in registration order (reference:
+    core/model/net.py:295-333, mca.py:18-186, net_utils.py:11-60). This is
+    the index order torch AdamW state uses; validated against the actual
+    reference model in tests/test_reference_parity.py."""
+    def linear(p):
+        return [f"{p}.weight", f"{p}.bias"]
+
+    def norm(p):
+        return [f"{p}.a_2", f"{p}.b_2"]
+
+    def mhatt(p):
+        return (linear(f"{p}.linear_v") + linear(f"{p}.linear_k")
+                + linear(f"{p}.linear_q") + linear(f"{p}.linear_merge"))
+
+    def mlp(p):
+        return linear(f"{p}.fc.linear") + linear(f"{p}.linear")
+
+    keys = ["embedding.weight", "lstm.weight_ih_l0", "lstm.weight_hh_l0",
+            "lstm.bias_ih_l0", "lstm.bias_hh_l0"]
+    keys += linear("img_feat_linear")
+    for i in range(num_layers):
+        p = f"backbone.enc_list.{i}"
+        keys += (mhatt(f"{p}.mhatt") + mlp(f"{p}.ffn.mlp")
+                 + norm(f"{p}.norm1") + norm(f"{p}.norm2"))
+    for i in range(num_layers):
+        p = f"backbone.dec_list.{i}"
+        keys += (mhatt(f"{p}.mhatt1") + mhatt(f"{p}.mhatt2")
+                 + mlp(f"{p}.ffn.mlp") + norm(f"{p}.norm1")
+                 + norm(f"{p}.norm2") + norm(f"{p}.norm3"))
+    for af in ("attflat_img", "attflat_lang"):
+        keys += mlp(f"{af}.mlp") + linear(f"{af}.linear_merge")
+    keys += norm("proj_norm") + linear("proj")
+    return keys
+
+
+def _graft_flat(tree: Dict[str, Any], flat: Dict[Tuple[str, ...], np.ndarray],
+                prefix=()) -> Dict[str, Any]:
+    """Replace leaves of a nested dict by flat[path] where present, keeping
+    dtype/shape of the original leaf."""
+    out = {}
+    for k, v in tree.items():
+        p = prefix + (k,)
+        if isinstance(v, dict):
+            out[k] = _graft_flat(v, flat, p)
+        elif p in flat:
+            arr = np.asarray(flat[p])
+            leaf = np.asarray(v)
+            assert arr.shape == leaf.shape, \
+                f"optimizer moment shape mismatch at {p}: " \
+                f"{arr.shape} vs {leaf.shape}"
+            out[k] = arr.astype(leaf.dtype)
+        else:
+            out[k] = v
+    return out
+
+
+def _map_opt_state(node, adam_fn, count_fn):
+    """Recursively rewrite an optax state tuple: ScaleByAdamState nodes via
+    adam_fn, any other namedtuple with a 'count' field via count_fn."""
+    if hasattr(node, "_fields"):
+        if {"count", "mu", "nu"} <= set(node._fields):
+            return adam_fn(node)
+        if "count" in node._fields:
+            return count_fn(node)
+        return type(node)(*[_map_opt_state(x, adam_fn, count_fn)
+                            for x in node])
+    if isinstance(node, tuple):
+        return tuple(_map_opt_state(x, adam_fn, count_fn) for x in node)
+    return node
+
+
+def import_torch_opt_state(optimizer_sd: Dict[str, Any], param_keys: list,
+                           template_opt_state) -> Tuple[Any, int]:
+    """torch AdamW optimizer state_dict -> (optax adamw state, step count).
+
+    The reference's resume restores exp_avg/exp_avg_sq so a resumed run
+    continues the SAME optimization trajectory (core/exec.py:90-92). optax
+    adamw's update math is element-for-element identical to torch AdamW
+    (mu=exp_avg, nu=exp_avg_sq; bias correction sqrt(nu/bc2)+eps; decoupled
+    weight decay), so the moments transplant directly — transposed exactly
+    as their params are. Both optax counts (adam bias-correction and lr
+    schedule) are set to the torch step count N: optax increments before
+    use, so count=N makes the next update bias-correct with t=N+1 and take
+    lr(reference step N+1), exactly like torch's step N+1 would.
+    """
+    import jax.numpy as jnp
+
+    state = optimizer_sd.get("state", {})
+    mu_flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    nu_flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    step = 0
+    for i, key in enumerate(param_keys):
+        s = state.get(i, state.get(str(i)))
+        if s is None:
+            continue
+        path, transpose = torch_key_to_flax(key)
+        m, v = _to_np(s["exp_avg"]), _to_np(s["exp_avg_sq"])
+        if transpose:
+            m, v = m.T, v.T
+        mu_flat[path] = m
+        nu_flat[path] = v
+        step = max(step, int(float(_to_np(s["step"]))))
+
+    def adam(node):
+        return node._replace(
+            count=jnp.asarray(step, node.count.dtype),
+            mu=_graft_flat(jax.device_get(node.mu), mu_flat),
+            nu=_graft_flat(jax.device_get(node.nu), nu_flat))
+
+    def count(node):
+        return node._replace(count=jnp.asarray(step, node.count.dtype))
+
+    return _map_opt_state(template_opt_state, adam, count), step
+
+
+def export_torch_opt_state(opt_state, num_layers: int, lr: float = 0.0,
+                           weight_decay: float = 1e-4,
+                           betas=(0.9, 0.999), eps: float = 1e-8
+                           ) -> Dict[str, Any]:
+    """optax adamw state -> a torch AdamW optimizer state_dict the reference
+    can load_state_dict (core/exec.py:90-92): per-param {step, exp_avg,
+    exp_avg_sq} indexed in Net2's registration order, one param_group."""
+    import torch
+
+    found = {}
+
+    def adam(node):
+        found["mu"] = jax.device_get(node.mu)
+        found["nu"] = jax.device_get(node.nu)
+        found["count"] = int(node.count)
+        return node
+
+    _map_opt_state(opt_state, adam, lambda n: n)
+    if "mu" not in found:
+        raise ValueError("no ScaleByAdamState in opt_state")
+    mu_flat = flatten_params(found["mu"])
+    nu_flat = flatten_params(found["nu"])
+
+    state = {}
+    for i, key in enumerate(reference_param_keys(num_layers)):
+        path, transpose = torch_key_to_flax(key)
+        m = np.asarray(mu_flat[path], np.float32)
+        v = np.asarray(nu_flat[path], np.float32)
+        if transpose:
+            m, v = m.T, v.T
+        state[i] = {
+            "step": torch.tensor(float(found["count"])),
+            "exp_avg": torch.from_numpy(np.ascontiguousarray(m)),
+            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(v)),
+        }
+    param_groups = [{
+        "lr": lr, "betas": tuple(betas), "eps": eps,
+        "weight_decay": weight_decay, "amsgrad": False, "maximize": False,
+        "foreach": None, "capturable": False, "differentiable": False,
+        "fused": None, "decoupled_weight_decay": True,
+        "params": list(range(len(state))),
+    }]
+    return {"state": state, "param_groups": param_groups}
 
 
 def fuse_qkv_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
@@ -298,11 +476,34 @@ def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
             out[f"{joined}.{name}"] = torch.from_numpy(arr)
         else:
             raise KeyError(f"unrecognized param leaf: {path}")
+    # Emit keys in Net2's registration order when the tree is a full MCANet:
+    # torch AdamW state indexes params by this order, so a consistent order
+    # is what makes the exported optimizer state loadable (and our own
+    # importer's param_keys correct).
+    enc_ids = [int(k.split(".")[2]) for k in out
+               if k.startswith("backbone.enc_list.")]
+    if enc_ids:
+        expected = reference_param_keys(max(enc_ids) + 1)
+        if set(expected) == set(out):
+            out = {k: out[k] for k in expected}
     return out
 
 
-def export_torch_checkpoint(params, path: str, lr_base: float = 1e-4) -> None:
+def export_torch_checkpoint(params, path: str, lr_base: float = 1e-4,
+                            opt_state=None, num_layers: Optional[int] = None,
+                            weight_decay: float = 1e-4,
+                            betas=(0.9, 0.999), eps: float = 1e-8) -> None:
+    """Write a reference-format pickle {'state_dict','optimizer','lr_base'}
+    (core/exec.py:241-245). Pass opt_state+num_layers to include the AdamW
+    moments so the reference's resume continues the same trajectory."""
     import torch
 
-    torch.save({"state_dict": export_torch_state_dict(jax.device_get(params)),
-                "lr_base": lr_base}, path)
+    blob = {"state_dict": export_torch_state_dict(jax.device_get(params)),
+            "lr_base": lr_base}
+    if opt_state is not None:
+        if num_layers is None:
+            raise ValueError("num_layers required to order optimizer state")
+        blob["optimizer"] = export_torch_opt_state(
+            opt_state, num_layers, lr=lr_base, weight_decay=weight_decay,
+            betas=betas, eps=eps)
+    torch.save(blob, path)

@@ -114,15 +114,27 @@ class Trainer:
         cfg = self.cfg
         if cfg.ckpt_path:
             if cfg.ckpt_path.endswith((".pkl", ".pt", ".pth")):
-                params, _ = ckpt_mod.import_torch_checkpoint(cfg.ckpt_path)
+                params, meta = ckpt_mod.import_torch_checkpoint(cfg.ckpt_path)
                 params = _merge_compatible(state.params, params, self.logger)
                 # reference replays the warmup counter from the epoch
-                # (core/exec.py:90-94); torch ckpts carry no step, use epoch.
+                # (core/exec.py:90-94); epoch arithmetic is the fallback
+                # when the pickle carries no optimizer state.
                 step = int(len(self.train_dataset or []) / cfg.batch_size
                            * cfg.ckpt_epoch)
-                return TrainState.create(params, self.tx, seed=cfg.seed,
-                                         step=step,
-                                         rng_impl=self._rng_impl())
+                new = TrainState.create(params, self.tx, seed=cfg.seed,
+                                        step=step,
+                                        rng_impl=self._rng_impl())
+                if "optimizer" in meta:
+                    # trajectory-faithful resume: transplant the AdamW
+                    # moments + actual step count (core/exec.py:90-92)
+                    opt_state, tstep = ckpt_mod.import_torch_opt_state(
+                        meta["optimizer"], meta["param_keys"],
+                        new.opt_state)
+                    self.logger.write(
+                        f"resume: restored AdamW moments @ step {tstep}")
+                    new = new.replace(opt_state=opt_state,
+                                      step=np.int32(tstep))
+                return new
             template = {"params": jax.device_get(state.params),
                         "opt_state": jax.device_get(state.opt_state),
                         "step": 0}

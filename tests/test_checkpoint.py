@@ -239,3 +239,67 @@ class TestOrbaxRoundtrip:
                         jax.tree.leaves(restored["params"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         assert ckpt.latest_epoch(str(tmp_path), "test") == 3
+
+
+class TestTrainerTorchResume:
+    def test_moments_restored_through_trainer(self, tmp_path):
+        """Trainer._resume from a reference-format pickle WITH optimizer
+        state transplants the AdamW moments and actual step count
+        (trajectory-faithful resume; reference: core/exec.py:84-94)."""
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        from mcan_vqa_tpu.train.step import make_train_step
+        from mcan_vqa_tpu.train.trainer import Trainer
+
+        base = dict(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                    img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                    flat_mlp_size=16, batch_size=8, compute_dtype="float32",
+                    use_glove=False, verbose=False,
+                    ckpts_dir=str(tmp_path / "ckpts"),
+                    log_path=str(tmp_path / "log"),
+                    result_path=str(tmp_path / "res"))
+        cfg = Config(**base).finalize()
+        ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=10,
+                                 run_mode="train")
+        tr = Trainer(cfg, train_dataset=ds)
+        state = tr.ensure_state(resume=False)
+        step = jax.jit(make_train_step(tr.model, tr.tx))
+        rng = np.random.default_rng(0)
+        batch = {"img": rng.normal(size=(8, 8, 16)).astype(np.float32),
+                 "ques": rng.integers(1, 40, (8, 6)).astype(np.int32),
+                 "target": (rng.random((8, 10)) < 0.2).astype(np.float32)}
+        for _ in range(2):
+            state, _ = step(state, batch)
+
+        pkl = str(tmp_path / "epoch2.pkl")
+        ckpt.export_torch_checkpoint(
+            jax.device_get(state.params), pkl, lr_base=cfg.lr_base,
+            opt_state=jax.device_get(state.opt_state), num_layers=cfg.layer)
+
+        cfg2 = Config(**base, resume=True, ckpt_path=pkl,
+                      ckpt_epoch=1).finalize()
+        tr2 = Trainer(cfg2, train_dataset=ds)
+        state2 = tr2.ensure_state()
+        # actual optimizer step count wins over the epoch arithmetic
+        assert int(state2.step) == 2
+        mu0 = {}
+
+        def grab(node):
+            mu0["mu"] = node.mu
+            return node
+
+        ckpt._map_opt_state(jax.device_get(state.opt_state), grab,
+                            lambda n: n)
+        got = {}
+
+        def grab2(node):
+            got["mu"] = node.mu
+            got["count"] = int(node.count)
+            return node
+
+        ckpt._map_opt_state(jax.device_get(state2.opt_state), grab2,
+                            lambda n: n)
+        assert got["count"] == 2
+        for a, b in zip(jax.tree.leaves(mu0["mu"]),
+                        jax.tree.leaves(got["mu"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
