@@ -60,6 +60,11 @@ class Config:
     lr_decay_list: List[int] = field(default_factory=lambda: [8, 12])
     max_epoch: int = 13
     grad_norm_clip: float = -1.0
+    # per-parameter grad-norm bookkeeping (reference accumulates these every
+    # step, core/exec.py:108-109,199-202): 0 = off; K > 0 computes a pytree
+    # of per-leaf L2 grad norms in-step, accumulates host-side, and writes
+    # the sums to the JSONL log every K steps and at each epoch end.
+    grad_norm_log_every: int = 0
     # AdamW betas/eps. The reference config declares (0.9, 0.98)/1e-9 but
     # never passes them to AdamW (commented out at core/model/optim.py:61-62),
     # so the zoo checkpoints were trained with torch defaults — which are the

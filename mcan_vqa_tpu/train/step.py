@@ -66,6 +66,7 @@ def make_train_step(
     reg_mode: str = "l1l2",
     forward_fn: Optional[Callable] = None,
     data_axis: Optional[str] = None,
+    per_param_norms: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the pure train step: (state, batch) -> (state, metrics).
 
@@ -151,6 +152,10 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
+        if per_param_norms:
+            # per-leaf L2 norms (reference bookkeeping, core/exec.py:199-202)
+            metrics["param_grad_norms"] = jax.tree.map(
+                lambda g: jnp.linalg.norm(g.astype(jnp.float32)), grads)
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
 

@@ -237,7 +237,8 @@ class Trainer:
                 image_only=self.image_only,
                 reg_mode="smooth_l1" if self.image_only else "l1l2",
                 forward_fn=forward_fn,
-                data_axis="data" if fused_dp else None)
+                data_axis="data" if fused_dp else None,
+                per_param_norms=cfg.grad_norm_log_every > 0)
             if fused_dp:
                 # XLA's SPMD partitioner cannot split a pallas_call, so
                 # the fused step runs per data shard under shard_map
@@ -267,6 +268,7 @@ class Trainer:
                     ("img", "ques", "target")
                 loss_sum, n_steps = 0.0, 0
                 metrics = {"loss": 0.0, "lr": 0.0}
+                norm_sums: Dict[str, float] = {}
                 for batch in loader:
                     if stop_requested["flag"]:
                         break
@@ -274,6 +276,20 @@ class Trainer:
                     state, metrics = self._jit_train(state, batch)
                     loss_sum += float(metrics["loss"])
                     n_steps += 1
+                    if "param_grad_norms" in metrics:
+                        # per-param grad-norm bookkeeping (reference
+                        # accumulates these every step, core/exec.py:199-202)
+                        flat, _ = jax.tree_util.tree_flatten_with_path(
+                            jax.device_get(metrics["param_grad_norms"]))
+                        for path, v in flat:
+                            name = "/".join(
+                                getattr(p, "key", str(p)) for p in path)
+                            norm_sums[name] = norm_sums.get(name, 0.0) \
+                                + float(v)
+                        if n_steps % cfg.grad_norm_log_every == 0:
+                            self.logger.jsonl({"epoch": epoch,
+                                               "step": n_steps,
+                                               "grad_norm_sums": norm_sums})
                     timer.tick()
                     meter.update({"loss": metrics["loss"], "lr": metrics["lr"]})
                     # classifier flow: periodic in-epoch eval
@@ -294,6 +310,10 @@ class Trainer:
                     "wall_s": time.time() - t0,
                     "step_ema_s": timer.ema or 0.0,
                 }
+                if norm_sums:
+                    self.logger.jsonl({"epoch": epoch, "step": n_steps,
+                                       "grad_norm_sums": norm_sums,
+                                       "final": True})
                 ckpt_mod.save_checkpoint(state, cfg.ckpts_dir, cfg.version,
                                          epoch + 1)
                 if cfg.keep_last_ckpts > 0:

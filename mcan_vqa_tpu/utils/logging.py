@@ -37,6 +37,13 @@ class RunLogger:
         if self.echo:
             print(line, flush=True)
 
+    def jsonl(self, obj: Dict[str, Any]) -> None:
+        """Append one machine-readable record to the JSONL mirror (used for
+        the per-parameter grad-norm diagnostics, reference bookkeeping:
+        core/exec.py:199-202)."""
+        with open(self.path.replace(".txt", ".jsonl"), "a") as f:
+            f.write(json.dumps(obj, default=str) + "\n")
+
     def epoch(self, epoch: int, metrics: Dict[str, Any]) -> None:
         parts = ", ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
                           for k, v in metrics.items())

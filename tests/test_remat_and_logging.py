@@ -114,3 +114,64 @@ class TestProfilingTrace:
         t = StepTimer()
         assert t.tick() is None
         assert t.tick() is not None and t.ema > 0
+
+
+class TestPerParamGradNorms:
+    def test_step_emits_per_leaf_norms(self):
+        """per_param_norms=True adds a metrics pytree mirroring the params
+        with per-leaf L2 grad norms (reference: core/exec.py:199-202)."""
+        import optax
+
+        cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                     flat_out_size=32, flat_mlp_size=16, batch_size=4,
+                     dropout_rate=0.0, compute_dtype="float32",
+                     use_glove=False).finalize()
+        model = build_mcan(cfg, token_size=30, answer_size=10)
+        rng = np.random.default_rng(0)
+        batch = {"img": rng.normal(size=(4, 6, 16)).astype(np.float32),
+                 "ques": rng.integers(1, 30, (4, 5)).astype(np.int32),
+                 "target": (rng.random((4, 10)) < 0.2).astype(np.float32)}
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            batch["img"], batch["ques"])["params"]
+        tx = optax.sgd(1e-3)
+        state = TrainState.create(params, tx, seed=0)
+        step = jax.jit(make_train_step(model, tx, per_param_norms=True))
+        new_state, metrics = step(state, batch)
+        norms = metrics["param_grad_norms"]
+        assert jax.tree_util.tree_structure(norms) == \
+            jax.tree_util.tree_structure(params)
+        # each leaf norm equals the actual per-leaf grad norm (grad = p0-p1
+        # under SGD(lr) scaled by lr)
+        lr = 1e-3
+        for (kp, n), p0, p1 in zip(
+                jax.tree_util.tree_flatten_with_path(norms)[0],
+                jax.tree.leaves(params),
+                jax.tree.leaves(jax.device_get(new_state.params))):
+            g = (np.asarray(p0) - np.asarray(p1)) / lr
+            np.testing.assert_allclose(float(n), np.linalg.norm(g),
+                                       rtol=1e-3, atol=1e-5, err_msg=str(kp))
+
+    def test_trainer_logs_grad_norm_sums(self, tmp_path):
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+
+        cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                     img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                     flat_mlp_size=16, batch_size=8, max_epoch=1,
+                     num_workers=0, compute_dtype="float32", use_glove=False,
+                     verbose=False, eval_every_epoch=False,
+                     grad_norm_log_every=1,
+                     ckpts_dir=str(tmp_path / "ckpts"),
+                     log_path=str(tmp_path / "log"),
+                     result_path=str(tmp_path / "res")).finalize()
+        ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=8,
+                                 run_mode="train")
+        Trainer(cfg, train_dataset=ds).train()
+        jsonl = os.path.join(cfg.log_path, f"log_run_{cfg.version}.jsonl")
+        records = [json.loads(l) for l in open(jsonl)]
+        sums = [r for r in records if "grad_norm_sums" in r]
+        assert sums, "no grad_norm_sums records written"
+        final = [r for r in sums if r.get("final")]
+        assert final and all(v >= 0.0 for v in
+                             final[-1]["grad_norm_sums"].values())
+        assert any("embedding" in k for k in final[-1]["grad_norm_sums"])
