@@ -86,10 +86,12 @@ def main() -> None:
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
         params = prepare_params(params, cfg.layer,
                                 num_heads=cfg.multi_head)
-        # bf16 residual stream is the default: validated on real-format
-        # data (tests/test_bf16_stream.py: top-1 agreement >= 98%, official
-        # accuracy delta bounded) and measured +2.7% once the fused kernels
-        # stopped casting their block I/O back to f32.
+        # bf16 residual stream is the default HERE AND IN PRODUCTION
+        # (Predictor + Trainer fused eval ship bf16_stream=True): gated by
+        # tests/test_bf16_stream.py (top-1 agreement >= 99.5%, |d_acc| <=
+        # 0.1pt on trained real-format data) and the full-size torch-oracle
+        # logit bound (test_full_size_parity.py). Measured +2.7% once the
+        # fused kernels stopped casting their block I/O back to f32.
         forward = make_serving_fn(
             cfg.layer, cfg.multi_head, use_pallas=use_pallas,
             bf16_stream=os.environ.get("BENCH_BF16_STREAM", "1") == "1",

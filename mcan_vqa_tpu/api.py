@@ -53,7 +53,14 @@ class Predictor:
                                          num_heads=cfg.multi_head)
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
-                                    use_sga_megakernel=2)
+                                    use_sga_megakernel=2,
+                                    bf16_stream=True)
+            # bf16_stream ships by default: gated by
+            # tests/test_bf16_stream.py (top-1 agreement >= 99.5%,
+            # |d_acc| <= 0.1pt on trained real-format data) and
+            # tests/test_full_size_parity.py::TestFullSizeBF16Stream
+            # (full-size logit-delta bound vs the torch oracle, no
+            # decision flips) — same config bench.py reports.
 
             def forward(params, img, ques):
                 return jax.nn.sigmoid(

@@ -413,7 +413,11 @@ class Trainer:
                                         use_pallas=False,
                                         use_pallas_ffn=True,
                                         use_sga_megakernel=2,
+                                        bf16_stream=True,
                                         interpret=not on_tpu)
+                # bf16_stream ships by default — accuracy-gated by
+                # tests/test_bf16_stream.py + the full-size oracle bound
+                # (test_full_size_parity.py); bench.py reports this config.
                 import jax.numpy as jnp
 
                 def _fused_eval(p, img, ques):

@@ -70,10 +70,15 @@ class TestBF16StreamAccuracy:
             return vqa_eval.evaluate(gts, res)["overall"]
 
         acc32, acc16 = acc(top32), acc(top16)
+        print(f"\nbf16_stream gate: agreement={agreement:.4f} "
+              f"acc32={acc32:.2f} acc16={acc16:.2f}")
         # the learned task is solved; bf16 stream must not change that
         assert acc32 > 80.0
-        assert agreement >= 0.98, (agreement, acc32, acc16)
-        assert abs(acc32 - acc16) <= 2.0, (acc32, acc16)
+        # Tight gate (r3): the reference's whole margin over the paper is
+        # 0.07 points (70.70 vs 70.63, BASELINE.md) — the stream must be
+        # accuracy-neutral at that scale before it ships anywhere.
+        assert agreement >= 0.995, (agreement, acc32, acc16)
+        assert abs(acc32 - acc16) <= 0.1, (acc32, acc16)
 
     def test_logit_perturbation_bounded(self, trained):
         cfg, ds, trainer = trained

@@ -207,3 +207,60 @@ class TestFullSizeCheckpointRoundTrip:
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))
+
+
+class TestFullSizeBF16Stream:
+    def test_bf16_stream_logit_delta_vs_oracle(self, oracle):
+        """Full-size (512/6/8/3129) serving engine with the bf16 residual
+        stream vs the torch oracle: bounded logit delta, identical top-1.
+        This is the full-size half of the bf16-stream accuracy gate
+        (tests/test_bf16_stream.py covers trained real-format data)."""
+        import torch
+
+        from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+        from mcan_vqa_tpu.train.checkpoint import import_torch_state_dict
+
+        refnet, net, init = oracle
+        net.load_state_dict(init)
+        net.eval()
+
+        B = 32
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(B, L_V, IMG_FEAT)).astype(np.float32)
+        ques = rng.integers(1, TOKEN_SIZE, size=(B, L_Q)).astype(np.int64)
+        for b in range(B):
+            img[b, int(rng.integers(8, L_V + 1)):] = 0.0
+            ques[b, int(rng.integers(3, L_Q + 1)):] = 0
+
+        with torch.no_grad():
+            ref_probs = net(torch.from_numpy(img),
+                            torch.from_numpy(ques))[0].numpy()
+
+        params = import_torch_state_dict(init)
+        sp = prepare_params(params, LAYER, num_heads=HEADS)
+        serve32 = make_serving_fn(LAYER, HEADS, use_pallas=False,
+                                  bf16_stream=False)
+        serve16 = make_serving_fn(LAYER, HEADS, use_pallas=False,
+                                  bf16_stream=True)
+        l32 = np.asarray(serve32(sp, img, ques.astype(np.int32)))
+        l16 = np.asarray(serve16(sp, img, ques.astype(np.int32)))
+
+        p32 = 1.0 / (1.0 + np.exp(-l32.astype(np.float64)))
+        p16 = 1.0 / (1.0 + np.exp(-l16.astype(np.float64)))
+        rel = np.abs(l16 - l32).max() / np.abs(l32).max()
+        agree_t = float((l16.argmax(1) == ref_probs.argmax(1)).mean())
+        print(f"\nfull-size bf16 stream: rel_logit_delta={rel:.5f} "
+              f"max_prob_delta_vs_torch={np.abs(p16 - ref_probs).max():.6f} "
+              f"top1_agreement_vs_torch={agree_t:.3f}")
+
+        # The serving engine computes matmuls in bf16 by design (the TPU
+        # production path; LN/softmax stay fp32) — measured ~3e-3 prob
+        # delta vs the fp32 torch oracle at full size with EITHER stream.
+        # The stream itself adds <2x on top of that.
+        assert np.abs(p32 - ref_probs).max() < 0.01
+        assert np.abs(p16 - ref_probs).max() < 0.015
+        np.testing.assert_array_equal(l32.argmax(1), ref_probs.argmax(1))
+        # bf16 stream: bounded perturbation, no decision flips
+        assert rel < 0.02, rel
+        assert agree_t == 1.0
+        np.testing.assert_array_equal(l16.argmax(1), l32.argmax(1))
