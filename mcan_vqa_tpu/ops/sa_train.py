@@ -16,8 +16,9 @@ fits one launch, unlike the SGA block's two).
 Dropout masks: external uint8 (CPU-testable, interpret mode) or the
 in-kernel TPU hardware PRNG (site codes 0x4xx/0x5xx, disjoint from the
 SGA block's 0x1xx-0x3xx — see ops/sga_train._PrngMasks for the scheme).
-Weight gradients are computed by the wrapper as XLA matmuls over the bf16
-emissions, exactly like the SGA block.
+Weight gradients accumulate in-kernel across the sequential grid
+(constant-index f32 output blocks, see ops/sga_train._acc), exactly like
+the SGA block — dx is the only per-position emission of the backward.
 
 Sequence layout matches ops/sga_block.fused_sa_block: G samples packed per
 grid step with a block-diagonal mask folded into the softmax (G*Lq rows
@@ -33,9 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcan_vqa_tpu.ops.sga_train import (_block_masks, _compiler_params,
-                                        _drop, _flat_pad, _grid_specs,
-                                        _ln_bwd, _ln_fwd, _mm, _mm_bt,
+from mcan_vqa_tpu.ops.sga_train import (_acc, _block_masks,
+                                        _compiler_params, _drop, _flat_pad,
+                                        _grid_specs, _ln_bwd_u, _ln_fwd,
+                                        _mm, _mm_bt, _mm_tn, _rsum,
                                         _seed_spec, _softmax_bwd,
                                         _softmax_fwd, prng_keep_params)
 
@@ -180,17 +182,19 @@ def _fwd_kernel_prng(seed_ref, x_ref, pad_ref, *rest,
               heads=heads, group=group, scale=scale)
 
 
-def _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref,
+def _bwd_body(drop, pid, x_ref, x1_ref, g_ref, pad_ref,
               wqkv_ref, bqkv_ref, wm_ref, bm_ref, ln1s_ref,
               w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref,
-              dx_ref, dqkv_ref, atted_ref, dy1_ref, gx1_ref,
-              h1d_ref, da1_ref, dy2_ref,
+              dx_ref, dwqkv_ref, dbqkv_ref, dwm_ref, dbm_ref,
+              dln1s_ref, dln1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              dln2s_ref, dln2b_ref,
               *, heads: int, group: int, scale: float,
               r2h=None, inv_keep_f: float = 1.0):
     """r2h: (r2_ref, h1d_ref) saved-activation inputs — the FFN recompute
     is skipped and da1 uses the where(h1d>0, inv_keep*dh1d) identity
-    (see ops/sga_train._bwd_ffn_body_sav); h1d_ref/da1 outputs: in sav
-    mode h1d_ref is None (the caller already holds the saved h1d)."""
+    (see ops/sga_train._bwd_ffn_body_sav). Weight gradients accumulate
+    in-kernel across the sequential grid (see sga_train._acc) — the only
+    per-position emission is dx."""
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
     Dh = D // heads
@@ -212,7 +216,7 @@ def _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref,
         r2 = r2h[0][:].reshape(M, D).astype(F32)
         h1d = r2h[1][:].reshape(M, -1).astype(F32)
 
-    gr2 = _ln_bwd(g, r2, ln2s_ref[:])
+    gr2, u2 = _ln_bwd_u(g, r2, ln2s_ref[:])
     dy2 = drop.y2(gr2)
     dh1d = _mm_bt(dy2, w2_ref[:])
     if r2h is None:
@@ -237,7 +241,7 @@ def _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref,
     y1 = _mm(atted, wm_ref[:]) + bm_ref[:]
     r1 = x + drop.y1(y1)
 
-    gr1 = _ln_bwd(gx1, r1, ln1s_ref[:])
+    gr1, u1 = _ln_bwd_u(gx1, r1, ln1s_ref[:])
     dy1 = drop.y1(gr1)
     datted = _mm_bt(dy1, wm_ref[:])
     dq_hs, dk_hs, dv_hs = [], [], []
@@ -261,39 +265,45 @@ def _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref,
     dx = gr1 + _mm_bt(dqkv, wqkv_ref[:])
 
     dx_ref[:] = dx.reshape(G, Lq, D).astype(dx_ref.dtype)
-    dqkv_ref[:] = dqkv.reshape(G, Lq, 3 * D).astype(dqkv_ref.dtype)
-    atted_ref[:] = atted.reshape(G, Lq, D).astype(atted_ref.dtype)
-    dy1_ref[:] = dy1.reshape(G, Lq, D).astype(dy1_ref.dtype)
-    gx1_ref[:] = gx1.reshape(G, Lq, D).astype(gx1_ref.dtype)
-    if h1d_ref is not None:
-        h1d_ref[:] = h1d.reshape(G, Lq, -1).astype(h1d_ref.dtype)
-    da1_ref[:] = da1.reshape(G, Lq, -1).astype(da1_ref.dtype)
-    dy2_ref[:] = dy2.reshape(G, Lq, D).astype(dy2_ref.dtype)
+
+    # ---- weight-gradient partials, accumulated in-kernel ----
+    _acc(dwqkv_ref, _mm_tn(x, dqkv), pid)
+    _acc(dbqkv_ref, _rsum(dqkv), pid)
+    _acc(dwm_ref, _mm_tn(atted, dy1), pid)
+    _acc(dbm_ref, _rsum(dy1), pid)
+    _acc(dln1s_ref, _rsum(gx1 * u1), pid)
+    _acc(dln1b_ref, _rsum(gx1), pid)
+    _acc(dw1_ref, _mm_tn(x1, da1), pid)
+    _acc(db1_ref, _rsum(da1), pid)
+    _acc(dw2_ref, _mm_tn(h1d, dy2), pid)
+    _acc(db2_ref, _rsum(dy2), pid)
+    _acc(dln2s_ref, _rsum(g * u2), pid)
+    _acc(dln2b_ref, _rsum(g), pid)
 
 
 def _bwd_kernel(x_ref, x1_ref, g_ref, pad_ref, m_att, my1, mh, my2, *rest,
                 heads, group, scale, inv_keep):
+    from jax.experimental import pallas as pl
     drop = _ExtMasksSA(m_att, my1, mh, my2, inv_keep)
-    _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref, *rest,
+    _bwd_body(drop, pl.program_id(0), x_ref, x1_ref, g_ref, pad_ref, *rest,
               heads=heads, group=group, scale=scale)
 
 
 def _bwd_kernel_prng(seed_ref, x_ref, x1_ref, g_ref, pad_ref, *rest,
                      heads, group, scale, keep_thresh, inv_keep):
     from jax.experimental import pallas as pl
-    drop = _PrngMasksSA(seed_ref[0], pl.program_id(0), keep_thresh,
-                        inv_keep)
-    _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref, *rest,
+    pid = pl.program_id(0)
+    drop = _PrngMasksSA(seed_ref[0], pid, keep_thresh, inv_keep)
+    _bwd_body(drop, pid, x_ref, x1_ref, g_ref, pad_ref, *rest,
               heads=heads, group=group, scale=scale)
 
 
 def _bwd_kernel_sav(x_ref, x1_ref, g_ref, pad_ref, r2_ref, h1df_ref,
                     m_att, my1, my2, *rest,
                     heads, group, scale, inv_keep):
+    from jax.experimental import pallas as pl
     drop = _ExtMasksSA(m_att, my1, None, my2, inv_keep)
-    w_refs, (dx, dqkv, atted, dy1, gx1, da1, dy2) = rest[:10], rest[10:]
-    _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref, *w_refs,
-              dx, dqkv, atted, dy1, gx1, None, da1, dy2,
+    _bwd_body(drop, pl.program_id(0), x_ref, x1_ref, g_ref, pad_ref, *rest,
               heads=heads, group=group, scale=scale,
               r2h=(r2_ref, h1df_ref), inv_keep_f=inv_keep)
 
@@ -302,11 +312,9 @@ def _bwd_kernel_sav_prng(seed_ref, x_ref, x1_ref, g_ref, pad_ref,
                          r2_ref, h1df_ref, *rest,
                          heads, group, scale, keep_thresh, inv_keep):
     from jax.experimental import pallas as pl
-    drop = _PrngMasksSA(seed_ref[0], pl.program_id(0), keep_thresh,
-                        inv_keep)
-    w_refs, (dx, dqkv, atted, dy1, gx1, da1, dy2) = rest[:10], rest[10:]
-    _bwd_body(drop, x_ref, x1_ref, g_ref, pad_ref, *w_refs,
-              dx, dqkv, atted, dy1, gx1, None, da1, dy2,
+    pid = pl.program_id(0)
+    drop = _PrngMasksSA(seed_ref[0], pid, keep_thresh, inv_keep)
+    _bwd_body(drop, pid, x_ref, x1_ref, g_ref, pad_ref, *rest,
               heads=heads, group=group, scale=scale,
               r2h=(r2_ref, h1df_ref), inv_keep_f=inv_keep)
 
@@ -449,21 +457,30 @@ def _bwd_call(x, x1, g, pad, masks, w, *, heads, group, interpret,
                           per_g(Lq, D),
                           blk((1, 1, M), lambda b: (b, 0, 0))]
             head_ops = (seed, x, x1, g, pad)
-    out_specs = [per_g(Lq, D), per_g(Lq, 3 * D), per_g(Lq, D),
-                 per_g(Lq, D), per_g(Lq, D)]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, Lq, D), F32),          # dx
-        jax.ShapeDtypeStruct((B, Lq, 3 * D), BF16),     # dqkv
-        jax.ShapeDtypeStruct((B, Lq, D), BF16),         # atted
-        jax.ShapeDtypeStruct((B, Lq, D), BF16),         # dy1
-        jax.ShapeDtypeStruct((B, Lq, D), BF16),         # gx1
+    out_specs = [
+        per_g(Lq, D),                                   # dx
+        rep((D, 3 * D)), rep((1, 3 * D)),               # dwqkv, dbqkv
+        rep((D, D)), rep((1, D)),                       # dwm, dbm
+        rep((1, D)), rep((1, D)),                       # dln1s, dln1b
+        rep((D, F)), rep((1, F)),                       # dw1, db1
+        rep((F, D)), rep((1, D)),                       # dw2, db2
+        rep((1, D)), rep((1, D)),                       # dln2s, dln2b
     ]
-    if saved is None:
-        out_specs += [per_g(Lq, F)]
-        out_shape += [jax.ShapeDtypeStruct((B, Lq, F), BF16)]   # h1d
-    out_specs += [per_g(Lq, F), per_g(Lq, D)]
-    out_shape += [jax.ShapeDtypeStruct((B, Lq, F), BF16),       # da1
-                  jax.ShapeDtypeStruct((B, Lq, D), BF16)]       # dy2
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Lq, D), F32),
+        jax.ShapeDtypeStruct((D, 3 * D), F32),
+        jax.ShapeDtypeStruct((1, 3 * D), F32),
+        jax.ShapeDtypeStruct((D, D), F32),
+        jax.ShapeDtypeStruct((1, D), F32),
+        jax.ShapeDtypeStruct((1, D), F32),
+        jax.ShapeDtypeStruct((1, D), F32),
+        jax.ShapeDtypeStruct((D, F), F32),
+        jax.ShapeDtypeStruct((1, F), F32),
+        jax.ShapeDtypeStruct((F, D), F32),
+        jax.ShapeDtypeStruct((1, D), F32),
+        jax.ShapeDtypeStruct((1, D), F32),
+        jax.ShapeDtypeStruct((1, D), F32),
+    ]
     outs = pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -480,41 +497,24 @@ def _bwd_call(x, x1, g, pad, masks, w, *, heads, group, interpret,
     )(*head_ops,
       w["wqkv"], w["bqkv"], w["wm"], w["bm"], w["ln1_s"],
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln2_s"])
-    if saved is not None:
-        dx, dqkv, atted, dy1, gx1, da1, dy2 = outs
-        return dx, dqkv, atted, dy1, gx1, saved[1], da1, dy2
-    return outs
+    return outs  # (dx, + 12 weight-grad pieces)
 
 
 # ---------------------------------------------------------------------------
 # the custom-VJP op
 # ---------------------------------------------------------------------------
 
-def _sa_weight_grads(g, x, x1, x2, w, dqkv, atted, dy1, gx1, h1d, da1, dy2):
-    def mm_flat(a, b):
-        return jnp.einsum("blp,blq->pq", a.astype(BF16), b.astype(BF16),
-                          preferred_element_type=F32)
-
-    def rsum(t):
-        return jnp.sum(t.astype(F32), axis=(0, 1))
-
-    def u_of(v, s, b):
-        # see sga_train._weight_grads.u_of: guard the exactly-zero-scale
-        # singularity (zero grad there instead of NaN/Inf)
-        s_safe = jnp.where(s == 0.0, 1.0, s)
-        return (v.astype(F32) - b) / s_safe
-
+def _assemble_sa_dw(dw_pieces):
+    """Kernel-accumulated pieces -> prepare_sa_train_params key layout."""
+    (dwqkv, dbqkv, dwm, dbm, dln1s, dln1b,
+     dw1, db1, dw2, db2, dln2s, dln2b) = dw_pieces
     return {
-        "wqkv": mm_flat(x, dqkv), "bqkv": rsum(dqkv),
-        "wm": mm_flat(atted, dy1), "bm": rsum(dy1),
-        "ln1_s": jnp.sum(gx1.astype(F32)
-                         * u_of(x1, w["ln1_s"], w["ln1_b"]), axis=(0, 1)),
-        "ln1_b": rsum(gx1),
-        "w1": mm_flat(x1, da1), "b1": rsum(da1),
-        "w2": mm_flat(h1d, dy2), "b2": rsum(dy2),
-        "ln2_s": jnp.sum(g.astype(F32)
-                         * u_of(x2, w["ln2_s"], w["ln2_b"]), axis=(0, 1)),
-        "ln2_b": rsum(g),
+        "wqkv": dwqkv, "bqkv": dbqkv[0],
+        "wm": dwm, "bm": dbm[0],
+        "ln1_s": dln1s[0], "ln1_b": dln1b[0],
+        "w1": dw1, "b1": db1[0],
+        "w2": dw2, "b2": db2[0],
+        "ln2_s": dln2s[0], "ln2_b": dln2b[0],
     }
 
 
@@ -546,16 +546,15 @@ def make_sa_block_train(num_heads: int, group: int,
                          prng=prng, save_acts=save_acts, **kw)
         x2, x1 = outs[:2]
         r2, h1d = (outs[2], outs[3]) if save_acts else (None, None)
-        return x2, (x, pad, m_or_seed, w, x1, x2, r2, h1d)
+        return x2, (x, pad, m_or_seed, w, x1, r2, h1d)
 
     def f_bwd(res, g):
-        x, pad, m_or_seed, w, x1, x2, r2, h1d_s = res
+        x, pad, m_or_seed, w, x1, r2, h1d_s = res
         prng = prng_of(m_or_seed) if use_prng else None
-        (dx, dqkv, atted, dy1, gx1, h1d, da1, dy2) = _bwd_call(
+        dx, *dw_pieces = _bwd_call(
             x, x1, g, pad, None if use_prng else m_or_seed, w,
             prng=prng, saved=(r2, h1d_s) if save_acts else None, **kw)
-        dw = _sa_weight_grads(g, x, x1, x2, w, dqkv, atted, dy1, gx1,
-                              h1d, da1, dy2)
+        dw = _assemble_sa_dw(dw_pieces)
         f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)
         dmask = (f0(m_or_seed) if use_prng
                  else jax.tree.map(f0, m_or_seed))

@@ -14,14 +14,15 @@ peak:
   * ``_bwd_att_kernel`` — backward of LN2+cross-att+LN1+self-att,
     recomputing both attentions from the saved x / v1.
 
-Weight gradients are NOT accumulated in VMEM (all-block dW is ~14 MB f32,
-over the ~16 MB budget): the bwd kernels emit the per-position
-gradient/activation pairs each dW needs (d_qkv, atted1, d_y1, ...) in bf16
-and the wrapper computes dW with large, clean XLA matmuls — the same
-matmuls XLA autodiff would issue, minus the unfused elementwise chains
-around them. LayerNorm scale/bias and bias gradients are cheap XLA
-reductions over the emissions (u = (v - b)/s reconstructs the normalized
-activation from the saved post-LN value).
+Weight gradients accumulate IN-KERNEL: each bwd kernel carries its dW
+pieces as constant-index f32 output blocks (VMEM-resident across the
+sequential grid, ~7 MB per kernel at D=512 under the raised scoped-VMEM
+cap) and adds a per-block partial every grid step — so the per-position
+gradient/activation pairs (d_qkv, atted1, d_y1, da1, ...) never touch HBM
+at all. LayerNorm scale grads use the normalized activation u computed
+from the in-kernel residual (exact; no (v - b)/s reconstruction, no
+zero-scale singularity). r1/r2 recomputed in the att backward also feed
+u1/u2 directly.
 
 Dropout masks are EXTERNAL uint8 inputs (ops/dropout.random_keep_mask
 bits), generated once per step and read by both fwd and bwd kernels:
@@ -102,6 +103,15 @@ def _ln_bwd(g, r, scale, eps=1e-6):
     """d(LN)/dr applied to upstream g, for the std+eps form:
     out_i = s_i * c_i / (std + eps) + b_i, c = r - mean(r),
     std = sqrt(sum(c^2)/(D-1))."""
+    return _ln_bwd_u(g, r, scale, eps)[0]
+
+
+def _ln_bwd_u(g, r, scale, eps=1e-6):
+    """(d(LN)/dr applied to g, normalized activation u = c/(std+eps)).
+
+    u is what the LN scale gradient needs (d ln_s = sum(g * u)); computing
+    it here from the residual is exact — no (v - bias)/scale
+    reconstruction, no zero-scale singularity."""
     d = r.shape[-1]
     mean = jnp.mean(r, axis=-1, keepdims=True)
     c = r - mean
@@ -111,7 +121,7 @@ def _ln_bwd(g, r, scale, eps=1e-6):
     sg = scale * g
     dstd = -jnp.sum(sg * c, axis=-1, keepdims=True) / (denom * denom)
     dc = sg / denom + dstd * c / ((d - 1) * std)
-    return dc - jnp.mean(dc, axis=-1, keepdims=True)
+    return dc - jnp.mean(dc, axis=-1, keepdims=True), c / denom
 
 
 def _drop(x, m_u8, inv_keep):
@@ -233,6 +243,35 @@ def _mm_bt(a, b):
         preferred_element_type=F32)
 
 
+def _mm_tn(a, b):
+    """a^T @ b (contract rows) in bf16 — the per-block dW partial."""
+    return jax.lax.dot_general(
+        a.astype(BF16), b.astype(BF16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=F32)
+
+
+def _acc(ref, val, pid):
+    """Accumulate a per-grid-step partial into a constant-index output
+    block (kept VMEM-resident across the sequential TPU grid; written back
+    to HBM once). This is how the bwd kernels produce WEIGHT gradients
+    without emitting per-position gradient/activation pairs to HBM."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pid == 0)
+    def _init():
+        ref[...] = val.astype(ref.dtype)
+
+    @pl.when(pid != 0)
+    def _add():
+        ref[...] += val.astype(ref.dtype)
+
+
+def _rsum(t):
+    """Row-sum partial for bias/LN grads, shaped [1, D] for TPU layout."""
+    return jnp.sum(t.astype(F32), axis=0, keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -323,9 +362,23 @@ def _fwd_kernel_prng(seed_ref, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 # backward kernel 1: LN3 + FFN (recomputes FFN internals from v2)
 # ---------------------------------------------------------------------------
 
-def _bwd_ffn_body(drop, v2_ref, g_ref,
+def _ffn_weight_grads(pid, v2, h1d, g, u3, dy3, da1,
+                      dw1_ref, db1_ref, dw2_ref, db2_ref,
+                      dln3s_ref, dln3b_ref):
+    """Accumulate the FFN + LN3 weight-gradient partials in-kernel:
+    dw1 = v2^T da1, dw2 = h1d^T dy3, biases/LN as row sums."""
+    _acc(dw1_ref, _mm_tn(v2, da1), pid)
+    _acc(db1_ref, _rsum(da1), pid)
+    _acc(dw2_ref, _mm_tn(h1d, dy3), pid)
+    _acc(db2_ref, _rsum(dy3), pid)
+    _acc(dln3s_ref, _rsum(g * u3), pid)
+    _acc(dln3b_ref, _rsum(g), pid)
+
+
+def _bwd_ffn_body(drop, pid, v2_ref, g_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref,
-                  gv2_ref, dy3_ref, h1d_ref, da1_ref, *, group: int):
+                  gv2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                  dln3s_ref, dln3b_ref, *, group: int):
     G = group
     Lv, D = v2_ref.shape[1], v2_ref.shape[2]
     M = G * Lv
@@ -338,40 +391,44 @@ def _bwd_ffn_body(drop, v2_ref, g_ref,
     y3 = _mm(h1d, w2_ref[:]) + b2_ref[:]
     r3 = v2 + drop.y3(y3)
 
-    gr3 = _ln_bwd(g, r3, ln3s_ref[:])
+    gr3, u3 = _ln_bwd_u(g, r3, ln3s_ref[:])
     dy3 = drop.y3(gr3)
     dh1d = _mm_bt(dy3, w2_ref[:])                   # dy3 @ W2^T
     da1 = jnp.where(a1 > 0.0, drop.h1(dh1d), 0.0)
     gv2 = gr3 + _mm_bt(da1, w1_ref[:])              # residual + da1 @ W1^T
 
     gv2_ref[:] = gv2.reshape(G, Lv, D).astype(gv2_ref.dtype)
-    dy3_ref[:] = dy3.reshape(G, Lv, D).astype(dy3_ref.dtype)
-    h1d_ref[:] = h1d.reshape(G, Lv, -1).astype(h1d_ref.dtype)
-    da1_ref[:] = da1.reshape(G, Lv, -1).astype(da1_ref.dtype)
+    _ffn_weight_grads(pid, v2, h1d, g, u3, dy3, da1,
+                      dw1_ref, db1_ref, dw2_ref, db2_ref,
+                      dln3s_ref, dln3b_ref)
 
 
 def _bwd_ffn_kernel(v2_ref, g_ref, mh_ref, my3_ref, *rest,
                     group: int, inv_keep: float):
+    from jax.experimental import pallas as pl
     drop = _ExtMasks(None, None, None, None, mh_ref, my3_ref, inv_keep)
-    _bwd_ffn_body(drop, v2_ref, g_ref, *rest, group=group)
+    _bwd_ffn_body(drop, pl.program_id(0), v2_ref, g_ref, *rest, group=group)
 
 
 def _bwd_ffn_kernel_prng(seed_ref, v2_ref, g_ref, *rest,
                          group: int, keep_thresh: int, inv_keep: float):
     from jax.experimental import pallas as pl
-    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
-    _bwd_ffn_body(drop, v2_ref, g_ref, *rest, group=group)
+    pid = pl.program_id(0)
+    drop = _PrngMasks(seed_ref[0], pid, keep_thresh, inv_keep)
+    _bwd_ffn_body(drop, pid, v2_ref, g_ref, *rest, group=group)
 
 
-def _bwd_ffn_body_sav(drop, r3_ref, g_ref, h1d_ref,
+def _bwd_ffn_body_sav(drop, pid, r3_ref, g_ref, h1d_ref, v2_ref,
                       w1_ref, w2_ref, ln3s_ref,
-                      gv2_ref, dy3_ref, da1_ref,
+                      gv2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                      dln3s_ref, dln3b_ref,
                       *, group: int, inv_keep: float):
-    """FFN backward from SAVED activations (r3 f32, h1d bf16): no
-    recompute matmuls. da1 uses the identity
+    """FFN backward from SAVED activations (r3, h1d bf16): no recompute
+    matmuls. da1 uses the identity
     where(a1>0, drop_h1(dh1d)) == where(h1d>0, inv_keep*dh1d):
     h1d = drop_h1(relu(a1)) is nonzero exactly where the mask kept AND
-    a1>0 — and where the mask dropped, drop_h1 zeroes dh1d anyway."""
+    a1>0 — and where the mask dropped, drop_h1 zeroes dh1d anyway.
+    v2 is read ONLY as the dw1 matmul input (bf16)."""
     G = group
     Lv, D = r3_ref.shape[1], r3_ref.shape[2]
     M = G * Lv
@@ -381,30 +438,34 @@ def _bwd_ffn_body_sav(drop, r3_ref, g_ref, h1d_ref,
     # f32 for the compare: Mosaic has no bf16 comparison
     h1d = h1d_ref[:].reshape(M, -1).astype(F32)
 
-    gr3 = _ln_bwd(g, r3, ln3s_ref[:])
+    gr3, u3 = _ln_bwd_u(g, r3, ln3s_ref[:])
     dy3 = drop.y3(gr3)
     dh1d = _mm_bt(dy3, w2_ref[:])                   # dy3 @ W2^T
     da1 = jnp.where(h1d > 0.0, dh1d * inv_keep, 0.0)
     gv2 = gr3 + _mm_bt(da1, w1_ref[:])              # residual + da1 @ W1^T
 
     gv2_ref[:] = gv2.reshape(G, Lv, D).astype(gv2_ref.dtype)
-    dy3_ref[:] = dy3.reshape(G, Lv, D).astype(dy3_ref.dtype)
-    da1_ref[:] = da1.reshape(G, Lv, -1).astype(da1_ref.dtype)
+    v2 = v2_ref[:].reshape(M, D)
+    _ffn_weight_grads(pid, v2, h1d, g, u3, dy3, da1,
+                      dw1_ref, db1_ref, dw2_ref, db2_ref,
+                      dln3s_ref, dln3b_ref)
 
 
-def _bwd_ffn_kernel_sav(r3_ref, g_ref, h1d_ref, my3_ref, *rest,
+def _bwd_ffn_kernel_sav(r3_ref, g_ref, h1d_ref, v2_ref, my3_ref, *rest,
                         group: int, inv_keep: float):
+    from jax.experimental import pallas as pl
     drop = _ExtMasks(None, None, None, None, None, my3_ref, inv_keep)
-    _bwd_ffn_body_sav(drop, r3_ref, g_ref, h1d_ref, *rest,
-                      group=group, inv_keep=inv_keep)
+    _bwd_ffn_body_sav(drop, pl.program_id(0), r3_ref, g_ref, h1d_ref,
+                      v2_ref, *rest, group=group, inv_keep=inv_keep)
 
 
-def _bwd_ffn_kernel_sav_prng(seed_ref, r3_ref, g_ref, h1d_ref, *rest,
-                             group: int, keep_thresh: int,
+def _bwd_ffn_kernel_sav_prng(seed_ref, r3_ref, g_ref, h1d_ref, v2_ref,
+                             *rest, group: int, keep_thresh: int,
                              inv_keep: float):
     from jax.experimental import pallas as pl
-    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
-    _bwd_ffn_body_sav(drop, r3_ref, g_ref, h1d_ref, *rest,
+    pid = pl.program_id(0)
+    drop = _PrngMasks(seed_ref[0], pid, keep_thresh, inv_keep)
+    _bwd_ffn_body_sav(drop, pid, r3_ref, g_ref, h1d_ref, v2_ref, *rest,
                       group=group, inv_keep=inv_keep)
 
 
@@ -412,13 +473,15 @@ def _bwd_ffn_kernel_sav_prng(seed_ref, r3_ref, g_ref, h1d_ref, *rest,
 # backward kernel 2: LN2 + cross-att + LN1 + self-att
 # ---------------------------------------------------------------------------
 
-def _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
+def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                   vpad_ref, qpad_ref,
                   wqkv_ref, bqkv_ref, wm1_ref, bm1_ref, ln1s_ref,
                   wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref,
                   dx_ref, dkq_ref, dvq_ref,
-                  dqkv_ref, atted1_ref, dy1_ref,
-                  dqx_ref, atted2_ref, dy2_ref, gv1_ref,
+                  dwqkv_ref, dbqkv_ref, dwm1_ref, dbm1_ref,
+                  dln1s_ref, dln1b_ref,
+                  dwq2_ref, dbq2_ref, dwm2_ref, dbm2_ref,
+                  dln2s_ref, dln2b_ref,
                   *, heads: int, group: int, scale: float):
     G = group
     Lv, D = x_ref.shape[1], x_ref.shape[2]
@@ -448,7 +511,7 @@ def _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     y2 = _mm(atted2, wm2_ref[:]) + bm2_ref[:]
     r2 = v1 + drop.y2(y2)
 
-    gr2 = _ln_bwd(gv2, r2, ln2s_ref[:])
+    gr2, u2 = _ln_bwd_u(gv2, r2, ln2s_ref[:])
     dy2 = drop.y2(gr2)
     datted2 = _mm_bt(dy2, wm2_ref[:])
     dqx_hs, dkq_hs, dvq_hs = [], [], []
@@ -486,7 +549,7 @@ def _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     y1 = _mm(atted1, wm1_ref[:]) + bm1_ref[:]
     r1 = x + drop.y1(y1)
 
-    gr1 = _ln_bwd(gv1, r1, ln1s_ref[:])
+    gr1, u1 = _ln_bwd_u(gv1, r1, ln1s_ref[:])
     dy1 = drop.y1(gr1)
     datted1 = _mm_bt(dy1, wm1_ref[:])
     dq_hs, dk_hs, dv_hs = [], [], []
@@ -515,22 +578,30 @@ def _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     dvq = jnp.stack(dvq_hs).reshape(heads, G, Lq, Dh)
     dkq_ref[:] = dkq.transpose(1, 0, 2, 3).astype(dkq_ref.dtype)
     dvq_ref[:] = dvq.transpose(1, 0, 2, 3).astype(dvq_ref.dtype)
-    dqkv_ref[:] = dqkv.reshape(G, Lv, 3 * D).astype(dqkv_ref.dtype)
-    atted1_ref[:] = atted1.reshape(G, Lv, D).astype(atted1_ref.dtype)
-    dy1_ref[:] = dy1.reshape(G, Lv, D).astype(dy1_ref.dtype)
-    dqx_ref[:] = dqx.reshape(G, Lv, D).astype(dqx_ref.dtype)
-    atted2_ref[:] = atted2.reshape(G, Lv, D).astype(atted2_ref.dtype)
-    dy2_ref[:] = dy2.reshape(G, Lv, D).astype(dy2_ref.dtype)
-    gv1_ref[:] = gv1.reshape(G, Lv, D).astype(gv1_ref.dtype)
+
+    # ---- weight-gradient partials, accumulated in-kernel ----
+    _acc(dwqkv_ref, _mm_tn(x, dqkv), pid)
+    _acc(dbqkv_ref, _rsum(dqkv), pid)
+    _acc(dwm1_ref, _mm_tn(atted1, dy1), pid)
+    _acc(dbm1_ref, _rsum(dy1), pid)
+    _acc(dln1s_ref, _rsum(gv1 * u1), pid)
+    _acc(dln1b_ref, _rsum(gv1), pid)
+    _acc(dwq2_ref, _mm_tn(v1, dqx), pid)
+    _acc(dbq2_ref, _rsum(dqx), pid)
+    _acc(dwm2_ref, _mm_tn(atted2, dy2), pid)
+    _acc(dbm2_ref, _rsum(dy2), pid)
+    _acc(dln2s_ref, _rsum(gv2 * u2), pid)
+    _acc(dln2b_ref, _rsum(gv2), pid)
 
 
 def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                     vpad_ref, qpad_ref,
                     m1_ref, m2_ref, my1_ref, my2_ref, *rest,
                     heads: int, group: int, scale: float, inv_keep: float):
+    from jax.experimental import pallas as pl
     drop = _ExtMasks(m1_ref, m2_ref, my1_ref, my2_ref, None, None, inv_keep)
-    _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
-                  vpad_ref, qpad_ref, *rest,
+    _bwd_att_body(drop, pl.program_id(0), x_ref, v1_ref, kq_ref, vq_ref,
+                  gv2_ref, vpad_ref, qpad_ref, *rest,
                   heads=heads, group=group, scale=scale)
 
 
@@ -539,8 +610,9 @@ def _bwd_att_kernel_prng(seed_ref, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                          heads: int, group: int, scale: float,
                          keep_thresh: int, inv_keep: float):
     from jax.experimental import pallas as pl
-    drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
-    _bwd_att_body(drop, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
+    pid = pl.program_id(0)
+    drop = _PrngMasks(seed_ref[0], pid, keep_thresh, inv_keep)
+    _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                   vpad_ref, qpad_ref, *rest,
                   heads=heads, group=group, scale=scale)
 
@@ -724,23 +796,34 @@ def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep,
             rep((D, F)), rep((F,)), rep((F, D)), rep((D,)),
             rep((D,)),                                      # ln3_s
         ],
-        out_specs=[per_g(Lv, D), per_g(Lv, D), per_g(Lv, F), per_g(Lv, F)],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Lv, D), F32),          # gv2
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),         # dy3
-            jax.ShapeDtypeStruct((B, Lv, F), BF16),         # h1d
-            jax.ShapeDtypeStruct((B, Lv, F), BF16),         # da1
-        ],
+        out_specs=[per_g(Lv, D)] + _ffn_dw_specs(rep, D, F),
+        out_shape=[jax.ShapeDtypeStruct((B, Lv, D), F32)]   # gv2
+        + _ffn_dw_shapes(D, F),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*head_ops,
       w["w1"], w["b1"], w["w2"], w["b2"], w["ln3_s"])
-    return outs
+    return outs  # (gv2, dw1, db1, dw2, db2, dln3s, dln3b)
 
 
-def _bwd_ffn_call_sav(r3, g, h1d, masks, w, *, group, interpret, inv_keep,
-                      prng=None):
-    """FFN backward from saved r3/h1d (no recompute matmuls)."""
+def _ffn_dw_specs(rep, D, F):
+    return [rep((D, F)), rep((1, F)), rep((F, D)), rep((1, D)),
+            rep((1, D)), rep((1, D))]
+
+
+def _ffn_dw_shapes(D, F):
+    return [jax.ShapeDtypeStruct((D, F), F32),      # dw1
+            jax.ShapeDtypeStruct((1, F), F32),      # db1
+            jax.ShapeDtypeStruct((F, D), F32),      # dw2
+            jax.ShapeDtypeStruct((1, D), F32),      # db2
+            jax.ShapeDtypeStruct((1, D), F32),      # dln3s
+            jax.ShapeDtypeStruct((1, D), F32)]      # dln3b
+
+
+def _bwd_ffn_call_sav(r3, g, h1d, v2, masks, w, *, group, interpret,
+                      inv_keep, prng=None):
+    """FFN backward from saved r3/h1d (no recompute matmuls); v2 feeds the
+    in-kernel dw1 accumulation."""
     from jax.experimental import pallas as pl
 
     B, Lv, D = r3.shape
@@ -752,32 +835,30 @@ def _bwd_ffn_call_sav(r3, g, h1d, masks, w, *, group, interpret, inv_keep,
         kernel = functools.partial(_bwd_ffn_kernel_sav, group=G,
                                    inv_keep=inv_keep)
         head_specs = [per_g(Lv, D), per_g(Lv, D), per_g(Lv, F),
+                      per_g(Lv, D),
                       blk((1, M, D), lambda b: (b, 0, 0))]   # mask y3
-        head_ops = (r3, g, h1d, masks["y3"])
+        head_ops = (r3, g, h1d, v2, masks["y3"])
     else:
         seed, keep_thresh = prng
         kernel = functools.partial(_bwd_ffn_kernel_sav_prng, group=G,
                                    keep_thresh=keep_thresh,
                                    inv_keep=inv_keep)
         head_specs = [_seed_spec(), per_g(Lv, D), per_g(Lv, D),
-                      per_g(Lv, F)]
-        head_ops = (seed, r3, g, h1d)
+                      per_g(Lv, F), per_g(Lv, D)]
+        head_ops = (seed, r3, g, h1d, v2)
     outs = pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=head_specs + [
             rep((D, F)), rep((F, D)), rep((D,)),            # w1, w2, ln3_s
         ],
-        out_specs=[per_g(Lv, D), per_g(Lv, D), per_g(Lv, F)],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Lv, D), F32),          # gv2
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),         # dy3
-            jax.ShapeDtypeStruct((B, Lv, F), BF16),         # da1
-        ],
+        out_specs=[per_g(Lv, D)] + _ffn_dw_specs(rep, D, F),
+        out_shape=[jax.ShapeDtypeStruct((B, Lv, D), F32)]   # gv2
+        + _ffn_dw_shapes(D, F),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*head_ops, w["w1"], w["w2"], w["ln3_s"])
-    return outs
+    return outs  # (gv2, dw1, db1, dw2, db2, dln3s, dln3b)
 
 
 def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
@@ -834,29 +915,36 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
         out_specs=[
             per_g(Lv, D),                                   # dx
             per_g(H, Lq, Dh), per_g(H, Lq, Dh),             # dkq, dvq
-            per_g(Lv, 3 * D),                               # dqkv
-            per_g(Lv, D), per_g(Lv, D),                     # atted1, dy1
-            per_g(Lv, D), per_g(Lv, D), per_g(Lv, D),       # dqx, atted2, dy2
-            per_g(Lv, D),                                   # gv1
+            rep((D, 3 * D)), rep((1, 3 * D)),               # dwqkv, dbqkv
+            rep((D, D)), rep((1, D)),                       # dwm1, dbm1
+            rep((1, D)), rep((1, D)),                       # dln1s, dln1b
+            rep((D, D)), rep((1, D)),                       # dwq2, dbq2
+            rep((D, D)), rep((1, D)),                       # dwm2, dbm2
+            rep((1, D)), rep((1, D)),                       # dln2s, dln2b
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lv, D), F32),
             jax.ShapeDtypeStruct((B, H, Lq, Dh), F32),
             jax.ShapeDtypeStruct((B, H, Lq, Dh), F32),
-            jax.ShapeDtypeStruct((B, Lv, 3 * D), BF16),
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),
-            jax.ShapeDtypeStruct((B, Lv, D), BF16),
+            jax.ShapeDtypeStruct((D, 3 * D), F32),
+            jax.ShapeDtypeStruct((1, 3 * D), F32),
+            jax.ShapeDtypeStruct((D, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((D, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((D, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
         ],
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*head_ops,
       w["wqkv"], w["bqkv"], w["wm1"], w["bm1"], w["ln1_s"],
       w["wq2"], w["bq2"], w["wm2"], w["bm2"], w["ln2_s"])
-    return outs
+    return outs  # (dx, dkq, dvq, + 12 weight-grad pieces)
 
 
 # ---------------------------------------------------------------------------
@@ -892,29 +980,46 @@ def make_sga_block_train(num_heads: int, group: int = 2,
                          save_acts=save_acts, **kw)
         v3, v1, v2 = outs[:3]
         r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
-        return v3, (x, kq, vq, vpad, qpad, masks, w, v1, v2, v3, r3, h1d)
+        return v3, (x, kq, vq, vpad, qpad, masks, w, v1, v2, r3, h1d)
 
     def f_bwd(res, g):
-        x, kq, vq, vpad, qpad, masks, w, v1, v2, v3, r3, h1d = res
+        x, kq, vq, vpad, qpad, masks, w, v1, v2, r3, h1d = res
         if save_acts:
-            gv2, dy3, da1 = _bwd_ffn_call_sav(
-                r3, g, h1d, masks, w, group=group, interpret=interpret,
+            gv2, *ffn_dw = _bwd_ffn_call_sav(
+                r3, g, h1d, v2, masks, w, group=group, interpret=interpret,
                 inv_keep=inv_keep)
         else:
-            gv2, dy3, h1d, da1 = _bwd_ffn_call(
+            gv2, *ffn_dw = _bwd_ffn_call(
                 v2, g, masks, w, group=group, interpret=interpret,
                 inv_keep=inv_keep)
-        (dx, dkq, dvq, dqkv, atted1, dy1, dqx, atted2, dy2,
-         gv1) = _bwd_att_call(
+        dx, dkq, dvq, *att_dw = _bwd_att_call(
             x, v1, kq, vq, gv2, vpad, qpad, masks, w, **kw)
-        dw = _weight_grads(g, x, v1, v2, v3, w, dqkv, atted1, dy1, dqx,
-                           atted2, dy2, gv1, gv2, da1, h1d, dy3)
+        dw = _assemble_dw(att_dw, ffn_dw)
         f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)
         return (dx, dkq, dvq, f0(vpad), f0(qpad),
                 jax.tree.map(f0, masks), dw)
 
     f.defvjp(f_fwd, f_bwd)
     return f
+
+
+def _assemble_dw(att_dw, ffn_dw):
+    """Kernel-accumulated weight-grad pieces -> prepare_sga_train_params
+    key layout (row-vector [1, D] sums squeezed to [D])."""
+    (dwqkv, dbqkv, dwm1, dbm1, dln1s, dln1b,
+     dwq2, dbq2, dwm2, dbm2, dln2s, dln2b) = att_dw
+    dw1, db1, dw2, db2, dln3s, dln3b = ffn_dw
+    return {
+        "wqkv": dwqkv, "bqkv": dbqkv[0],
+        "wm1": dwm1, "bm1": dbm1[0],
+        "ln1_s": dln1s[0], "ln1_b": dln1b[0],
+        "wq2": dwq2, "bq2": dbq2[0],
+        "wm2": dwm2, "bm2": dbm2[0],
+        "ln2_s": dln2s[0], "ln2_b": dln2b[0],
+        "w1": dw1, "b1": db1[0],
+        "w2": dw2, "b2": db2[0],
+        "ln3_s": dln3s[0], "ln3_b": dln3b[0],
+    }
 
 
 def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
@@ -982,67 +1087,27 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
                          **kw)
         v3, v1, v2 = outs[:3]
         r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
-        return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, v3, r3, h1d)
+        return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, r3, h1d)
 
     def f_bwd(res, g):
-        x, kq, vq, vpad, qpad, seed, w, v1, v2, v3, r3, h1d = res
+        x, kq, vq, vpad, qpad, seed, w, v1, v2, r3, h1d = res
         if save_acts:
-            gv2, dy3, da1 = _bwd_ffn_call_sav(
-                r3, g, h1d, None, w, group=group, interpret=False,
+            gv2, *ffn_dw = _bwd_ffn_call_sav(
+                r3, g, h1d, v2, None, w, group=group, interpret=False,
                 inv_keep=inv_keep, prng=(seed, keep_thresh))
         else:
-            gv2, dy3, h1d, da1 = _bwd_ffn_call(
+            gv2, *ffn_dw = _bwd_ffn_call(
                 v2, g, None, w, group=group, interpret=False,
                 inv_keep=inv_keep, prng=(seed, keep_thresh))
-        (dx, dkq, dvq, dqkv, atted1, dy1, dqx, atted2, dy2,
-         gv1) = _bwd_att_call(
+        dx, dkq, dvq, *att_dw = _bwd_att_call(
             x, v1, kq, vq, gv2, vpad, qpad, None, w,
             prng=(seed, keep_thresh), **kw)
-        dw = _weight_grads(g, x, v1, v2, v3, w, dqkv, atted1, dy1, dqx,
-                           atted2, dy2, gv1, gv2, da1, h1d, dy3)
+        dw = _assemble_dw(att_dw, ffn_dw)
         f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)
         return (dx, dkq, dvq, f0(vpad), f0(qpad), f0(seed), dw)
 
     f.defvjp(f_fwd, f_bwd)
     return f
-
-
-def _weight_grads(g, x, v1, v2, v3, w, dqkv, atted1, dy1, dqx, atted2,
-                  dy2, gv1, gv2, da1, h1d, dy3):
-    """dW from the bwd kernels' emissions (shared by both mask modes)."""
-    def mm_flat(a, b):
-        return jnp.einsum("blp,blq->pq", a.astype(BF16), b.astype(BF16),
-                          preferred_element_type=F32)
-
-    def rsum(t):
-        return jnp.sum(t.astype(F32), axis=(0, 1))
-
-    def u_of(v, s, b):
-        # Reconstruct the normalized activation u from v = u*s + b. Exact
-        # for any s != 0; at an exactly-zero scale entry u is unrecoverable
-        # (v == b), so substitute a safe divisor — that entry's scale grad
-        # becomes 0 instead of NaN/Inf poisoning every weight grad (the XLA
-        # autodiff path never divides by s and has no such singularity).
-        s_safe = jnp.where(s == 0.0, 1.0, s)
-        return (v.astype(F32) - b) / s_safe
-
-    return {
-        "wqkv": mm_flat(x, dqkv), "bqkv": rsum(dqkv),
-        "wm1": mm_flat(atted1, dy1), "bm1": rsum(dy1),
-        "ln1_s": jnp.sum(gv1.astype(F32)
-                         * u_of(v1, w["ln1_s"], w["ln1_b"]), axis=(0, 1)),
-        "ln1_b": rsum(gv1),
-        "wq2": mm_flat(v1, dqx), "bq2": rsum(dqx),
-        "wm2": mm_flat(atted2, dy2), "bm2": rsum(dy2),
-        "ln2_s": jnp.sum(gv2.astype(F32)
-                         * u_of(v2, w["ln2_s"], w["ln2_b"]), axis=(0, 1)),
-        "ln2_b": rsum(gv2),
-        "w1": mm_flat(v2, da1), "b1": rsum(da1),
-        "w2": mm_flat(h1d, dy3), "b2": rsum(dy3),
-        "ln3_s": jnp.sum(g.astype(F32)
-                         * u_of(v3, w["ln3_s"], w["ln3_b"]), axis=(0, 1)),
-        "ln3_b": rsum(g),
-    }
 
 
 def _mask_dump_kernel(seed_ref, att1_ref, att2_ref, y1_ref, y2_ref,
