@@ -62,6 +62,7 @@ def main() -> None:
     # in-kernel TPU-PRNG dropout for the fused blocks (no mask generation
     # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
     kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"
+    bf16_saves = os.environ.get("BENCH_BF16_SAVES", "0") == "1"
     # encoder SA stack through the fused custom-VJP blocks (measured
     # slightly slower than XLA at MCAN-small: 44.1 vs 43.4 ms — off)
     fused_sa = os.environ.get("BENCH_FUSED_SA", "0") == "1"
@@ -103,7 +104,8 @@ def main() -> None:
         fwd = make_fused_train_forward(
             cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
             dropout_bits=dropout_bits, group=fused_block,
-            in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa)
+            in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa,
+            bf16_saves=bf16_saves)
 
         def loss_fn(params, batch, rng):
             logits = fwd(params, batch["img"], batch["ques"], rng)

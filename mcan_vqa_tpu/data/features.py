@@ -123,9 +123,17 @@ class PackedFeatureCache:
                 self._native = None
         return self._native
 
-    def gather_pad_batch(self, iids, pad_size: int) -> np.ndarray:
-        """Assemble fp32 [B, pad_size, feat_dim] for a batch of image ids —
-        one native call (parallel C++ threads) when available."""
+    def gather_pad_batch(self, iids, pad_size: int,
+                         dtype=np.float32) -> np.ndarray:
+        """Assemble [B, pad_size, feat_dim] for a batch of image ids —
+        one native call (parallel C++ threads) when available.
+
+        dtype: np.float32 (default) or "bfloat16"/ml_dtypes.bfloat16 —
+        the bf16 path emits HALF the bytes (the serving engine's matmuls
+        cast to bf16 anyway, so eval numerics are unchanged)."""
+        bf16 = dtype is not None and str(np.dtype(dtype) if not
+                                         isinstance(dtype, str) else dtype
+                                         ) in ("bfloat16",)
         starts = np.empty(len(iids), np.uint64)
         lens = np.empty(len(iids), np.uint32)
         for i, iid in enumerate(iids):
@@ -133,11 +141,16 @@ class PackedFeatureCache:
             starts[i], lens[i] = s, n
         native = self.native_batcher()
         if native is not None:
+            if bf16:
+                return native.gather_pad_bf16(starts, lens, pad_size)
             return native.gather_pad(starts, lens, pad_size)
         out = np.zeros((len(iids), pad_size, self.feat_dim), np.float32)
         for i, (s, n) in enumerate(zip(starts, lens)):
             n = min(int(n), pad_size)
             out[i, :n] = self._mm[int(s): int(s) + n]
+        if bf16:
+            import ml_dtypes
+            return out.astype(ml_dtypes.bfloat16)
         return out
 
     @staticmethod

@@ -48,6 +48,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_uint32, ctypes.c_uint32,
                 np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             ]
+            lib.bf_gather_pad_bf16.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                ctypes.c_uint32, ctypes.c_uint32,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            ]
             lib.bf_dim.restype = ctypes.c_uint32
             lib.bf_dim.argtypes = [ctypes.c_void_p]
             lib.bf_rows.restype = ctypes.c_uint64
@@ -87,6 +94,25 @@ class NativeBatcher:
             out = np.empty((B, pad_rows, self.dim), np.float32)
         self._lib.bf_gather_pad(self._h, starts, lens, B, pad_rows, out)
         return out
+
+    def gather_pad_bf16(self, starts: np.ndarray, lens: np.ndarray,
+                        pad_rows: int,
+                        out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Like gather_pad but emits bf16 [B, pad_rows, dim] (ml_dtypes
+        view over the uint16 bit pattern) — half the host->device bytes
+        for the bf16-matmul serving engine."""
+        import ml_dtypes
+
+        starts = np.ascontiguousarray(starts, np.uint64)
+        lens = np.ascontiguousarray(lens, np.uint32)
+        B = starts.shape[0]
+        if out is None:
+            bits = np.empty((B, pad_rows, self.dim), np.uint16)
+        else:
+            bits = out.view(np.uint16)
+        self._lib.bf_gather_pad_bf16(self._h, starts, lens, B, pad_rows,
+                                     bits)
+        return bits.view(ml_dtypes.bfloat16)
 
     def close(self) -> None:
         if getattr(self, "_h", None):

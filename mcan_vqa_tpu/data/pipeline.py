@@ -36,6 +36,7 @@ class BatchLoader:
         process_index: int = 0,
         process_count: int = 1,
         device_keys: tuple = ("img", "ques", "target"),
+        feat_dtype=None,
     ):
         """pad_final: repeat-pad the last partial batch up to batch_size (for
         fixed-shape jit'd eval; callers mask by the returned per-row 'valid'
@@ -59,6 +60,11 @@ class BatchLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.device_keys = tuple(device_keys)
+        # feat_dtype="bfloat16": request half-width image features from the
+        # dataset's whole-batch assembler (serving path — halves host
+        # assembly bytes AND host->device transfer; the engine's matmuls
+        # are bf16 anyway). Datasets without the kwarg fall back to fp32.
+        self.feat_dtype = feat_dtype
         assert batch_size % max(process_count, 1) == 0
         if process_count > 1:
             # a partial final batch cannot be split evenly across hosts
@@ -91,7 +97,14 @@ class BatchLoader:
         # whole-batch fast path (native C++ gather+pad) when the dataset
         # provides it
         if hasattr(self.dataset, "batch_examples"):
-            batch = self.dataset.batch_examples(indices)
+            if self.feat_dtype is not None:
+                try:
+                    batch = self.dataset.batch_examples(
+                        indices, feat_dtype=self.feat_dtype)
+                except TypeError:
+                    batch = self.dataset.batch_examples(indices)
+            else:
+                batch = self.dataset.batch_examples(indices)
         else:
             examples = [self.dataset.example(int(i)) for i in indices]
             batch = {k: np.stack([e[k] for e in examples])

@@ -164,10 +164,13 @@ class VQADataset:
             rec = self.qid_to_ques[str(rec["question_id"])]
         return text_mod.clean_question(rec["question"])
 
-    def batch_examples(self, indices) -> Dict[str, np.ndarray]:
+    def batch_examples(self, indices,
+                       feat_dtype=None) -> Dict[str, np.ndarray]:
         """Whole-batch assembly. When every image is served by one packed
         cache, features come from a single native C++ gather+pad call
         (mcan_vqa_tpu/native/batcher.cpp); text/targets are cheap host work.
+        feat_dtype="bfloat16" emits half-width features straight from the
+        native batcher (serving path; matmuls are bf16 anyway).
         """
         records = []
         for i in indices:
@@ -186,10 +189,14 @@ class VQADataset:
             cache = next(iter(self._packed.values()))
             iids = [str(r[0]) for r in records]
             if all(iid in cache for iid in iids):
-                img = cache.gather_pad_batch(iids, self.cfg.img_feat_pad_size)
+                img = cache.gather_pad_batch(iids, self.cfg.img_feat_pad_size,
+                                             dtype=feat_dtype or np.float32)
         if img is None:
             img = np.stack([self.image_feature(r[0]).astype(np.float32)
                             for r in records])
+            if feat_dtype is not None and str(feat_dtype) == "bfloat16":
+                import ml_dtypes
+                img = img.astype(ml_dtypes.bfloat16)
 
         batch = {
             "img": img,

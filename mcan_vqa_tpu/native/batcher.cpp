@@ -118,6 +118,24 @@ void gather_one(const Cache* c, uint64_t start, uint32_t len,
   std::memset(dst + n, 0, ((size_t)(pad_rows - len) * c->dim) * sizeof(float));
 }
 
+// f32 -> bf16 with round-to-nearest-even (top 16 bits + rounding).
+inline uint16_t float_to_bf16(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, sizeof(bits));
+  bits += 0x7FFFu + ((bits >> 16) & 1u);
+  return (uint16_t)(bits >> 16);
+}
+
+void gather_one_bf16(const Cache* c, uint64_t start, uint32_t len,
+                     uint32_t pad_rows, uint16_t* dst) {
+  if (len > pad_rows) len = pad_rows;
+  const uint16_t* src = c->data + start * c->dim;
+  const size_t n = (size_t)len * c->dim;
+  for (size_t i = 0; i < n; ++i) dst[i] = float_to_bf16(half_to_float(src[i]));
+  std::memset(dst + n, 0,
+              ((size_t)(pad_rows - len) * c->dim) * sizeof(uint16_t));
+}
+
 }  // namespace
 
 extern "C" {
@@ -167,6 +185,30 @@ void bf_gather_pad(void* handle, const uint64_t* starts, const uint32_t* lens,
   for (uint32_t i = 0; i < batch; ++i) {
     c->pool->submit([=, &done, &mu, &cv] {
       gather_one(c, starts[i], lens[i], pad_rows, out + (size_t)i * item_floats);
+      if (done.fetch_add(1) + 1 == batch) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == batch; });
+}
+
+// Same as bf_gather_pad but emits bf16 (uint16 bit pattern) — HALF the
+// host->device bytes for a serving engine whose matmuls are bf16 anyway.
+void bf_gather_pad_bf16(void* handle, const uint64_t* starts,
+                        const uint32_t* lens, uint32_t batch,
+                        uint32_t pad_rows, uint16_t* out) {
+  auto* c = static_cast<Cache*>(handle);
+  std::atomic<uint32_t> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t item_elems = (size_t)pad_rows * c->dim;
+  for (uint32_t i = 0; i < batch; ++i) {
+    c->pool->submit([=, &done, &mu, &cv] {
+      gather_one_bf16(c, starts[i], lens[i], pad_rows,
+                      out + (size_t)i * item_elems);
       if (done.fetch_add(1) + 1 == batch) {
         std::lock_guard<std::mutex> lk(mu);
         cv.notify_one();

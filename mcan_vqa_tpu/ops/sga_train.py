@@ -693,7 +693,7 @@ def _seed_spec():
 
 
 def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
-              inv_keep, prng=None, save_acts=False):
+              inv_keep, prng=None, save_acts=False, save_dtype=F32):
     """prng: None for external uint8 masks, else (seed_arr[1] int32,
     keep_thresh) — masks regenerated by the TPU hardware PRNG in-kernel.
     save_acts: additionally emit r3 (f32) and h1d (bf16) so the FFN
@@ -737,11 +737,17 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
         ]
         head_ops = (seed, x, kq, vq, vpad, qpad)
     out_specs = [per_g(Lv, D)] * 3
-    out_shape = [jax.ShapeDtypeStruct((B, Lv, D), F32)] * 3
+    # v3 (the block output / residual stream) stays f32; the saved
+    # backward-only activations v1/v2/r3 take save_dtype (bf16 halves
+    # their HBM write+read traffic; gradient effect bounded by the
+    # parity tests)
+    out_shape = [jax.ShapeDtypeStruct((B, Lv, D), F32),
+                 jax.ShapeDtypeStruct((B, Lv, D), save_dtype),
+                 jax.ShapeDtypeStruct((B, Lv, D), save_dtype)]
     if save_acts:
         out_specs += [per_g(Lv, D), per_g(Lv, F)]
-        out_shape += [jax.ShapeDtypeStruct((B, Lv, D), F32),     # r3
-                      jax.ShapeDtypeStruct((B, Lv, F), BF16)]    # h1d
+        out_shape += [jax.ShapeDtypeStruct((B, Lv, D), save_dtype),  # r3
+                      jax.ShapeDtypeStruct((B, Lv, F), BF16)]        # h1d
     out = pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -765,7 +771,7 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
 
 
 def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep,
-                  prng=None):
+                  prng=None, save_dtype=F32):
     from jax.experimental import pallas as pl
 
     B, Lv, D = v2.shape
@@ -797,7 +803,7 @@ def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep,
             rep((D,)),                                      # ln3_s
         ],
         out_specs=[per_g(Lv, D)] + _ffn_dw_specs(rep, D, F),
-        out_shape=[jax.ShapeDtypeStruct((B, Lv, D), F32)]   # gv2
+        out_shape=[jax.ShapeDtypeStruct((B, Lv, D), save_dtype)]   # gv2
         + _ffn_dw_shapes(D, F),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
@@ -821,7 +827,7 @@ def _ffn_dw_shapes(D, F):
 
 
 def _bwd_ffn_call_sav(r3, g, h1d, v2, masks, w, *, group, interpret,
-                      inv_keep, prng=None):
+                      inv_keep, prng=None, save_dtype=F32):
     """FFN backward from saved r3/h1d (no recompute matmuls); v2 feeds the
     in-kernel dw1 accumulation."""
     from jax.experimental import pallas as pl
@@ -853,7 +859,7 @@ def _bwd_ffn_call_sav(r3, g, h1d, v2, masks, w, *, group, interpret,
             rep((D, F)), rep((F, D)), rep((D,)),            # w1, w2, ln3_s
         ],
         out_specs=[per_g(Lv, D)] + _ffn_dw_specs(rep, D, F),
-        out_shape=[jax.ShapeDtypeStruct((B, Lv, D), F32)]   # gv2
+        out_shape=[jax.ShapeDtypeStruct((B, Lv, D), save_dtype)]   # gv2
         + _ffn_dw_shapes(D, F),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
@@ -953,7 +959,8 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
 
 def make_sga_block_train(num_heads: int, group: int = 2,
                          interpret: bool = False, inv_keep: float = 1.0,
-                         save_acts: bool = True):
+                         save_acts: bool = True,
+                         bf16_saves: bool = False):
     """Build the differentiable fused-block op for a fixed config.
 
     Returns f(x, kq, vq, vpad, qpad, masks, w) -> v3 where
@@ -966,7 +973,11 @@ def make_sga_block_train(num_heads: int, group: int = 2,
     save_acts: the forward additionally saves r3/h1d so the FFN backward
     skips its recompute matmuls (trades ~1 ms HBM for ~4 ms MXU at
     MCAN-small B=256); False restores the pure-recompute backward.
+    bf16_saves: emit the backward-only saves v1/v2/r3 and the
+    inter-kernel gradient gv2 in bf16 (half their HBM traffic; the block
+    output v3 and the dx/dkq/dvq cotangents stay f32).
     """
+    save_dtype = BF16 if bf16_saves else F32
     kw = dict(heads=num_heads, group=group, interpret=interpret,
               inv_keep=inv_keep)
 
@@ -977,7 +988,7 @@ def make_sga_block_train(num_heads: int, group: int = 2,
 
     def f_fwd(x, kq, vq, vpad, qpad, masks, w):
         outs = _fwd_call(x, kq, vq, vpad, qpad, masks, w,
-                         save_acts=save_acts, **kw)
+                         save_acts=save_acts, save_dtype=save_dtype, **kw)
         v3, v1, v2 = outs[:3]
         r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
         return v3, (x, kq, vq, vpad, qpad, masks, w, v1, v2, r3, h1d)
@@ -987,11 +998,11 @@ def make_sga_block_train(num_heads: int, group: int = 2,
         if save_acts:
             gv2, *ffn_dw = _bwd_ffn_call_sav(
                 r3, g, h1d, v2, masks, w, group=group, interpret=interpret,
-                inv_keep=inv_keep)
+                inv_keep=inv_keep, save_dtype=save_dtype)
         else:
             gv2, *ffn_dw = _bwd_ffn_call(
                 v2, g, masks, w, group=group, interpret=interpret,
-                inv_keep=inv_keep)
+                inv_keep=inv_keep, save_dtype=save_dtype)
         dx, dkq, dvq, *att_dw = _bwd_att_call(
             x, v1, kq, vq, gv2, vpad, qpad, masks, w, **kw)
         dw = _assemble_dw(att_dw, ffn_dw)
@@ -1026,7 +1037,8 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
                           num_heads: int, group: int = 2,
                           inv_keep: float = 1.0,
                           interpret: bool = False,
-                          save_acts: bool = True):
+                          save_acts: bool = True,
+                          bf16_saves: bool = False):
     """Convenience wrapper: takes the standard bool [B,1,1,L] pad masks.
 
     w from prepare_sga_train_params (weights may be pre-cast to bf16 by the
@@ -1040,7 +1052,7 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
     vpad = _flat_pad(v_mask, B, G, Lv)
     qpad = _flat_pad(q_mask, B, G, Lq)
     f = make_sga_block_train(num_heads, G, interpret, inv_keep,
-                             save_acts=save_acts)
+                             save_acts=save_acts, bf16_saves=bf16_saves)
     return f(x, kq, vq, vpad, qpad, masks, w)
 
 
@@ -1061,7 +1073,8 @@ def prng_keep_params(rate: float):
 
 
 def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
-                              save_acts: bool = True):
+                              save_acts: bool = True,
+                              bf16_saves: bool = False):
     """PRNG-dropout fused block: f(x, kq, vq, vpad, qpad, seed, w) -> v3.
 
     seed is an int32 [1] array; each dropout site reseeds the hardware
@@ -1072,6 +1085,7 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
     reference. save_acts as in make_sga_block_train.
     """
     keep_thresh, inv_keep = prng_keep_params(rate)
+    save_dtype = BF16 if bf16_saves else F32
     kw = dict(heads=num_heads, group=group, interpret=False,
               inv_keep=inv_keep)
 
@@ -1084,7 +1098,7 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
     def f_fwd(x, kq, vq, vpad, qpad, seed, w):
         outs = _fwd_call(x, kq, vq, vpad, qpad, None, w,
                          prng=(seed, keep_thresh), save_acts=save_acts,
-                         **kw)
+                         save_dtype=save_dtype, **kw)
         v3, v1, v2 = outs[:3]
         r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
         return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, r3, h1d)
@@ -1094,11 +1108,13 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
         if save_acts:
             gv2, *ffn_dw = _bwd_ffn_call_sav(
                 r3, g, h1d, v2, None, w, group=group, interpret=False,
-                inv_keep=inv_keep, prng=(seed, keep_thresh))
+                inv_keep=inv_keep, prng=(seed, keep_thresh),
+                save_dtype=save_dtype)
         else:
             gv2, *ffn_dw = _bwd_ffn_call(
                 v2, g, None, w, group=group, interpret=False,
-                inv_keep=inv_keep, prng=(seed, keep_thresh))
+                inv_keep=inv_keep, prng=(seed, keep_thresh),
+                save_dtype=save_dtype)
         dx, dkq, dvq, *att_dw = _bwd_att_call(
             x, v1, kq, vq, gv2, vpad, qpad, None, w,
             prng=(seed, keep_thresh), **kw)
@@ -1171,7 +1187,8 @@ def dump_prng_masks(seed, rate, B, Lv, Lq, D, F, H, group):
 
 def fused_sga_block_train_prng(x, kq, vq, v_mask, q_mask, seed, w, *,
                                num_heads: int, group: int = 2,
-                               rate: float = 0.1):
+                               rate: float = 0.1,
+                               bf16_saves: bool = False):
     """fused_sga_block_train with in-kernel PRNG dropout (TPU only).
 
     seed: int32 [1] array, distinct per (step, layer)."""
@@ -1182,5 +1199,6 @@ def fused_sga_block_train_prng(x, kq, vq, v_mask, q_mask, seed, w, *,
         G -= 1
     vpad = _flat_pad(v_mask, B, G, Lv)
     qpad = _flat_pad(q_mask, B, G, Lq)
-    f = make_sga_block_train_prng(num_heads, G, rate)
+    f = make_sga_block_train_prng(num_heads, G, rate,
+                                  bf16_saves=bf16_saves)
     return f(x, kq, vq, vpad, qpad, seed, w)

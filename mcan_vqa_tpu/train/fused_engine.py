@@ -84,7 +84,8 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                              group: int = 2,
                              interpret: bool = False,
                              in_kernel_dropout: bool = False,
-                             fused_encoder: bool = False):
+                             fused_encoder: bool = False,
+                             bf16_saves: bool = False):
     """Build forward(params, img_feat, ques_ix, rng) -> logits [B, A].
 
     Differentiable w.r.t. params (standard MCANet tree). rng drives every
@@ -192,7 +193,8 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                     jnp.int32)
                 v = fused_sga_block_train_prng(
                     v, kq, vq, v_mask, q_mask, seed, w,
-                    num_heads=num_heads, group=group, rate=rate)
+                    num_heads=num_heads, group=group, rate=rate,
+                    bf16_saves=bf16_saves)
             else:
                 masks, inv_keep = make_dropout_masks(
                     dec_keys[i], rate, B, Lv, Lq, D, F, num_heads, group,
@@ -200,7 +202,7 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                 v = fused_sga_block_train(
                     v, kq, vq, v_mask, q_mask, masks, w,
                     num_heads=num_heads, group=group, inv_keep=inv_keep,
-                    interpret=interpret)
+                    interpret=interpret, bf16_saves=bf16_saves)
 
         lang_flat = _attflat_train(params["attflat_lang"], q, q_mask, rate,
                                    flat_keys[0], dropout_bits)

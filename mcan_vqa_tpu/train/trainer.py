@@ -443,7 +443,12 @@ class Trainer:
         loader = BatchLoader(
             dataset, cfg.eval_batch_size, shuffle=False, drop_last=False,
             seed=cfg.seed, num_workers=cfg.num_workers, pad_final=True,
-            sharding=batch_sharding(self.mesh), **self._process_kwargs())
+            sharding=batch_sharding(self.mesh),
+            # fused (bf16-matmul) serving engine: request bf16 features
+            # straight from the native batcher — half the host bytes,
+            # identical numerics (first op is the bf16 img matmul)
+            feat_dtype="bfloat16" if self._use_fused_eval() else None,
+            **self._process_kwargs())
         multiprocess = jax.process_count() > 1
         probs_all, qids_all, targets_all = [], [], []
         for batch in loader:

@@ -43,6 +43,25 @@ class TestNativeBatcher:
                 out[i, :n], raw[iid].astype(np.float16).astype(np.float32))
             assert (out[i, n:] == 0).all()
 
+    def test_bf16_gather_matches_fp32(self, packed):
+        """The bf16 emission path: same gather/pad, values equal to the
+        fp32 path rounded to bf16 (round-to-nearest-even), half the
+        bytes."""
+        import ml_dtypes
+        cache, raw = packed
+        iids = ["2", "4", "0"]
+        f32 = cache.gather_pad_batch(iids, pad_size=10)
+        b16 = cache.gather_pad_batch(iids, pad_size=10, dtype="bfloat16")
+        assert b16.dtype == ml_dtypes.bfloat16
+        assert b16.shape == f32.shape
+        assert b16.itemsize == 2
+        np.testing.assert_array_equal(
+            np.asarray(b16), f32.astype(ml_dtypes.bfloat16))
+        # padding rows are exactly zero
+        for i, iid in enumerate(iids):
+            n = raw[iid].shape[0]
+            assert (np.asarray(b16[i, n:]).astype(np.float32) == 0).all()
+
     def test_truncates_long_items(self, packed):
         cache, raw = packed
         longest = max(raw, key=lambda k: raw[k].shape[0])
@@ -127,3 +146,17 @@ class TestDatasetBatchPath:
         ex = ds.example(2)
         np.testing.assert_allclose(batch["img"][2], ex["img"], rtol=1e-3)
         np.testing.assert_array_equal(batch["ques"][2], ex["ques"])
+
+        # the serving loader's bf16 request flows through to the native
+        # bf16 gather (BatchLoader(feat_dtype=...) -> batch_examples)
+        import ml_dtypes
+        from mcan_vqa_tpu.data.pipeline import BatchLoader
+        b16 = ds.batch_examples(np.arange(4), feat_dtype="bfloat16")
+        assert b16["img"].dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(b16["img"]),
+            batch["img"].astype(ml_dtypes.bfloat16))
+        loader = BatchLoader(ds, 4, shuffle=False, drop_last=False,
+                             num_workers=1, feat_dtype="bfloat16")
+        lb = next(iter(loader))
+        assert np.asarray(lb["img"]).dtype == ml_dtypes.bfloat16

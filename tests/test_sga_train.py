@@ -112,11 +112,11 @@ def _reference_block(x, kq, vq, v_mask, q_mask, masks, w, inv_keep):
 
 
 def _fused(x, kq, vq, v_mask, q_mask, masks, w, inv_keep,
-           save_acts=True):
+           save_acts=True, bf16_saves=False):
     return st.fused_sga_block_train(
         x, kq, vq, v_mask, q_mask, masks, w,
         num_heads=H, group=G, inv_keep=inv_keep, interpret=True,
-        save_acts=save_acts)
+        save_acts=save_acts, bf16_saves=bf16_saves)
 
 
 @pytest.mark.parametrize("rate", [0.0, 0.25])
@@ -128,15 +128,20 @@ def test_forward_matches_reference(rate):
                                rtol=0, atol=2e-4)
 
 
-@pytest.mark.parametrize("rate,save_acts",
-                         [(0.0, True), (0.25, True), (0.25, False)])
-def test_gradients_match_reference(rate, save_acts):
+@pytest.mark.parametrize("rate,save_acts,bf16_saves",
+                         [(0.0, True, False), (0.25, True, False),
+                          (0.25, False, False), (0.25, True, True)])
+def test_gradients_match_reference(rate, save_acts, bf16_saves):
+    # bf16_saves quantizes the backward-only saves (v1/v2/r3) and gv2 to
+    # bf16 — a ~0.4% relative perturbation well inside the 3e-2 gate the
+    # bf16-matmul kernels already need.
     x, kq, vq, vm, qm, masks, w, inv = _make_inputs(1, rate)
     probe = jax.random.normal(jax.random.PRNGKey(5), (B, Lv, D))
 
     def loss_fused(x, kq, vq, w):
         return jnp.sum(_fused(x, kq, vq, vm, qm, masks, w, inv,
-                              save_acts=save_acts) * probe)
+                              save_acts=save_acts,
+                              bf16_saves=bf16_saves) * probe)
 
     def loss_ref(x, kq, vq, w):
         return jnp.sum(
