@@ -58,7 +58,7 @@ def main() -> None:
     # continuation); 0 at hidden>512 (a D=1024 fused-train run faulted
     # the TPU worker — under investigation, opt in explicitly to retry).
     fused_block = int(os.environ.get("BENCH_FUSED_BLOCK",
-                                     "2" if hidden <= 512 else "0"))
+                                     "4" if hidden <= 512 else "0"))
     # in-kernel TPU-PRNG dropout for the fused blocks (no mask generation
     # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
     kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"

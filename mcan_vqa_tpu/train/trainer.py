@@ -222,10 +222,14 @@ class Trainer:
                                       f"(classifier, "
                                       f"in_kernel_dropout={on_tpu})")
                 else:
+                    # group=4: same-session r3 sweep with in-kernel dW
+                    # accumulation — G=2 6,483 / G=4 6,829 / G=8 6,304
+                    # samples/s (B=256); bigger groups halve the dW
+                    # accumulate steps until VMEM/softmax width bites
                     forward_fn = make_fused_train_forward(
                         cfg.layer, cfg.multi_head,
                         dropout_rate=cfg.dropout_rate,
-                        dropout_bits=cfg.dropout_bits, group=2,
+                        dropout_bits=cfg.dropout_bits, group=4,
                         interpret=not on_tpu, in_kernel_dropout=on_tpu)
                     self.logger.write("train engine: fused SGA blocks "
                                       f"(in_kernel_dropout={on_tpu})")
