@@ -205,8 +205,9 @@ class Trainer:
             forward_fn = None
             if self._use_fused_train():
                 # single-TPU VQA training through the custom-VJP fused SGA
-                # blocks with in-kernel PRNG dropout (docs/PERFORMANCE.md:
-                # 42.8 vs 49.0 ms/step at MCAN-small B=256). CPU (forced
+                # blocks with in-kernel PRNG dropout + in-kernel dW
+                # (docs/PERFORMANCE.md: 37.5 vs 48.9 ms/step at MCAN-small
+                # B=256). CPU (forced
                 # via train_engine="fused") runs interpret mode with
                 # external masks — the testable reference path.
                 from mcan_vqa_tpu.train.fused_engine import (
@@ -360,10 +361,11 @@ class Trainer:
             return False
         if mode == "fused":
             return True
-        # auto: VQA via the fused SGA blocks (42.8 vs 49.0 ms/step at
-        # MCAN-small B=256); classifier via the fused SA blocks over the
-        # 60-region image stream (25.4 vs 30.5 ms/step, +20%) — both
-        # measured on TPU v5e, docs/PERFORMANCE.md
+        # auto: VQA via the fused SGA blocks with in-kernel dW
+        # accumulation (37.5 vs 48.9 ms/step at MCAN-small B=256, +30%
+        # over XLA autodiff, r3 same-session A/B); classifier via the
+        # fused SA blocks over the 60-region image stream — measured on
+        # TPU v5e, docs/PERFORMANCE.md
         return (jax.default_backend() == "tpu"
                 and self.cfg.hidden_size % 128 == 0
                 and self.cfg.hidden_size <= 512)
