@@ -53,12 +53,11 @@ def main() -> None:
     dropout_bits = int(os.environ.get("BENCH_DROPOUT_BITS", "32"))
     # fused-block engine: decoder fwd+bwd through the custom-VJP SGA
     # megakernel (train/fused_engine.py); value = samples packed per grid
-    # step (0 = off/plain XLA step). Default 2 at MCAN-small — the
-    # measured-best single-chip config (docs/PERFORMANCE.md round-2
-    # continuation); 0 at hidden>512 (a D=1024 fused-train run faulted
-    # the TPU worker — under investigation, opt in explicitly to retry).
+    # step (0 = off/plain XLA step). Measured-best (r3, in-kernel dW):
+    # G=4 at hidden<=512 (6,829 samples/s), G=2 at hidden=1024 (2,408 vs
+    # XLA 2,253) — docs/PERFORMANCE.md.
     fused_block = int(os.environ.get("BENCH_FUSED_BLOCK",
-                                     "4" if hidden <= 512 else "0"))
+                                     "4" if hidden <= 512 else "2"))
     # in-kernel TPU-PRNG dropout for the fused blocks (no mask generation
     # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
     kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"
@@ -154,11 +153,13 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown BENCH_ABLATE={ablate!r}")
 
-    # BENCH_DONATE=0: skip TrainState buffer donation — REQUIRED for the
-    # fused engine at hidden>512 (donation + the Pallas train kernels
-    # crash the TPU worker at D=1024; isolated to the donate_argnums
-    # interaction, see docs/PERFORMANCE.md)
-    donate = (0,) if os.environ.get("BENCH_DONATE", "1") == "1" else ()
+    # Buffer donation — auto-disabled for the fused engine at hidden>512
+    # (donation + the Pallas train kernels crash the TPU worker at D=1024;
+    # standalone repro: tools/repro_donate_pallas_fault.py). BENCH_DONATE
+    # overrides.
+    donate_default = "0" if (fused_block > 0 and hidden > 512) else "1"
+    donate = (0,) if os.environ.get("BENCH_DONATE",
+                                    donate_default) == "1" else ()
 
     @functools.partial(jax.jit, static_argnames="n", donate_argnums=donate)
     def bench_loop(state, batch, n):

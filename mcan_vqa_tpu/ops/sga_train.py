@@ -636,9 +636,11 @@ def _grid_specs(B, G, Lv, Lq, D, F, H, Dh):
 
 def _compiler_params():
     """Raise the scoped-VMEM cap: the default 16 MB scope rejects the
-    fwd kernel at G=4 by ~180 KB; physical VMEM is larger on v5e."""
+    fwd kernel at G=4 by ~180 KB, and the D=1024 FFN backward's in-kernel
+    dW accumulators (dw1+dw2 f32 = 32 MB + bf16 weights) need 75 MB;
+    physical VMEM is 128 MB on v5e."""
     from jax.experimental.pallas import tpu as pltpu
-    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _mask_specs(blk, G, H, M, N, Lv, Lq, D, F):

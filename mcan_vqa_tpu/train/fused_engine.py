@@ -179,6 +179,11 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
             return sp(kx), sp(vx)
 
         v = v.astype(jnp.float32)
+        # effective packing group: largest value <= group dividing B (the
+        # block wrappers reduce the same way; masks must match)
+        g_eff = max(1, group)
+        while B % g_eff:
+            g_eff -= 1
         for i in range(num_layers):
             p = bb[f"dec_{i}"]
             kq, vq = cross_kv(p["mhatt2"], q)
@@ -193,15 +198,15 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                     jnp.int32)
                 v = fused_sga_block_train_prng(
                     v, kq, vq, v_mask, q_mask, seed, w,
-                    num_heads=num_heads, group=group, rate=rate,
+                    num_heads=num_heads, group=g_eff, rate=rate,
                     bf16_saves=bf16_saves)
             else:
                 masks, inv_keep = make_dropout_masks(
-                    dec_keys[i], rate, B, Lv, Lq, D, F, num_heads, group,
+                    dec_keys[i], rate, B, Lv, Lq, D, F, num_heads, g_eff,
                     dropout_bits)
                 v = fused_sga_block_train(
                     v, kq, vq, v_mask, q_mask, masks, w,
-                    num_heads=num_heads, group=group, inv_keep=inv_keep,
+                    num_heads=num_heads, group=g_eff, inv_keep=inv_keep,
                     interpret=interpret, bf16_saves=bf16_saves)
 
         lang_flat = _attflat_train(params["attflat_lang"], q, q_mask, rate,

@@ -223,19 +223,29 @@ class Trainer:
                                       f"(classifier, "
                                       f"in_kernel_dropout={on_tpu})")
                 else:
-                    # group=4: same-session r3 sweep with in-kernel dW
-                    # accumulation — G=2 6,483 / G=4 6,829 / G=8 6,304
-                    # samples/s (B=256); bigger groups halve the dW
-                    # accumulate steps until VMEM/softmax width bites
+                    # group: same-session r3 sweeps with in-kernel dW
+                    # accumulation — D=512: G=2 6,483 / G=4 6,829 / G=8
+                    # 6,304 samples/s (B=256); bigger groups halve the dW
+                    # accumulate steps until VMEM/softmax width bites.
+                    # D=1024 runs G=2 (VMEM headroom).
                     forward_fn = make_fused_train_forward(
                         cfg.layer, cfg.multi_head,
                         dropout_rate=cfg.dropout_rate,
-                        dropout_bits=cfg.dropout_bits, group=4,
+                        dropout_bits=cfg.dropout_bits,
+                        group=4 if cfg.hidden_size <= 512 else 2,
                         interpret=not on_tpu, in_kernel_dropout=on_tpu)
                     self.logger.write("train engine: fused SGA blocks "
                                       f"(in_kernel_dropout={on_tpu})")
             fused_dp = (forward_fn is not None
                         and self.mesh.devices.size > 1)
+            # D=1024 fused runs DONATION-FREE: donate_argnums on the
+            # Pallas step faults the TPU worker at that width (XLA/Mosaic
+            # aliasing interaction — standalone repro in
+            # tools/repro_donate_pallas_fault.py). Measured r3
+            # same-session: fused-no-donate 2,408 vs XLA-with-donate
+            # 2,253 samples/s, so fused still wins.
+            donate = cfg.donate_buffers and not (
+                forward_fn is not None and cfg.hidden_size > 512)
             step_fn = make_train_step(
                 self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
                 reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule,
@@ -249,11 +259,11 @@ class Trainer:
                 # the fused step runs per data shard under shard_map
                 # (explicit in-step grad psum)
                 self._jit_train = shd.shardmap_train_step(
-                    step_fn, self.mesh, donate=cfg.donate_buffers)
+                    step_fn, self.mesh, donate=donate)
             else:
                 self._jit_train = shd.jit_train_step(
                     step_fn, self.mesh, jax.device_get(state),
-                    donate=cfg.donate_buffers)
+                    donate=donate)
 
         loader = BatchLoader(
             self.train_dataset, cfg.batch_size, shuffle=True, drop_last=True,
@@ -344,10 +354,11 @@ class Trainer:
     def _use_fused_train(self) -> bool:
         """Fused train engine: VQA task on a trivial (1-device, 1-process)
         mesh. "auto" additionally requires a TPU backend and the validated
-        dimension envelope (hidden<=512, lane-aligned); "fused" forces it
-        (CPU: interpret mode, test-only). A D=1024 run faulted the TPU
-        worker (docs/PERFORMANCE.md) so large models stay on model.apply
-        until diagnosed."""
+        dimension envelope (hidden<=1024, lane-aligned); "fused" forces it
+        (CPU: interpret mode, test-only). hidden>512 runs DONATION-FREE
+        (the donate+Pallas Mosaic fault; see train() and
+        tools/repro_donate_pallas_fault.py) — with in-kernel dW it still
+        beats XLA there (r3: 2,408 vs 2,253 samples/s at D=1024)."""
         mode = getattr(self.cfg, "train_engine", "auto")
         if mode == "plain":
             return False
@@ -368,7 +379,7 @@ class Trainer:
         # TPU v5e, docs/PERFORMANCE.md
         return (jax.default_backend() == "tpu"
                 and self.cfg.hidden_size % 128 == 0
-                and self.cfg.hidden_size <= 512)
+                and self.cfg.hidden_size <= 1024)
 
     def _use_fused_eval(self) -> bool:
         """Fused-engine eval: VQA task on a pure-DP mesh (the fused engine
