@@ -65,6 +65,9 @@ def main() -> None:
     # encoder SA stack through the fused custom-VJP blocks (measured
     # slightly slower than XLA at MCAN-small: 44.1 vs 43.4 ms — off)
     fused_sa = os.environ.get("BENCH_FUSED_SA", "0") == "1"
+    # BENCH_TASK=classify: ClassifierNet (image-only multi-label) through
+    # the fused SA train engine (fused_block = SA packing group, 0 = XLA)
+    task = os.environ.get("BENCH_TASK", "vqa")
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
@@ -73,41 +76,73 @@ def main() -> None:
                  dropout_bits=dropout_bits,
                  use_glove=False, fused_qkv=use_fused, use_remat=use_remat,
                  attention_packing=use_packing).finalize()
-    model = build_mcan(cfg, token_size=20000, answer_size=3129)
+    image_only = task == "classify"
+    n_ans = 14 if image_only else 3129
+    if image_only:
+        from mcan_vqa_tpu.models.net import ClassifierNet
+        model = ClassifierNet(
+            answer_size=n_ans, hidden_size=cfg.hidden_size,
+            num_layers=cfg.layer, num_heads=cfg.multi_head,
+            ff_size=cfg.ff_size, img_feat_size=cfg.img_feat_size,
+            flat_mlp_size=cfg.flat_mlp_size,
+            flat_glimpses=cfg.flat_glimpses,
+            flat_out_size=cfg.flat_out_size,
+            dropout_rate=cfg.dropout_rate,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            dropout_bits=dropout_bits)
+    else:
+        model = build_mcan(cfg, token_size=20000, answer_size=n_ans)
 
     @jax.jit
     def make_batch(key):
         k1, k2, k3 = jax.random.split(key, 3)
         R, F, T = cfg.img_feat_pad_size, cfg.img_feat_size, cfg.max_token
         img = jax.random.normal(k1, (B, R, F), jnp.float32)
-        ques = jax.random.randint(k2, (B, T), 1, 20000, jnp.int32)
-        target = (jax.random.uniform(k3, (B, 3129)) < 0.003).astype(jnp.float32)
-        return {"img": img, "ques": ques, "target": target}
+        target = (jax.random.uniform(k3, (B, n_ans)) < 0.1).astype(
+            jnp.float32)
+        out = {"img": img, "target": target}
+        if not image_only:
+            out["ques"] = jax.random.randint(k2, (B, T), 1, 20000,
+                                             jnp.int32)
+        return out
 
     batch = make_batch(jax.random.PRNGKey(0))
+    model_inputs = ((batch["img"],) if image_only
+                    else (batch["img"], batch["ques"]))
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
-                                 batch["img"], batch["ques"])["params"]
+                                 *model_inputs)["params"]
     tx = make_optimizer(cfg, data_size=B * 100)
     state = TrainState.create(params, tx, seed=cfg.seed)
     step_fn = make_train_step(model, tx,
                               grad_accu_steps=cfg.grad_accu_steps,
+                              image_only=image_only,
                               lr_schedule=make_lr_schedule(
                                   cfg.lr_base, B * 100, B))
 
     if fused_block:
         import optax
 
-        from mcan_vqa_tpu.train.fused_engine import make_fused_train_forward
+        from mcan_vqa_tpu.train.fused_engine import (
+            make_fused_classifier_forward, make_fused_train_forward)
         from mcan_vqa_tpu.train.step import bce_with_logits_sum
 
-        fwd = make_fused_train_forward(
-            cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
-            dropout_bits=dropout_bits, group=fused_block,
-            in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa,
-            bf16_saves=bf16_saves)
+        if image_only:
+            cfwd = make_fused_classifier_forward(
+                cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
+                dropout_bits=dropout_bits,
+                in_kernel_dropout=kernel_dropout, group=fused_block)
+
+            def fwd(params, img, ques, rng):
+                return cfwd(params, img, rng)
+        else:
+            fwd = make_fused_train_forward(
+                cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
+                dropout_bits=dropout_bits, group=fused_block,
+                in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa,
+                bf16_saves=bf16_saves)
 
         def loss_fn(params, batch, rng):
-            logits = fwd(params, batch["img"], batch["ques"], rng)
+            logits = fwd(params, batch["img"], batch.get("ques"), rng)
             return bce_with_logits_sum(logits, batch["target"])
 
         lr_schedule = make_lr_schedule(cfg.lr_base, B * 100, B)
@@ -126,12 +161,14 @@ def main() -> None:
         if fused_block:
             def loss_of(params, batch, rng):
                 return bce_with_logits_sum(
-                    fwd(params, batch["img"], batch["ques"], rng),
+                    fwd(params, batch["img"], batch.get("ques"), rng),
                     batch["target"])
         else:
             def loss_of(params, batch, rng):
-                out = model.apply({"params": params}, batch["img"],
-                                  batch["ques"], deterministic=False,
+                ins = ((batch["img"],) if image_only
+                       else (batch["img"], batch["ques"]))
+                out = model.apply({"params": params}, *ins,
+                                  deterministic=False,
                                   rngs={"dropout": rng})
                 return bce_with_logits_sum(out["logits"], batch["target"])
 
@@ -153,13 +190,10 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown BENCH_ABLATE={ablate!r}")
 
-    # Buffer donation — auto-disabled for the fused engine at hidden>512
-    # (donation + the Pallas train kernels crash the TPU worker at D=1024;
-    # standalone repro: tools/repro_donate_pallas_fault.py). BENCH_DONATE
-    # overrides.
-    donate_default = "0" if (fused_block > 0 and hidden > 512) else "1"
-    donate = (0,) if os.environ.get("BENCH_DONATE",
-                                    donate_default) == "1" else ()
+    # Buffer donation (BENCH_DONATE=0 disables). Historic note: the r2
+    # emission-style kernels faulted the worker under donation at D=1024;
+    # the in-kernel-dW kernels run clean (r3: 2,438 samples/s donated).
+    donate = (0,) if os.environ.get("BENCH_DONATE", "1") == "1" else ()
 
     @functools.partial(jax.jit, static_argnames="n", donate_argnums=donate)
     def bench_loop(state, batch, n):
@@ -188,7 +222,8 @@ def main() -> None:
 
     per_step = max((dt - overhead) / n_iters, 1e-9)
     print(json.dumps({
-        "metric": f"mcan_h{hidden}_train_throughput",
+        "metric": (f"mcan_h{hidden}_train_throughput" if not image_only
+                   else f"classifier_h{hidden}_train_throughput"),
         "value": round(B / per_step, 2),
         "unit": "samples/sec/chip",
         "step_ms": round(per_step * 1000, 2),

@@ -223,7 +223,8 @@ def make_fused_classifier_forward(num_layers: int, num_heads: int,
                                   dropout_rate: float = 0.1,
                                   dropout_bits: int = 32,
                                   interpret: bool = False,
-                                  in_kernel_dropout: bool = False):
+                                  in_kernel_dropout: bool = False,
+                                  group: int = 0):
     """Fused training forward for ClassifierNet (image-only multi-label;
     reference core/model/net.py:140-196): the SA stack runs over the
     60-region image stream — the geometry where block fusion pays — via
@@ -248,16 +249,16 @@ def make_fused_classifier_forward(num_layers: int, num_heads: int,
             w = prepare_sa_train_params(p)
             for name in ("wqkv", "wm", "w1", "w2"):
                 w[name] = w[name].astype(BF16)
+            sa_G = group if group > 0 else max(1, 128 // Lv)
+            while B % sa_G:
+                sa_G -= 1
             if in_kernel_dropout and rate > 0.0:
                 seed = jax.random.randint(
                     keys[i], (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
                 v = fused_sa_block_train(
                     v, v_mask, seed, w, num_heads=num_heads, rate=rate,
-                    interpret=interpret)
+                    group=sa_G, interpret=interpret)
             else:
-                sa_G = max(1, 128 // Lv)
-                while B % sa_G:
-                    sa_G -= 1
                 masks, inv_keep = make_sa_dropout_masks(
                     keys[i], rate, B, Lv, D, F, num_heads, sa_G,
                     dropout_bits)

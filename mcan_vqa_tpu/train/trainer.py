@@ -238,14 +238,11 @@ class Trainer:
                                       f"(in_kernel_dropout={on_tpu})")
             fused_dp = (forward_fn is not None
                         and self.mesh.devices.size > 1)
-            # D=1024 fused runs DONATION-FREE: donate_argnums on the
-            # Pallas step faults the TPU worker at that width (XLA/Mosaic
-            # aliasing interaction — standalone repro in
-            # tools/repro_donate_pallas_fault.py). Measured r3
-            # same-session: fused-no-donate 2,408 vs XLA-with-donate
-            # 2,253 samples/s, so fused still wins.
-            donate = cfg.donate_buffers and not (
-                forward_fn is not None and cfg.hidden_size > 512)
+            # The r2 donate+Pallas D=1024 worker fault is GONE with the
+            # in-kernel-dW kernels (the per-position emission outputs
+            # whose aliasing triggered it no longer exist): measured r3
+            # fused D=1024 WITH donation 2,438 samples/s, clean.
+            donate = cfg.donate_buffers
             step_fn = make_train_step(
                 self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
                 reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule,
@@ -355,10 +352,9 @@ class Trainer:
         """Fused train engine: VQA task on a trivial (1-device, 1-process)
         mesh. "auto" additionally requires a TPU backend and the validated
         dimension envelope (hidden<=1024, lane-aligned); "fused" forces it
-        (CPU: interpret mode, test-only). hidden>512 runs DONATION-FREE
-        (the donate+Pallas Mosaic fault; see train() and
-        tools/repro_donate_pallas_fault.py) — with in-kernel dW it still
-        beats XLA there (r3: 2,408 vs 2,253 samples/s at D=1024)."""
+        (CPU: interpret mode, test-only). r3: the in-kernel-dW kernels
+        beat XLA at D=1024 too (2,438 vs 2,253 samples/s) and no longer
+        trigger the r2 donate+Pallas worker fault."""
         mode = getattr(self.cfg, "train_engine", "auto")
         if mode == "plain":
             return False

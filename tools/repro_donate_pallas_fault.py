@@ -18,8 +18,14 @@ Usage (on a TPU host):
   python tools/repro_donate_pallas_fault.py --no-donate     # control: clean
   python tools/repro_donate_pallas_fault.py --hidden 512    # control: clean
 
-Expected: the default faults the TPU worker (or runs clean if the toolchain
-has fixed the aliasing interaction — the point of keeping this runnable).
+STATUS (r3, measured on this v5e): this minimal reduction runs CLEAN at
+D=1024 with donation — the fault needed more of the original program's
+structure (the 10-output attention backward with mixed f32/bf16
+emissions). The original trigger was then REMOVED outright: the r3
+in-kernel-dW kernels (ops/sga_train.py) have no per-position emission
+outputs and run clean donated at D=1024 (docs/PERFORMANCE.md). Kept as
+(a) the documented reduction attempt and (b) a regression canary — if a
+future toolchain faults on THIS program, that is a new, simpler bug.
 """
 
 from __future__ import annotations
