@@ -249,7 +249,11 @@ def make_fused_classifier_forward(num_layers: int, num_heads: int,
             w = prepare_sa_train_params(p)
             for name in ("wqkv", "wm", "w1", "w2"):
                 w[name] = w[name].astype(BF16)
-            sa_G = group if group > 0 else max(1, 128 // Lv)
+            # auto group ~256 rows/grid-step: same-session r3 sweep with
+            # in-kernel dW (B=256 h512 classify) — XLA 8,334 / G=2 11,460
+            # / G=4 11,997 samples/s; bigger groups halve the dW
+            # accumulation steps (docs/PERFORMANCE.md).
+            sa_G = group if group > 0 else max(1, 256 // Lv)
             while B % sa_G:
                 sa_G -= 1
             if in_kernel_dropout and rate > 0.0:
