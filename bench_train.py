@@ -62,12 +62,23 @@ def main() -> None:
     # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
     kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"
     bf16_saves = os.environ.get("BENCH_BF16_SAVES", "0") == "1"
-    # encoder SA stack through the fused custom-VJP blocks (measured
-    # slightly slower than XLA at MCAN-small: 44.1 vs 43.4 ms — off)
-    fused_sa = os.environ.get("BENCH_FUSED_SA", "0") == "1"
+    # encoder SA stack through the fused custom-VJP blocks. r2 (emission
+    # kernels): slightly slower than XLA (44.1 vs 43.4 ms). r3 (in-kernel
+    # dW): WINS — same-session 6,781 (XLA) / 7,001 (G=8) / 7,129 (G=16)
+    # samples/s. 0=off, 1=auto group (~128 rows), N>1 = explicit encoder
+    # packing group. Default matches the shipped Trainer config
+    # (G=16 at hidden<=512, off at 1024 pending measurement).
+    fused_sa_raw = int(os.environ.get("BENCH_FUSED_SA",
+                                      "16" if hidden <= 512 else "0"))
+    fused_sa = fused_sa_raw > 0
+    enc_group = fused_sa_raw if fused_sa_raw > 1 else 0
     # BENCH_TASK=classify: ClassifierNet (image-only multi-label) through
     # the fused SA train engine (fused_block = SA packing group, 0 = XLA)
     task = os.environ.get("BENCH_TASK", "vqa")
+    # BENCH_FLAT_OPT=1: optax.flatten around the optimizer — one fused
+    # elementwise AdamW pass over a single concatenated vector instead of
+    # ~200 per-leaf kernel launches.
+    flat_opt = os.environ.get("BENCH_FLAT_OPT", "0") == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
@@ -112,6 +123,9 @@ def main() -> None:
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
                                  *model_inputs)["params"]
     tx = make_optimizer(cfg, data_size=B * 100)
+    if flat_opt:
+        import optax
+        tx = optax.flatten(tx)
     state = TrainState.create(params, tx, seed=cfg.seed)
     step_fn = make_train_step(model, tx,
                               grad_accu_steps=cfg.grad_accu_steps,
@@ -139,7 +153,7 @@ def main() -> None:
                 cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
                 dropout_bits=dropout_bits, group=fused_block,
                 in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa,
-                bf16_saves=bf16_saves)
+                encoder_group=enc_group, bf16_saves=bf16_saves)
 
         def loss_fn(params, batch, rng):
             logits = fwd(params, batch["img"], batch.get("ques"), rng)
@@ -237,7 +251,8 @@ def main() -> None:
         **({"dropout_bits": dropout_bits} if dropout_bits != 32 else {}),
         **({"fused_block": fused_block} if fused_block else {}),
         **({"kernel_dropout": True} if kernel_dropout else {}),
-        **({"fused_sa": True} if fused_block and fused_sa else {}),
+        **({"fused_sa": fused_sa_raw} if fused_block and fused_sa else {}),
+        **({"flat_opt": True} if flat_opt else {}),
     }))
 
 

@@ -85,6 +85,7 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                              interpret: bool = False,
                              in_kernel_dropout: bool = False,
                              fused_encoder: bool = False,
+                             encoder_group: int = 0,
                              bf16_saves: bool = False):
     """Build forward(params, img_feat, ques_ix, rng) -> logits [B, A].
 
@@ -131,16 +132,17 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                 for name in ("wqkv", "wm", "w1", "w2"):
                     w[name] = w[name].astype(BF16)
                 key_i = enc_keys[3 * i]
+                sa_G = encoder_group if encoder_group > 0 else max(
+                    1, 128 // Lq_)
+                while Bq % sa_G:
+                    sa_G -= 1
                 if in_kernel_dropout and rate > 0.0:
                     seed = jax.random.randint(
                         key_i, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
                     q = fused_sa_block_train(
                         q, q_mask, seed, w, num_heads=num_heads, rate=rate,
-                        interpret=interpret)
+                        group=sa_G, interpret=interpret)
                 else:
-                    sa_G = max(1, 128 // Lq_)
-                    while Bq % sa_G:
-                        sa_G -= 1
                     masks, inv_keep = make_sa_dropout_masks(
                         key_i, rate, Bq, Lq_, D_, F_, num_heads, sa_G,
                         dropout_bits)

@@ -223,18 +223,25 @@ class Trainer:
                                       f"(classifier, "
                                       f"in_kernel_dropout={on_tpu})")
                 else:
-                    # group: same-session r3 sweeps with in-kernel dW
-                    # accumulation — D=512: G=2 6,483 / G=4 6,829 / G=8
-                    # 6,304 samples/s (B=256); bigger groups halve the dW
-                    # accumulate steps until VMEM/softmax width bites.
-                    # D=1024 runs G=2 (VMEM headroom).
+                    # groups: same-session r3 sweeps with in-kernel dW
+                    # accumulation — decoder D=512: G=2 6,483 / G=4 6,829
+                    # / G=8 6,304 samples/s (B=256); bigger groups halve
+                    # the dW accumulate steps until VMEM/softmax width
+                    # bites. D=1024 runs G=2 (VMEM headroom). Encoder SA
+                    # stack through the fused SA blocks too (r3: XLA
+                    # encoder 6,781 / fused G=8 7,001 / fused G=16 7,129
+                    # samples/s — the r2 "slightly slower" verdict was an
+                    # artifact of the old emission-heavy kernels).
                     forward_fn = make_fused_train_forward(
                         cfg.layer, cfg.multi_head,
                         dropout_rate=cfg.dropout_rate,
                         dropout_bits=cfg.dropout_bits,
                         group=4 if cfg.hidden_size <= 512 else 2,
+                        fused_encoder=cfg.hidden_size <= 512,
+                        encoder_group=16,
                         interpret=not on_tpu, in_kernel_dropout=on_tpu)
-                    self.logger.write("train engine: fused SGA blocks "
+                    self.logger.write("train engine: fused SGA blocks + "
+                                      f"fused SA encoder "
                                       f"(in_kernel_dropout={on_tpu})")
             fused_dp = (forward_fn is not None
                         and self.mesh.devices.size > 1)
