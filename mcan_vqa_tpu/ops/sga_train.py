@@ -638,9 +638,13 @@ def _compiler_params():
     """Raise the scoped-VMEM cap: the default 16 MB scope rejects the
     fwd kernel at G=4 by ~180 KB, and the D=1024 FFN backward's in-kernel
     dW accumulators (dw1+dw2 f32 = 32 MB + bf16 weights) need 75 MB;
-    physical VMEM is 128 MB on v5e."""
+    physical VMEM is 128 MB on v5e. MCAN_VMEM_CAP_MB overrides (the
+    D=1024 fused SA encoder backward needs ~101 MB at G=8)."""
+    import os
+
     from jax.experimental.pallas import tpu as pltpu
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cap = int(os.environ.get("MCAN_VMEM_CAP_MB", "100"))
+    return pltpu.CompilerParams(vmem_limit_bytes=cap * 1024 * 1024)
 
 
 def _mask_specs(blk, G, H, M, N, Lv, Lq, D, F):
