@@ -34,9 +34,12 @@ class Predictor:
         engine: "fused" routes through the production serving engine
         (fused QKV projections, bf16 weights, fused FFN/epilogue Pallas
         kernels — the bench.py default path, golden-tested against
-        model.apply); "plain" uses model.apply directly; "auto" picks
-        fused on TPU, plain elsewhere (the Pallas kernels only compile
-        for TPU)."""
+        model.apply); "plain" uses model.apply directly; "int8" uses the
+        quantized engine (ops/quant.py: per-channel int8 weights +
+        dynamic per-row activation quant; opt-in, gate documented in
+        tests/test_quant.py: top-1 agreement >= 99%, |d_acc| <= 0.5pt);
+        "auto" picks fused on TPU, plain elsewhere (the Pallas kernels
+        only compile for TPU)."""
         self.cfg = cfg
         self.token_to_ix = token_to_ix
         if ix_to_ans is None:
@@ -46,7 +49,16 @@ class Predictor:
 
         if engine == "auto":
             engine = "fused" if jax.default_backend() == "tpu" else "plain"
-        if engine == "fused":
+        if engine == "int8":
+            from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
+                                                quantize_params)
+            self.params = quantize_params(params, cfg.layer)
+            serve = make_quant_serving_fn(cfg.layer, cfg.multi_head)
+
+            def forward(params, img, ques):
+                return jax.nn.sigmoid(
+                    serve(params, img, ques).astype(jnp.float32))
+        elif engine == "fused":
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
                                                   prepare_params)
             self.params = prepare_params(params, cfg.layer,

@@ -115,10 +115,10 @@ class Config:
     # eval engine: "auto" (fused serving engine on single-TPU, model.apply
     # elsewhere) or "plain" (always model.apply)
     eval_engine: str = "auto"
-    # train engine: "auto" (custom-VJP fused SGA blocks + in-kernel
-    # TPU-PRNG dropout + in-kernel dW accumulation on single-TPU VQA runs
-    # at hidden<=512 — measured 37.5 vs 48.9 ms/step at MCAN-small B=256,
-    # +30% over XLA autodiff), "fused" (force; on CPU runs the kernels in
+    # train engine: "auto" (custom-VJP fused SGA decoder + fused SA
+    # encoder blocks, in-kernel TPU-PRNG dropout + in-kernel dW
+    # accumulation — measured 35.9 vs 48.9 ms/step at MCAN-small B=256,
+    # +36% over XLA autodiff), "fused" (force; on CPU runs the kernels in
     # interpret mode — test-only), or "plain" (always model.apply autodiff)
     train_engine: str = "auto"
     profile_dir: str = ""             # if set, jax.profiler traces go here

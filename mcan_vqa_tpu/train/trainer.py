@@ -375,9 +375,9 @@ class Trainer:
             return False
         if mode == "fused":
             return True
-        # auto: VQA via the fused SGA blocks with in-kernel dW
-        # accumulation (37.5 vs 48.9 ms/step at MCAN-small B=256, +30%
-        # over XLA autodiff, r3 same-session A/B); classifier via the
+        # auto: VQA via the fused SGA decoder + SA encoder blocks with
+        # in-kernel dW accumulation (35.9 vs 48.9 ms/step at MCAN-small
+        # B=256, +36% over XLA autodiff, r3 same-session); classifier via the
         # fused SA blocks over the 60-region image stream — measured on
         # TPU v5e, docs/PERFORMANCE.md
         return (jax.default_backend() == "tpu"

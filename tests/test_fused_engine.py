@@ -41,13 +41,19 @@ def _setup():
 import pytest
 
 
-@pytest.mark.parametrize("fused_encoder", [False, True])
-def test_engine_matches_model_grads_no_dropout(fused_encoder):
+@pytest.mark.parametrize("fused_encoder,encoder_group",
+                         [(False, 0), (True, 0), (True, 16)])
+def test_engine_matches_model_grads_no_dropout(fused_encoder,
+                                               encoder_group):
+    """encoder_group=16 is the shipped Trainer config (trainer.py); at
+    B=4 the engine reduces it to the largest divisor (4) the same way
+    the TPU path would for a truncated final batch."""
     cfg, model, params, img, ques, target = _setup()
     fwd = make_fused_train_forward(cfg.layer, cfg.multi_head,
                                    dropout_rate=0.0, group=2,
                                    interpret=True,
-                                   fused_encoder=fused_encoder)
+                                   fused_encoder=fused_encoder,
+                                   encoder_group=encoder_group)
 
     def loss_engine(p):
         return bce_with_logits_sum(fwd(p, img, ques, jax.random.PRNGKey(9)),
