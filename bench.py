@@ -79,16 +79,20 @@ def main() -> None:
         {"params": jax.random.PRNGKey(0)}, img_d, ques_d)["params"]
 
     use_fused_qkv = os.environ.get("BENCH_SERVE", "1") == "1"
-    use_quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    use_quant = int(os.environ.get("BENCH_QUANT", "0"))
     if use_quant:
         # int8 engine (ops/quant.py): every projection/FFN matmul int8 on
         # the MXU (2x bf16 rate on v5e), attention bf16, softmax/LN f32.
-        # Opt-in serving mode (Predictor(quantize="int8")).
+        # Opt-in serving mode (Predictor(quantize="int8")). 1 = XLA
+        # structure; 2 = int8 SA/SGA block megakernels (weights resident).
         from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                             quantize_params)
         params = jax.jit(functools.partial(
-            quantize_params, num_layers=cfg.layer))(params)
-        forward = make_quant_serving_fn(cfg.layer, cfg.multi_head)
+            quantize_params, num_layers=cfg.layer,
+            megakernel=use_quant >= 2))(params)
+        forward = make_quant_serving_fn(
+            cfg.layer, cfg.multi_head, megakernel=use_quant >= 2,
+            group=int(os.environ.get("BENCH_SGA_GROUP", "4")))
     elif use_fused_qkv:
         # fused-QKV engine; BENCH_PALLAS picks the attention implementation
         # INSIDE it (0=XLA, 1=per-(b,h), 2=batch-blocked, 3=block-diagonal

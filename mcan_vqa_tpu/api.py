@@ -52,8 +52,15 @@ class Predictor:
         if engine == "int8":
             from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                                 quantize_params)
-            self.params = quantize_params(params, cfg.layer)
-            serve = make_quant_serving_fn(cfg.layer, cfg.multi_head)
+            # On TPU, run the int8 SA/SGA block megakernels (weights
+            # VMEM-resident in int8): measured 14,250 pairs/s at
+            # MCAN-large vs 13,466 for the int8 XLA structure and 13,116
+            # for the bf16 megakernel (docs/PERFORMANCE.md). CPU keeps
+            # the XLA structure (interpret-mode kernels are test-only).
+            mk = jax.default_backend() == "tpu"
+            self.params = quantize_params(params, cfg.layer, megakernel=mk)
+            serve = make_quant_serving_fn(cfg.layer, cfg.multi_head,
+                                          megakernel=mk)
 
             def forward(params, img, ques):
                 return jax.nn.sigmoid(

@@ -49,7 +49,8 @@ def _quant_w(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"w_q": wq, "w_scale": s}
 
 
-def quantize_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+def quantize_params(params: Dict[str, Any], num_layers: int,
+                    megakernel: bool = False) -> Dict[str, Any]:
     """One-time prep of a serving param tree for the int8 engine.
 
     Starts from the RAW model tree (model.init / checkpoint import, NOT
@@ -57,6 +58,9 @@ def quantize_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
     attention block, fused qkv / kv int8 kernels (same fusion as
     prepare_params), int8 FFN / attflat / proj kernels, and leaves the
     embedding, LSTM and LayerNorm params untouched (LSTM stays bf16).
+    megakernel: additionally attach each block's int8 megakernel layout
+    (``_mk`` entries — prepare_quant_sa_params / prepare_quant_sga_params)
+    for the fused int8 engine.
     """
     def fuse(block, names):
         return {
@@ -122,6 +126,9 @@ def quantize_params(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
             "norm1": dec["norm1"], "norm2": dec["norm2"],
             "norm3": dec["norm3"],
         }
+        if megakernel:
+            bb[f"enc_{i}"]["_mk"] = prepare_quant_sa_params(enc)
+            bb[f"dec_{i}"]["_mk"] = prepare_quant_sga_params(dec)
     out["backbone"] = bb
     return out
 
@@ -175,12 +182,349 @@ def _qmhatt_self(p, x, mask, num_heads):
     return _qdense(p["linear_merge"], atted)
 
 
-def make_quant_serving_fn(num_layers: int, num_heads: int):
+# ----------------------------------------------------- int8 megakernels
+#
+# The XLA int8 engine above only gains +2.7% at MCAN-large (13,466 vs
+# 13,116 pairs/s): the raw MXU rate is there (microbench: int8 336 TOPS
+# vs bf16 185 TF/s; Pallas int8 291 TOPS) but the unfused structure
+# gives it back in fp32 HBM round-trips between sub-ops. These kernels
+# are the int8 twins of ops/sga_block.py's fused-projection megakernels:
+# whole block per launch, int8 weights VMEM-resident (HALF the bf16
+# footprint), activations quantized in-register between sub-ops,
+# attention bf16, LN f32.
+
+_NEG_INF = -1e9
+
+
+def _q_compiler_params(interpret: bool):
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _kln(r, scale, bias):
+    d = r.shape[-1]
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    c = r - mean
+    var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
+    return scale * c / (jnp.sqrt(var) + 1e-6) + bias
+
+
+def _qrow(x):
+    """f32 [M, D] -> (int8, f32 [M, 1] scale), symmetric per row."""
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    xq = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def _qdot(x, wq_ref, sw_ref, bias):
+    """Quantize x per row, int8 matmul against a resident int8 weight
+    block, dequantize in the epilogue."""
+    xq, sx = _qrow(x)
+    y = jax.lax.dot_general(xq, wq_ref[:],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (sx * sw_ref[:]) + bias
+
+
+def prepare_quant_sga_params(p: Dict[str, Any]) -> Dict[str, Any]:
+    """One decoder block (raw tree) -> int8 fused-projection layout."""
+    def fuse_k(names, src):
+        return jnp.concatenate([src[n]["kernel"] for n in names], axis=1)
+
+    def fuse_b(names, src):
+        return jnp.concatenate([src[n]["bias"] for n in names])
+
+    m1, m2, mlp = p["mhatt1"], p["mhatt2"], p["ffn"]["mlp"]
+    out = {}
+    for name, k in (
+        ("qkv1", fuse_k(("linear_q", "linear_k", "linear_v"), m1)),
+        ("m1", m1["linear_merge"]["kernel"]),
+        ("q2", m2["linear_q"]["kernel"]),
+        ("m2", m2["linear_merge"]["kernel"]),
+        ("w1", mlp["FCLayer_0"]["Dense_0"]["kernel"]),
+        ("w2", mlp["Dense_0"]["kernel"]),
+    ):
+        q = _quant_w(k)
+        out[f"w_{name}"], out[f"s_{name}"] = q["w_q"], q["w_scale"]
+    out.update({
+        "b_qkv1": fuse_b(("linear_q", "linear_k", "linear_v"), m1),
+        "b_m1": m1["linear_merge"]["bias"],
+        "b_q2": m2["linear_q"]["bias"],
+        "b_m2": m2["linear_merge"]["bias"],
+        "b_w1": mlp["FCLayer_0"]["Dense_0"]["bias"],
+        "b_w2": mlp["Dense_0"]["bias"],
+        "ln1_s": p["norm1"]["scale"], "ln1_b": p["norm1"]["bias"],
+        "ln2_s": p["norm2"]["scale"], "ln2_b": p["norm2"]["bias"],
+        "ln3_s": p["norm3"]["scale"], "ln3_b": p["norm3"]["bias"],
+    })
+    return out
+
+
+def prepare_quant_sa_params(p: Dict[str, Any]) -> Dict[str, Any]:
+    """One encoder block (raw tree) -> int8 fused-projection layout."""
+    m, mlp = p["mhatt"], p["ffn"]["mlp"]
+    out = {}
+    for name, k in (
+        ("qkv", jnp.concatenate([m["linear_q"]["kernel"],
+                                 m["linear_k"]["kernel"],
+                                 m["linear_v"]["kernel"]], axis=1)),
+        ("m", m["linear_merge"]["kernel"]),
+        ("w1", mlp["FCLayer_0"]["Dense_0"]["kernel"]),
+        ("w2", mlp["Dense_0"]["kernel"]),
+    ):
+        q = _quant_w(k)
+        out[f"w_{name}"], out[f"s_{name}"] = q["w_q"], q["w_scale"]
+    out.update({
+        "b_qkv": jnp.concatenate([m["linear_q"]["bias"],
+                                  m["linear_k"]["bias"],
+                                  m["linear_v"]["bias"]]),
+        "b_m": m["linear_merge"]["bias"],
+        "b_w1": mlp["FCLayer_0"]["Dense_0"]["bias"],
+        "b_w2": mlp["Dense_0"]["bias"],
+        "ln1_s": p["norm1"]["scale"], "ln1_b": p["norm1"]["bias"],
+        "ln2_s": p["norm2"]["scale"], "ln2_b": p["norm2"]["bias"],
+    })
+    return out
+
+
+def _qsga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+                 wqkv_ref, sqkv_ref, bqkv_ref,
+                 wm1_ref, sm1_ref, bm1_ref, ln1s_ref, ln1b_ref,
+                 wq2_ref, sq2_ref, bq2_ref,
+                 wm2_ref, sm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
+                 w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                 ln3s_ref, ln3b_ref,
+                 o_ref, *, heads: int, group: int, scale: float):
+    """Int8 twin of ops/sga_block._sga_kernel_fusedproj."""
+    G = group
+    Lv, D = v_ref.shape[1], v_ref.shape[2]
+    Lq = kq_ref.shape[2]
+    Dh = D // heads
+    M, N = G * Lv, G * Lq
+
+    x = v_ref[:].reshape(M, D).astype(jnp.float32)
+
+    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
+    self_mask = (vv_off.astype(jnp.float32)
+                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    cross_mask = (vq_off.astype(jnp.float32)
+                  + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    def sdpa(qh, kh, vh, mask_add):
+        s = jax.lax.dot_general(
+            qh.astype(BF16), kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
+        return jnp.dot(att, vh, preferred_element_type=jnp.float32)
+
+    # ---- self-attention: ONE int8 qkv matmul, lane-sliced heads ----
+    qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
+    ohs = []
+    for h in range(heads):
+        qh = qkv[:, h * Dh:(h + 1) * Dh]
+        kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
+        vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
+        ohs.append(sdpa(qh, kh, vh, self_mask))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = _qdot(atted, wm1_ref, sm1_ref, 0.0)
+    v1 = _kln(x + y + bm1_ref[:], ln1s_ref[:], ln1b_ref[:])
+
+    # ---- cross-attention (keys/values pre-projected outside) ----
+    qx = _qdot(v1, wq2_ref, sq2_ref, bq2_ref[:])
+    ohs = []
+    for h in range(heads):
+        kh = kq_ref[:, h].reshape(N, Dh).astype(BF16)
+        vh = vq_ref[:, h].reshape(N, Dh).astype(BF16)
+        ohs.append(sdpa(qx[:, h * Dh:(h + 1) * Dh], kh, vh, cross_mask))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = _qdot(atted, wm2_ref, sm2_ref, 0.0)
+    v2 = _kln(v1 + y + bm2_ref[:], ln2s_ref[:], ln2b_ref[:])
+
+    # ---- FFN ----
+    h1 = jnp.maximum(_qdot(v2, w1_ref, s1_ref, b1_ref[:]), 0.0)
+    y = _qdot(h1, w2_ref, s2_ref, b2_ref[:])
+    v3 = _kln(v2 + y, ln3s_ref[:], ln3b_ref[:])
+
+    o_ref[:] = v3.reshape(G, Lv, D).astype(o_ref.dtype)
+
+
+def _qsa_kernel(x_ref, pad_ref,
+                wqkv_ref, sqkv_ref, bqkv_ref,
+                wm_ref, sm_ref, bm_ref, ln1s_ref, ln1b_ref,
+                w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
+                scale: float):
+    """Int8 twin of ops/sga_block._sa_kernel."""
+    G = group
+    Lq, D = x_ref.shape[1], x_ref.shape[2]
+    Dh = D // heads
+    M = G * Lq
+
+    x = x_ref[:].reshape(M, D).astype(jnp.float32)
+    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+    mask_add = (off.astype(jnp.float32)
+                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
+    ohs = []
+    for h in range(heads):
+        qh = qkv[:, h * Dh:(h + 1) * Dh].astype(BF16)
+        kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
+        vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
+        ohs.append(jnp.dot(att, vh, preferred_element_type=jnp.float32))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = _qdot(atted, wm_ref, sm_ref, 0.0)
+    x1 = _kln(x + y + bm_ref[:], ln1s_ref[:], ln1b_ref[:])
+
+    h1 = jnp.maximum(_qdot(x1, w1_ref, s1_ref, b1_ref[:]), 0.0)
+    y = _qdot(h1, w2_ref, s2_ref, b2_ref[:])
+    x2 = _kln(x1 + y, ln2s_ref[:], ln2b_ref[:])
+
+    o_ref[:] = x2.reshape(G, Lq, D).astype(o_ref.dtype)
+
+
+def fused_quant_sga_block(v, kq, vq, v_mask, q_mask, wp, *, num_heads: int,
+                          group: int = 4, interpret: bool = False):
+    """One whole SGA block, int8 weights resident. Mirrors
+    ops/sga_block.fused_sga_block (fused-projection variant)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lv, D = v.shape
+    Lq = kq.shape[2]
+    Dh = D // num_heads
+    H = num_heads
+    scale = 1.0 / (Dh ** 0.5)
+    G = max(1, group)
+    while B % G:
+        G -= 1
+
+    def flat_pad(mask, L):
+        if mask is None:
+            return jnp.zeros((B // G, 1, G * L), jnp.int8)
+        return mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * L)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    F = wp["w_w1"].shape[1]
+    return pl.pallas_call(
+        functools.partial(_qsga_kernel, heads=H, group=G, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lv), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, D)), rep((D,)), rep((D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, F)), rep((F,)), rep((F,)),
+            rep((F, D)), rep((D,)), rep((D,)),
+            rep((D,)), rep((D,)),
+        ],
+        out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
+        compiler_params=_q_compiler_params(interpret),
+        interpret=interpret,
+    )(v, kq, vq, flat_pad(v_mask, Lv), flat_pad(q_mask, Lq),
+      wp["w_qkv1"], wp["s_qkv1"], wp["b_qkv1"],
+      wp["w_m1"], wp["s_m1"], wp["b_m1"], wp["ln1_s"], wp["ln1_b"],
+      wp["w_q2"], wp["s_q2"], wp["b_q2"],
+      wp["w_m2"], wp["s_m2"], wp["b_m2"], wp["ln2_s"], wp["ln2_b"],
+      wp["w_w1"], wp["s_w1"], wp["b_w1"],
+      wp["w_w2"], wp["s_w2"], wp["b_w2"],
+      wp["ln3_s"], wp["ln3_b"])
+
+
+def fused_quant_sa_block(x, x_mask, wp, *, num_heads: int, group: int = 0,
+                         interpret: bool = False):
+    """One whole SA encoder block, int8 weights resident."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, D = x.shape
+    H = num_heads
+    scale = 1.0 / ((D // H) ** 0.5)
+    G = group if group > 0 else max(1, 128 // Lq)
+    while B % G:
+        G -= 1
+
+    if x_mask is None:
+        pad = jnp.zeros((B // G, 1, G * Lq), jnp.int8)
+    else:
+        pad = x_mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * Lq)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    F = wp["w_w1"].shape[1]
+    return pl.pallas_call(
+        functools.partial(_qsa_kernel, heads=H, group=G, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, F)), rep((F,)), rep((F,)),
+            rep((F, D)), rep((D,)), rep((D,)),
+            rep((D,)), rep((D,)),
+        ],
+        out_specs=pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), x.dtype),
+        compiler_params=_q_compiler_params(interpret),
+        interpret=interpret,
+    )(x, pad,
+      wp["w_qkv"], wp["s_qkv"], wp["b_qkv"],
+      wp["w_m"], wp["s_m"], wp["b_m"], wp["ln1_s"], wp["ln1_b"],
+      wp["w_w1"], wp["s_w1"], wp["b_w1"],
+      wp["w_w2"], wp["s_w2"], wp["b_w2"],
+      wp["ln2_s"], wp["ln2_b"])
+
+
+def make_quant_serving_fn(num_layers: int, num_heads: int,
+                          megakernel: bool = False, group: int = 4,
+                          interpret: bool = False):
     """Int8 serving forward over a quantize_params tree.
 
-    Structure mirrors ops/serving.make_serving_fn's XLA path (the
-    megakernel is bf16-only — int8 inside Mosaic is future work); every
-    projection/FFN matmul runs int8. Residual stream fp32."""
+    megakernel=False: mirrors ops/serving.make_serving_fn's XLA path;
+    every projection/FFN matmul runs int8, residual stream fp32.
+    megakernel=True: every SA/SGA block runs through the fused int8
+    block kernels (int8 weights VMEM-resident, in-register activation
+    quant between sub-ops) — requires a quantize_params(megakernel=True)
+    tree; group = samples packed per grid step (as the bf16 megakernel).
+    """
 
     def forward(params, img_feat, ques_ix):
         q_mask = make_mask(ques_ix[..., None])
@@ -191,28 +535,50 @@ def make_quant_serving_fn(num_layers: int, num_heads: int):
         v = _qdense(params["img_feat_linear"], img_feat)
 
         bb = params["backbone"]
-        for i in range(num_layers):
-            p = bb[f"enc_{i}"]
-            att = _qmhatt_self(p["mhatt"], q, q_mask, num_heads)
-            q = _std_layer_norm(p["norm1"], q + att)
-            q = _std_layer_norm(p["norm2"], q + _qmlp(p["ffn"]["mlp"], q))
-
-        # cross-attention k/v from the final encoder output, per layer
-        for i in range(num_layers):
-            p = bb[f"dec_{i}"]
-            att = _qmhatt_self(p["mhatt1"], v, v_mask, num_heads)
-            v = _std_layer_norm(p["norm1"], v + att)
-            kv = _qdense(p["mhatt2"]["linear_kv"], q)
-            kx, vx = jnp.split(kv, 2, axis=-1)
-            qx = _qdense(p["mhatt2"]["linear_q"], v)
-            atted = masked_attention_xla(
-                _split_heads(qx, num_heads), _split_heads(kx, num_heads),
-                _split_heads(vx, num_heads), q_mask)
+        if megakernel:
+            for i in range(num_layers):
+                q = fused_quant_sa_block(
+                    q, q_mask, bb[f"enc_{i}"]["_mk"], num_heads=num_heads,
+                    interpret=interpret)
             B, Lv, D = v.shape
-            atted = atted.transpose(0, 2, 1, 3).reshape(B, Lv, D)
-            v = _std_layer_norm(
-                p["norm2"], v + _qdense(p["mhatt2"]["linear_merge"], atted))
-            v = _std_layer_norm(p["norm3"], v + _qmlp(p["ffn"]["mlp"], v))
+            Lq = q.shape[1]
+            Dh = D // num_heads
+            for i in range(num_layers):
+                p = bb[f"dec_{i}"]
+                kv = _qdense(p["mhatt2"]["linear_kv"], q)
+                kx, vx = jnp.split(kv, 2, axis=-1)
+                sp = lambda t: t.reshape(B, Lq, num_heads, Dh).transpose(
+                    0, 2, 1, 3)
+                v = fused_quant_sga_block(
+                    v, sp(kx), sp(vx), v_mask, q_mask, p["_mk"],
+                    num_heads=num_heads, group=group, interpret=interpret)
+        else:
+            for i in range(num_layers):
+                p = bb[f"enc_{i}"]
+                att = _qmhatt_self(p["mhatt"], q, q_mask, num_heads)
+                q = _std_layer_norm(p["norm1"], q + att)
+                q = _std_layer_norm(p["norm2"],
+                                    q + _qmlp(p["ffn"]["mlp"], q))
+
+            # cross-attention k/v from the final encoder output, per layer
+            for i in range(num_layers):
+                p = bb[f"dec_{i}"]
+                att = _qmhatt_self(p["mhatt1"], v, v_mask, num_heads)
+                v = _std_layer_norm(p["norm1"], v + att)
+                kv = _qdense(p["mhatt2"]["linear_kv"], q)
+                kx, vx = jnp.split(kv, 2, axis=-1)
+                qx = _qdense(p["mhatt2"]["linear_q"], v)
+                atted = masked_attention_xla(
+                    _split_heads(qx, num_heads),
+                    _split_heads(kx, num_heads),
+                    _split_heads(vx, num_heads), q_mask)
+                B, Lv, D = v.shape
+                atted = atted.transpose(0, 2, 1, 3).reshape(B, Lv, D)
+                v = _std_layer_norm(
+                    p["norm2"],
+                    v + _qdense(p["mhatt2"]["linear_merge"], atted))
+                v = _std_layer_norm(p["norm3"],
+                                    v + _qmlp(p["ffn"]["mlp"], v))
 
         lang_flat = _qattflat(params["attflat_lang"], q, q_mask)
         img_flat = _qattflat(params["attflat_img"], v, v_mask)

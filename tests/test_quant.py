@@ -97,6 +97,36 @@ class TestInt8Accuracy:
         assert np.abs(l8 - l32).max() / denom < 0.08
 
 
+def test_quant_megakernel_matches_xla_engine():
+    """The int8 SA/SGA block megakernels (interpret mode) vs the int8
+    XLA engine: same quantization decisions, so logits agree to fp
+    reassociation noise (measured exactly 0.0 on CPU)."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.models.net import build_mcan
+    from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
+                                        quantize_params)
+    cfg = Config(hidden_size=64, layer=2, multi_head=4, flat_mlp_size=32,
+                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                 use_glove=False).finalize()
+    model = build_mcan(cfg, token_size=50, answer_size=17)
+    B = 8
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 12, 48),
+                            jnp.float32)
+    img = img.at[0, -4:].set(0.0)
+    ques = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.max_token),
+                              1, 50, jnp.int32)
+    ques = ques.at[1, -3:].set(0)
+    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+        "params"]
+    qp = quantize_params(params, cfg.layer, megakernel=True)
+    a = make_quant_serving_fn(cfg.layer, cfg.multi_head)(qp, img, ques)
+    b = make_quant_serving_fn(cfg.layer, cfg.multi_head, megakernel=True,
+                              group=2, interpret=True)(qp, img, ques)
+    assert float(jnp.mean(jnp.argmax(a, -1) == jnp.argmax(b, -1))) == 1.0
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-3
+
+
 def test_quant_matches_model_random_init():
     """Engine correctness independent of training: quantized forward vs
     model.apply at moderate dims, masks exercised."""
