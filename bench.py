@@ -83,7 +83,7 @@ def main() -> None:
     if use_quant:
         # int8 engine (ops/quant.py): every projection/FFN matmul int8 on
         # the MXU (2x bf16 rate on v5e), attention bf16, softmax/LN f32.
-        # Opt-in serving mode (Predictor(quantize="int8")). 1 = XLA
+        # Opt-in serving mode (Predictor(engine="int8")). 1 = XLA
         # structure; 2 = int8 SA/SGA block megakernels (weights resident).
         from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                             quantize_params)

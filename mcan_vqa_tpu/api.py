@@ -101,7 +101,8 @@ class Predictor:
     def from_checkpoint(cls, path: str, cfg, token_to_ix: Dict[str, int],
                         ix_to_ans: Optional[Dict[str, str]] = None,
                         epoch: Optional[int] = None,
-                        max_batch: int = 64) -> "Predictor":
+                        max_batch: int = 64,
+                        engine: str = "auto") -> "Predictor":
         """path: a reference .pkl/.pt, or an orbax checkpoint directory."""
         from mcan_vqa_tpu.train import checkpoint as ckpt_mod
 
@@ -112,7 +113,7 @@ class Predictor:
             with ocp.PyTreeCheckpointer() as ckptr:
                 restored = ckptr.restore(path)
             params = restored["params"] if "params" in restored else restored
-        return cls(cfg, params, token_to_ix, ix_to_ans, max_batch)
+        return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine)
 
     # ------------------------------------------------------------------
     def predict_probs(self, questions: Sequence[str],

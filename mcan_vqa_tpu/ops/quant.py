@@ -17,7 +17,7 @@ narrower matmul dtype. This module provides
 Accuracy is gated the same way bf16_stream was: top-1 agreement + prob
 delta vs the fp32 engine on the real-format slice (tests/test_quant.py)
 with the measured numbers in docs/PERFORMANCE.md. Shipped strictly
-OPT-IN (``Predictor(quantize="int8")``) — the default serving path is
+OPT-IN (``Predictor(engine="int8")``) — the default serving path is
 unchanged.
 
 Reference parity anchor: core/model/net.py:299-375 (Net2 forward) — the

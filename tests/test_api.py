@@ -74,6 +74,37 @@ class TestPredictor:
             p.predict_probs(["what is this"], feats),
             ref.predict_probs(["what is this"], feats), atol=1e-5)
 
+    def test_int8_engine(self, setup):
+        """Predictor(engine="int8") (the opt-in quantized serving path,
+        docs/PERFORMANCE.md) agrees with the plain engine on top-1 and
+        stays within the documented logit perturbation on CPU (the XLA
+        int8 structure — the megakernel twin is gated to TPU)."""
+        cfg, tok, i2a, params = setup
+        plain = Predictor(cfg, params, tok, i2a, max_batch=4)
+        quant = Predictor(cfg, params, tok, i2a, max_batch=4,
+                          engine="int8")
+        feats = np.random.default_rng(4).normal(
+            size=(3, 6, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red", "what color"]
+        a = plain.predict_probs(qs, feats)
+        b = quant.predict_probs(qs, feats)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 0.05
+        assert (a.argmax(-1) == b.argmax(-1)).all()
+
+    def test_from_checkpoint_engine_passthrough(self, setup, tmp_path):
+        cfg, tok, i2a, params = setup
+        pkl = str(tmp_path / "model_int8.pkl")
+        ckpt_mod.export_torch_checkpoint(params, pkl)
+        p = Predictor.from_checkpoint(pkl, cfg, tok, i2a, max_batch=2,
+                                      engine="int8")
+        feats = np.random.default_rng(5).normal(
+            size=(1, 5, 16)).astype(np.float32)
+        ref = Predictor(cfg, params, tok, i2a, max_batch=2, engine="int8")
+        np.testing.assert_allclose(
+            p.predict_probs(["what is this"], feats),
+            ref.predict_probs(["what is this"], feats), atol=1e-5)
+
     def test_from_orbax_checkpoint(self, setup, tmp_path):
         cfg, tok, i2a, params = setup
         tx = make_optimizer(cfg, data_size=64)

@@ -3,7 +3,7 @@
 Same protocol as the bf16-stream gate (tests/test_bf16_stream.py):
 train the real-format synthetic slice, score the fp32 engine and the
 int8 engine with the official VQA evaluator, and pin the allowed
-disagreement. The int8 engine is OPT-IN (``Predictor(quantize="int8")``)
+disagreement. The int8 engine is OPT-IN (``Predictor(engine="int8")``)
 — its gate is documented separately from the default path's
 (docs/PERFORMANCE.md) and verified here on trained weights, not random
 init. Also checks the pure function: quantize_params + forward vs
