@@ -27,9 +27,18 @@ from mcan_vqa_tpu.models.net import build_mcan
 class Predictor:
     def __init__(self, cfg, params, token_to_ix: Dict[str, int],
                  ix_to_ans: Optional[Dict[str, str]] = None,
-                 max_batch: int = 64, engine: str = "auto"):
+                 max_batch: int = 64, engine: str = "auto",
+                 latency_buckets: Optional[Sequence[int]] = None):
         """max_batch: compiled batch shape; inputs are padded up to it
         (one compilation, any request size <= max_batch).
+
+        latency_buckets: optional ascending batch sizes (e.g. ``(1, 8)``)
+        compiled IN ADDITION to max_batch; a request pads to the smallest
+        bucket that fits instead of always paying the max_batch forward.
+        Measured on v5e (docs/PERFORMANCE.md): a single query runs in
+        0.122 ms at B=1 vs 1.55 ms padded to B=64 — 12.7x lower latency
+        for interactive serving. Each bucket is one extra (lazily cached)
+        compilation of the same jitted forward.
 
         engine: "fused" routes through the production serving engine
         (fused QKV projections, bf16 weights, fused FFN/epilogue Pallas
@@ -46,6 +55,10 @@ class Predictor:
             _, ix_to_ans = ans_mod.load_answer_dict()
         self.ix_to_ans = ix_to_ans
         self.max_batch = max_batch
+        buckets = sorted(set(latency_buckets or ()))
+        assert all(0 < b < max_batch for b in buckets), \
+            f"latency_buckets must be in (0, max_batch): {buckets}"
+        self._buckets = tuple(buckets) + (max_batch,)
 
         if engine == "auto":
             engine = "fused" if jax.default_backend() == "tpu" else "plain"
@@ -130,8 +143,9 @@ class Predictor:
             np.asarray(f, np.float32), self.cfg.img_feat_pad_size)
             for f in image_features])
 
-        if n < self.max_batch:
-            pad = self.max_batch - n
+        target = next(b for b in self._buckets if b >= n)
+        if n < target:
+            pad = target - n
             img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],
                                                 np.float32)])
             ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],

@@ -74,6 +74,25 @@ class TestPredictor:
             p.predict_probs(["what is this"], feats),
             ref.predict_probs(["what is this"], feats), atol=1e-5)
 
+    def test_latency_buckets(self, setup):
+        """With latency_buckets, a request pads to the smallest bucket
+        that fits; results must equal the max_batch-padded path exactly
+        (pad rows never leak — the masks zero them out)."""
+        cfg, tok, i2a, params = setup
+        flat = Predictor(cfg, params, tok, i2a, max_batch=4)
+        bucketed = Predictor(cfg, params, tok, i2a, max_batch=4,
+                             latency_buckets=(1, 2))
+        feats = np.random.default_rng(6).normal(
+            size=(3, 6, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red", "what color"]
+        for n in (1, 2, 3):
+            np.testing.assert_allclose(
+                bucketed.predict_probs(qs[:n], feats[:n]),
+                flat.predict_probs(qs[:n], feats[:n]), atol=1e-5)
+        with pytest.raises(AssertionError):
+            Predictor(cfg, params, tok, i2a, max_batch=4,
+                      latency_buckets=(8,))
+
     def test_int8_engine(self, setup):
         """Predictor(engine="int8") (the opt-in quantized serving path,
         docs/PERFORMANCE.md) agrees with the plain engine on top-1 and
