@@ -62,6 +62,7 @@ class Predictor:
 
         if engine == "auto":
             engine = "fused" if jax.default_backend() == "tpu" else "plain"
+        self.engine = engine
         if engine == "int8":
             from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                                 quantize_params)
@@ -152,6 +153,15 @@ class Predictor:
                                                   np.int32)])
         probs = self._forward(self.params, img, ques)
         return np.asarray(probs)[:n]
+
+    def export_artifact(self, path: str,
+                        platforms: Optional[Sequence[str]] = None) -> None:
+        """Freeze this predictor to an AOT serving artifact directory
+        (StableHLO via jax.export + params + vocab; see
+        mcan_vqa_tpu.artifact). Load with artifact.load_artifact(path) —
+        no model code or flax needed on the serving host."""
+        from mcan_vqa_tpu.artifact import save_artifact
+        save_artifact(self, path, platforms=platforms)
 
     def answer(self, questions: Sequence[str],
                image_features: np.ndarray) -> List[Tuple[str, float]]:

@@ -1,0 +1,204 @@
+"""AOT serving artifacts: freeze the serving forward to StableHLO.
+
+``save_artifact`` exports a ``Predictor``'s jitted forward through
+``jax.export`` — one ``Exported`` blob per latency bucket — and writes it
+next to the parameters, vocabulary, answer map, and shape metadata as one
+self-describing directory. ``load_artifact`` returns an
+``ArtifactPredictor`` with the same ``predict_probs``/``answer`` API that
+never touches flax or the model-building code: the compute graph is the
+serialized StableHLO, which XLA compiles on the consumer side exactly as
+traced at export time (fused Pallas kernels included, embedded as
+``tpu_custom_call``s).
+
+Why this is the TPU-native deployment story: StableHLO is the unit XLA
+AOT-compiles, so the artifact pins the exact compiled semantics of the
+serving engine at export time — a deployment host needs jax + this file's
+loader, not the framework. The reference has no analogue (inference
+happens inside the eval loops, /root/reference/core/exec.py:256-428); the
+closest torch concept is a TorchScript/ONNX export, which the reference
+also does not provide.
+
+Engine/platform rules:
+- ``plain`` (model.apply) engines export multi-platform ``("cpu", "tpu")``
+  by default — one artifact serves both.
+- ``fused``/``int8`` engines embed Pallas TPU kernels, so they export
+  TPU-only, with the ``tpu_custom_call`` export safety-check lifted.
+
+Layout of an artifact directory::
+
+    meta.json          engine, platforms, buckets, shapes, leaf dtypes
+    vocab.json         token_to_ix
+    answers.json       ix_to_ans
+    params.npz         flat param leaves p0..pN (bf16 stored as uint16)
+    forward_b{B}.shlo  serialized jax.export.Exported, one per bucket
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from mcan_vqa_tpu.data import features as feat_mod
+from mcan_vqa_tpu.data import text as text_mod
+
+_FORMAT_VERSION = 1
+
+# npz cannot serialize ml_dtypes; store these as same-width integer views.
+_VIEW_DTYPES = {"bfloat16": np.uint16, "float8_e4m3fn": np.uint8,
+                "float8_e5m2": np.uint8}
+
+
+def _leaves_to_npz(leaves) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    arrays, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dtypes.append(str(a.dtype))
+        view = _VIEW_DTYPES.get(str(a.dtype))
+        arrays[f"p{i}"] = a.view(view) if view else a
+    return arrays, dtypes
+
+
+def _leaves_from_npz(npz, dtypes: Sequence[str]) -> List[jnp.ndarray]:
+    out = []
+    for i, dt in enumerate(dtypes):
+        a = npz[f"p{i}"]
+        if str(a.dtype) != dt:
+            a = a.view(jnp.dtype(dt))
+        out.append(jnp.asarray(a))
+    return out
+
+
+def save_artifact(predictor, path: str,
+                  platforms: Sequence[str] | None = None) -> None:
+    """Export ``predictor``'s forward to a self-describing directory.
+
+    One StableHLO blob is exported per latency bucket (including
+    ``max_batch``), so the loaded artifact routes requests exactly like
+    the live ``Predictor``. ``platforms`` overrides the engine-default
+    lowering platforms (plain: ``("cpu", "tpu")``; fused/int8: TPU-only).
+    """
+    engine = predictor.engine
+    if platforms is None:
+        platforms = ("cpu", "tpu") if engine == "plain" else ("tpu",)
+    disabled = ()
+    if engine != "plain":
+        # Pallas kernels lower to the tpu_custom_call target, which the
+        # export safety check rejects by default; the Mosaic payload is
+        # version-stable enough for same-fleet deployment.
+        disabled = (jax_export.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call"),)
+
+    leaves, treedef = jax.tree_util.tree_flatten(predictor.params)
+    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
+
+    def forward(flat_params, img, ques):
+        params = jax.tree_util.tree_unflatten(treedef, flat_params)
+        return predictor._forward(params, img, ques)
+
+    cfg = predictor.cfg
+    os.makedirs(path, exist_ok=True)
+    exported_names = {}
+    for bucket in predictor._buckets:
+        img_spec = jax.ShapeDtypeStruct(
+            (bucket, cfg.img_feat_pad_size, cfg.img_feat_size), jnp.float32)
+        ques_spec = jax.ShapeDtypeStruct((bucket, cfg.max_token), jnp.int32)
+        exp = jax_export.export(
+            jax.jit(forward), platforms=tuple(platforms),
+            disabled_checks=disabled)(leaf_specs, img_spec, ques_spec)
+        name = f"forward_b{bucket}.shlo"
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(bytes(exp.serialize()))
+        exported_names[str(bucket)] = name
+
+    arrays, dtypes = _leaves_to_npz(leaves)
+    np.savez(os.path.join(path, "params.npz"), **arrays)
+    with open(os.path.join(path, "vocab.json"), "w") as f:
+        json.dump(predictor.token_to_ix, f)
+    with open(os.path.join(path, "answers.json"), "w") as f:
+        json.dump({str(k): v for k, v in predictor.ix_to_ans.items()}, f)
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "engine": engine,
+        "platforms": list(platforms),
+        "buckets": [int(b) for b in predictor._buckets],
+        "forwards": exported_names,
+        "max_token": int(cfg.max_token),
+        "img_feat_pad_size": int(cfg.img_feat_pad_size),
+        "img_feat_size": int(cfg.img_feat_size),
+        "leaf_dtypes": dtypes,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+class ArtifactPredictor:
+    """Serve from an exported artifact directory — no model code, no flax.
+
+    Same request API as ``Predictor`` (``predict_probs`` / ``answer``,
+    latency-bucket padding); the forward is the deserialized
+    ``jax.export.Exported`` call, jitted per bucket and compiled lazily
+    on first use for the local backend.
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if meta["format_version"] != _FORMAT_VERSION:
+            raise ValueError(f"artifact format {meta['format_version']} "
+                             f"!= supported {_FORMAT_VERSION}")
+        self.meta = meta
+        with open(os.path.join(path, "vocab.json")) as f:
+            self.token_to_ix = json.load(f)
+        with open(os.path.join(path, "answers.json")) as f:
+            self.ix_to_ans = json.load(f)
+        npz = np.load(os.path.join(path, "params.npz"))
+        self._leaves = _leaves_from_npz(npz, meta["leaf_dtypes"])
+        self._buckets = tuple(meta["buckets"])
+        self.max_batch = self._buckets[-1]
+        self._fns = {}
+        for bucket in self._buckets:
+            blob = open(os.path.join(
+                path, meta["forwards"][str(bucket)]), "rb").read()
+            exp = jax_export.deserialize(bytearray(blob))
+            self._fns[bucket] = jax.jit(exp.call)
+
+    def predict_probs(self, questions: Sequence[str],
+                      image_features: np.ndarray) -> np.ndarray:
+        n = len(questions)
+        assert image_features.shape[0] == n
+        assert n <= self.max_batch, (n, self.max_batch)
+        m = self.meta
+        ques = text_mod.encode_questions(
+            questions, self.token_to_ix, m["max_token"])
+        img = np.stack([feat_mod.pad_img_feat(
+            np.asarray(f, np.float32), m["img_feat_pad_size"])
+            for f in image_features])
+        target = next(b for b in self._buckets if b >= n)
+        if n < target:
+            pad = target - n
+            img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],
+                                                np.float32)])
+            ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
+                                                  np.int32)])
+        probs = self._fns[target](self._leaves, img, ques)
+        return np.asarray(probs)[:n]
+
+    def answer(self, questions: Sequence[str],
+               image_features: np.ndarray) -> List[Tuple[str, float]]:
+        probs = self.predict_probs(questions, image_features)
+        out = []
+        for row in probs:
+            ix = int(row.argmax())
+            out.append((self.ix_to_ans.get(str(ix), str(ix)),
+                        float(row[ix])))
+        return out
+
+
+def load_artifact(path: str) -> ArtifactPredictor:
+    return ArtifactPredictor(path)

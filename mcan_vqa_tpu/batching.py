@@ -1,0 +1,137 @@
+"""Dynamic micro-batching frontend for online serving.
+
+Real deployments receive single questions from many concurrent callers;
+running each alone wastes the chip (a B=1 forward and a B=64 forward cost
+nearly the same device time — docs/PERFORMANCE.md latency table), while
+static batching adds queueing latency. ``BatchingFrontend`` is the
+standard middle ground: a collector thread groups in-flight requests up
+to ``max_batch`` or ``max_wait_ms`` (whichever first) and runs ONE
+forward per group through the wrapped predictor. With
+``Predictor(latency_buckets=...)`` underneath, a lone request still runs
+at the small-bucket latency (0.122 ms at B=1 measured) and bursts
+coalesce toward the throughput-optimal batch.
+
+The reference has no online-serving story (inference happens inside eval
+loops, /root/reference/core/exec.py:256-428); this is the piece a
+production VQA service puts in front of the model.
+
+Works with any object exposing ``predict_probs(questions, feats)`` and
+``ix_to_ans`` — ``api.Predictor`` and ``artifact.ArtifactPredictor``
+both qualify.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class BatchingFrontend:
+    def __init__(self, predictor, max_wait_ms: float = 2.0,
+                 max_batch: Optional[int] = None):
+        """max_wait_ms: how long the collector holds an open group for
+        more arrivals. 0 disables coalescing-by-time (group = whatever is
+        already queued). max_batch defaults to the predictor's."""
+        self._p = predictor
+        self._max_batch = int(max_batch or predictor.max_batch)
+        assert 0 < self._max_batch <= predictor.max_batch
+        self._max_wait_s = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._stats_lock = threading.Lock()
+        self.batches_run = 0
+        self.requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="mcan-batching-frontend")
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, question: str, image_feature: np.ndarray) -> Future:
+        """Enqueue one request; resolves to (answer_str, prob)."""
+        if self._closed:
+            raise RuntimeError("frontend is closed")
+        fut: Future = Future()
+        self._q.put((question, image_feature, fut))
+        return fut
+
+    def answer(self, question: str, image_feature: np.ndarray,
+               timeout: Optional[float] = None) -> Tuple[str, float]:
+        """Blocking single-request convenience."""
+        return self.submit(question, image_feature).result(timeout=timeout)
+
+    def close(self) -> None:
+        """Drain the queue, stop the worker. Idempotent."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)  # wake the worker
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> Optional[List[tuple]]:
+        """Block for the first request, then hold the group open for
+        max_wait_ms (or until max_batch)."""
+        first = self._q.get()
+        if first is None:
+            return None
+        group = [first]
+        t_end = time.monotonic() + self._max_wait_s
+        while len(group) < self._max_batch:
+            remaining = t_end - time.monotonic()
+            try:
+                item = self._q.get(block=remaining > 0,
+                                   timeout=max(remaining, 0) or None)
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # keep the shutdown token visible
+                break
+            group.append(item)
+        return group
+
+    def _run(self) -> None:
+        while True:
+            group = self._collect()
+            if group is None:
+                # Fail anything that raced past close() rather than hang
+                # its caller forever.
+                while not self._q.empty():
+                    item = self._q.get_nowait()
+                    if item is not None:
+                        item[2].set_exception(
+                            RuntimeError("frontend closed"))
+                return
+            questions = [g[0] for g in group]
+            feats = np.stack([np.asarray(g[1], np.float32)
+                              for g in group])
+            try:
+                probs = self._p.predict_probs(questions, feats)
+                for (_, _, fut), row in zip(group, probs):
+                    ix = int(row.argmax())
+                    ans = self._p.ix_to_ans.get(str(ix), str(ix))
+                    fut.set_result((ans, float(row[ix])))
+            except Exception as e:  # noqa: BLE001 — fail the callers, not the loop
+                for _, _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+            with self._stats_lock:
+                self.batches_run += 1
+                self.requests_served += len(group)
+
+    # ------------------------------------------------------------------
+    @property
+    def mean_occupancy(self) -> float:
+        """Requests per executed batch so far (coalescing effectiveness)."""
+        with self._stats_lock:
+            return (self.requests_served / self.batches_run
+                    if self.batches_run else 0.0)

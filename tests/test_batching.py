@@ -1,0 +1,108 @@
+"""Dynamic micro-batching frontend tests: coalescing, correctness vs the
+direct Predictor path, shutdown semantics."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from mcan_vqa_tpu.api import Predictor
+from mcan_vqa_tpu.batching import BatchingFrontend
+from mcan_vqa_tpu.configs import Config
+from mcan_vqa_tpu.data import text as text_mod
+from mcan_vqa_tpu.models.net import build_mcan
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                 img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                 flat_mlp_size=16, compute_dtype="float32",
+                 use_glove=False).finalize()
+    tok, _ = text_mod.build_vocab(["what color is the cat dog red blue"])
+    i2a = {str(i): a for i, a in
+           enumerate(["yes", "no", "red", "blue", "2"])}
+    model = build_mcan(cfg, token_size=len(tok), answer_size=5)
+    img = np.zeros((1, 8, 16), np.float32)
+    ques = np.zeros((1, 6), np.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, img,
+                        ques)["params"]
+    return Predictor(cfg, params, tok, i2a, max_batch=8,
+                     latency_buckets=(1, 2), engine="plain")
+
+
+class TestBatchingFrontend:
+    def test_matches_direct_path(self, predictor):
+        """Every coalesced answer equals the direct Predictor answer for
+        the same (question, features) pair, regardless of grouping."""
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(6, 6, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red", "what color",
+              "is the dog blue", "what color is the cat", "red or blue"]
+        direct = predictor.answer(qs, feats)
+        with BatchingFrontend(predictor, max_wait_ms=20.0) as fe:
+            futs = [fe.submit(q, f) for q, f in zip(qs, feats)]
+            got = [f.result(timeout=60) for f in futs]
+        for (a1, p1), (a2, p2) in zip(direct, got):
+            assert a1 == a2
+            assert abs(p1 - p2) < 1e-5
+        assert fe.requests_served == 6
+
+    def test_concurrent_callers_coalesce(self, predictor):
+        """Many threads submitting at once should produce fewer batches
+        than requests (the whole point), with every result correct."""
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(16, 6, 16)).astype(np.float32)
+        results = {}
+        with BatchingFrontend(predictor, max_wait_ms=50.0) as fe:
+            barrier = threading.Barrier(16)
+
+            def call(i):
+                barrier.wait()
+                results[i] = fe.answer("what color", feats[i], timeout=60)
+
+            threads = [threading.Thread(target=call, args=(i,))
+                       for i in range(16)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        assert len(results) == 16
+        direct = (predictor.answer(["what color"] * 8, feats[:8])
+                  + predictor.answer(["what color"] * 8, feats[8:]))
+        for i, (a, p) in enumerate(direct):
+            assert results[i][0] == a
+            assert abs(results[i][1] - p) < 1e-5
+        assert fe.batches_run < 16  # coalescing happened
+        assert fe.mean_occupancy > 1.0
+
+    def test_respects_max_batch(self, predictor):
+        """Groups never exceed max_batch even under a burst."""
+        rng = np.random.default_rng(2)
+        feats = rng.normal(size=(10, 6, 16)).astype(np.float32)
+        with BatchingFrontend(predictor, max_wait_ms=50.0,
+                              max_batch=4) as fe:
+            futs = [fe.submit("what is this", f) for f in feats]
+            for f in futs:
+                f.result(timeout=60)
+        assert fe.batches_run >= 3  # 10 requests / cap 4
+
+    def test_closed_frontend_rejects(self, predictor):
+        fe = BatchingFrontend(predictor, max_wait_ms=0.0)
+        fe.close()
+        fe.close()  # idempotent
+        with pytest.raises(RuntimeError):
+            fe.submit("what", np.zeros((6, 16), np.float32))
+
+    def test_bad_request_fails_future_not_loop(self, predictor):
+        """A malformed request fails its own future; the worker survives
+        and keeps serving."""
+        with BatchingFrontend(predictor, max_wait_ms=0.0) as fe:
+            bad = fe.submit("what", np.zeros((3, 3, 3, 3), np.float32))
+            with pytest.raises(Exception):
+                bad.result(timeout=60)
+            ok = fe.submit("what color",
+                           np.zeros((6, 16), np.float32))
+            ans, prob = ok.result(timeout=60)
+            assert isinstance(ans, str) and 0.0 <= prob <= 1.0
