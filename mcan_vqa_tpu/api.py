@@ -110,6 +110,11 @@ class Predictor:
 
         self._forward = jax.jit(forward)
 
+    @property
+    def img_feat_size(self) -> int:
+        """Per-region feature width F a request row must have."""
+        return int(self.cfg.img_feat_size)
+
     # ------------------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, path: str, cfg, token_to_ix: Dict[str, int],
@@ -131,11 +136,13 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def predict_probs(self, questions: Sequence[str],
-                      image_features: np.ndarray) -> np.ndarray:
-        """questions: N strings; image_features: [N, R<=pad, F] (zero rows
-        are padding). Returns probabilities [N, answer_size]."""
+                      image_features) -> np.ndarray:
+        """questions: N strings; image_features: [N, R<=pad, F] array or a
+        sequence of N per-image [R_i, F] arrays with ragged region counts
+        (each padded to ``img_feat_pad_size``; zero rows are padding).
+        Returns probabilities [N, answer_size]."""
         n = len(questions)
-        assert image_features.shape[0] == n
+        assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
 
         ques = text_mod.encode_questions(

@@ -163,15 +163,23 @@ class ArtifactPredictor:
         self.max_batch = self._buckets[-1]
         self._fns = {}
         for bucket in self._buckets:
-            blob = open(os.path.join(
-                path, meta["forwards"][str(bucket)]), "rb").read()
+            with open(os.path.join(
+                    path, meta["forwards"][str(bucket)]), "rb") as f:
+                blob = f.read()
             exp = jax_export.deserialize(bytearray(blob))
             self._fns[bucket] = jax.jit(exp.call)
 
+    @property
+    def img_feat_size(self) -> int:
+        """Per-region feature width F a request row must have."""
+        return int(self.meta["img_feat_size"])
+
     def predict_probs(self, questions: Sequence[str],
-                      image_features: np.ndarray) -> np.ndarray:
+                      image_features) -> np.ndarray:
+        """Same contract as ``Predictor.predict_probs``: an [N, R, F]
+        array or a sequence of N ragged [R_i, F] arrays."""
         n = len(questions)
-        assert image_features.shape[0] == n
+        assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
         m = self.meta
         ques = text_mod.encode_questions(

@@ -43,6 +43,10 @@ class BatchingFrontend:
         self._max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        # Serializes submit's closed-check+put against close's closed-set:
+        # every accepted request is enqueued BEFORE the shutdown token, so
+        # the worker always processes it (no future left hanging).
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.batches_run = 0
         self.requests_served = 0
@@ -53,10 +57,11 @@ class BatchingFrontend:
     # ------------------------------------------------------------------
     def submit(self, question: str, image_feature: np.ndarray) -> Future:
         """Enqueue one request; resolves to (answer_str, prob)."""
-        if self._closed:
-            raise RuntimeError("frontend is closed")
         fut: Future = Future()
-        self._q.put((question, image_feature, fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("frontend is closed")
+            self._q.put((question, image_feature, fut))
         return fut
 
     def answer(self, question: str, image_feature: np.ndarray,
@@ -66,10 +71,12 @@ class BatchingFrontend:
 
     def close(self) -> None:
         """Drain the queue, stop the worker. Idempotent."""
-        if not self._closed:
+        with self._submit_lock:
+            if self._closed:
+                return
             self._closed = True
-            self._q.put(None)  # wake the worker
-            self._worker.join()
+            self._q.put(None)  # wake the worker; FIFO: after all accepts
+        self._worker.join()
 
     def __enter__(self):
         return self
@@ -111,19 +118,38 @@ class BatchingFrontend:
                         item[2].set_exception(
                             RuntimeError("frontend closed"))
                 return
-            questions = [g[0] for g in group]
-            feats = np.stack([np.asarray(g[1], np.float32)
-                              for g in group])
-            try:
-                probs = self._p.predict_probs(questions, feats)
-                for (_, _, fut), row in zip(group, probs):
-                    ix = int(row.argmax())
-                    ans = self._p.ix_to_ans.get(str(ix), str(ix))
-                    fut.set_result((ans, float(row[ix])))
-            except Exception as e:  # noqa: BLE001 — fail the callers, not the loop
-                for _, _, fut in group:
-                    if not fut.done():
-                        fut.set_exception(e)
+            # Validate per item so one malformed request fails its own
+            # future without dragging down groupmates or the worker. The
+            # features stay a ragged LIST — the predictor pads each
+            # [R_i, F] to the model's region count itself.
+            feat_width = getattr(self._p, "img_feat_size", None)
+            valid = []
+            for q, f, fut in group:
+                try:
+                    arr = np.asarray(f, np.float32)
+                    if arr.ndim != 2:
+                        raise ValueError(
+                            f"image feature must be [regions, feat], "
+                            f"got shape {arr.shape}")
+                    if feat_width is not None and arr.shape[1] != feat_width:
+                        raise ValueError(
+                            f"feature width {arr.shape[1]} != model's "
+                            f"{feat_width}")
+                    valid.append((q, arr, fut))
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
+            if valid:
+                try:
+                    probs = self._p.predict_probs(
+                        [v[0] for v in valid], [v[1] for v in valid])
+                    for (_, _, fut), row in zip(valid, probs):
+                        ix = int(row.argmax())
+                        ans = self._p.ix_to_ans.get(str(ix), str(ix))
+                        fut.set_result((ans, float(row[ix])))
+                except Exception as e:  # noqa: BLE001 — fail the callers, not the loop
+                    for _, _, fut in valid:
+                        if not fut.done():
+                            fut.set_exception(e)
             with self._stats_lock:
                 self.batches_run += 1
                 self.requests_served += len(group)

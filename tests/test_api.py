@@ -55,6 +55,23 @@ class TestPredictor:
         single = p.predict_probs(qs[:1], feats[:1])
         np.testing.assert_allclose(full[0], single[0], atol=1e-5)
 
+    def test_ragged_region_counts(self, setup):
+        """A sequence of per-image [R_i, F] features with different region
+        counts batches fine (each padded to the model's region count) and
+        matches the caller-padded path exactly."""
+        cfg, tok, i2a, params = setup
+        p = Predictor(cfg, params, tok, i2a, max_batch=4)
+        rng = np.random.default_rng(3)
+        ragged = [rng.normal(size=(r, 16)).astype(np.float32)
+                  for r in (3, 8, 5)]
+        qs = ["what is this", "is the cat red", "what color"]
+        got = p.predict_probs(qs, ragged)
+        padded = np.zeros((3, 8, 16), np.float32)
+        for i, f in enumerate(ragged):
+            padded[i, :f.shape[0]] = f
+        want = p.predict_probs(qs, padded)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_over_batch_rejected(self, setup):
         cfg, tok, i2a, params = setup
         p = Predictor(cfg, params, tok, i2a, max_batch=2)

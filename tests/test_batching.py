@@ -95,6 +95,47 @@ class TestBatchingFrontend:
         with pytest.raises(RuntimeError):
             fe.submit("what", np.zeros((6, 16), np.float32))
 
+    def test_ragged_region_counts_coalesce(self, predictor):
+        """Requests whose images have different region counts coalesce
+        into one group (the frontend passes a ragged list; the predictor
+        pads per item) and match the direct padded path."""
+        rng = np.random.default_rng(4)
+        ragged = [rng.normal(size=(r, 16)).astype(np.float32)
+                  for r in (3, 8, 5, 6)]
+        qs = ["what is this", "is the cat red", "what color", "red or blue"]
+        padded = np.zeros((4, 8, 16), np.float32)
+        for i, f in enumerate(ragged):
+            padded[i, :f.shape[0]] = f
+        direct = predictor.answer(qs, padded)
+        with BatchingFrontend(predictor, max_wait_ms=50.0) as fe:
+            futs = [fe.submit(q, f) for q, f in zip(qs, ragged)]
+            got = [f.result(timeout=60) for f in futs]
+        for (a1, p1), (a2, p2) in zip(direct, got):
+            assert a1 == a2
+            assert abs(p1 - p2) < 1e-5
+
+    def test_bad_item_in_group_isolated(self, predictor):
+        """A malformed request sharing a GROUP with good ones fails alone;
+        its groupmates still get answers and the worker survives."""
+        rng = np.random.default_rng(5)
+        good_feat = rng.normal(size=(6, 16)).astype(np.float32)
+        with BatchingFrontend(predictor, max_wait_ms=500.0) as fe:
+            f_ok1 = fe.submit("what color", good_feat)
+            f_bad3d = fe.submit("what", np.zeros((2, 3, 4), np.float32))
+            f_badw = fe.submit("what", np.zeros((6, 7), np.float32))
+            f_ok2 = fe.submit("is the cat red", good_feat)
+            ans1 = f_ok1.result(timeout=60)
+            ans2 = f_ok2.result(timeout=60)
+            with pytest.raises(ValueError):
+                f_bad3d.result(timeout=60)
+            with pytest.raises(ValueError):
+                f_badw.result(timeout=60)
+            assert fe.batches_run == 1  # all four rode one group
+        assert isinstance(ans1[0], str) and isinstance(ans2[0], str)
+        direct = predictor.answer(["what color", "is the cat red"],
+                                  np.stack([good_feat, good_feat]))
+        assert ans1[0] == direct[0][0] and ans2[0] == direct[1][0]
+
     def test_bad_request_fails_future_not_loop(self, predictor):
         """A malformed request fails its own future; the worker survives
         and keeps serving."""
