@@ -121,7 +121,9 @@ class Predictor:
                         ix_to_ans: Optional[Dict[str, str]] = None,
                         epoch: Optional[int] = None,
                         max_batch: int = 64,
-                        engine: str = "auto") -> "Predictor":
+                        engine: str = "auto",
+                        latency_buckets: Optional[Sequence[int]] = None
+                        ) -> "Predictor":
         """path: a reference .pkl/.pt, or an orbax checkpoint directory."""
         from mcan_vqa_tpu.train import checkpoint as ckpt_mod
 
@@ -132,7 +134,8 @@ class Predictor:
             with ocp.PyTreeCheckpointer() as ckptr:
                 restored = ckptr.restore(path)
             params = restored["params"] if "params" in restored else restored
-        return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine)
+        return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine,
+                   latency_buckets=latency_buckets)
 
     # ------------------------------------------------------------------
     def predict_probs(self, questions: Sequence[str],

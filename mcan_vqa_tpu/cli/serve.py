@@ -1,0 +1,306 @@
+"""HTTP serving entrypoint: a VQA answer service over the micro-batching
+frontend.
+
+Completes the deployment stack — ``Predictor`` (or a frozen AOT artifact)
+→ ``BatchingFrontend`` (dynamic micro-batching) → this JSON API. The
+reference has no serving story at all (inference happens inside eval
+loops, /root/reference/core/exec.py:256-428); this is the piece that
+turns the framework into a service. Stdlib-only (``http.server`` with a
+thread per connection): each handler thread blocks on its request's
+future while the frontend coalesces concurrent arrivals into one device
+batch, so HTTP concurrency becomes TPU batch occupancy.
+
+Endpoints::
+
+    GET  /healthz     -> {"status": "ok"}
+    GET  /stats       -> batching + model info
+    POST /v1/answer   -> {"question": str, "image_feature": <feat>}
+                         => {"answer": str, "prob": float}
+                      or {"requests": [{...}, ...]}
+                         => {"results": [{"answer", "prob"} | {"error"}]}
+
+``<feat>`` is a nested [regions, feat_size] list, or (4x smaller on the
+wire) ``{"b64": base64(float32 bytes), "shape": [R, F]}``.
+
+Model sources (one required):
+  --artifact DIR          frozen AOT artifact (no flax/model code path)
+  --ckpt_path FILE        orbax dir or reference torch pickle, with
+                          --vocab_json (token_to_ix) and --model/knobs
+  --synthetic             random-init tiny model (smoke tests, no files)
+
+Example::
+
+    python -m mcan_vqa_tpu.cli.serve --synthetic --port 8080
+    curl -s localhost:8080/v1/answer -d \
+      '{"question": "what color is the cat", "image_feature": [[0.1, ...]]}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import signal
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mcan_vqa_tpu.batching import BatchingFrontend
+
+_YAML_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+# ---------------------------------------------------------------------------
+# request decoding
+
+
+def decode_feature(obj) -> np.ndarray:
+    """Nested-list or {"b64", "shape"} wire formats -> float32 [R, F]."""
+    if isinstance(obj, dict):
+        try:
+            raw = base64.b64decode(obj["b64"], validate=True)
+            shape = tuple(int(s) for s in obj["shape"])
+        except (KeyError, TypeError, ValueError) as e:
+            raise ValueError(f"bad b64 feature: {e}") from e
+        arr = np.frombuffer(raw, np.float32)
+        if len(shape) != 2 or arr.size != shape[0] * shape[1]:
+            raise ValueError(
+                f"b64 payload has {arr.size} floats, shape {shape}")
+        return arr.reshape(shape)
+    arr = np.asarray(obj, np.float32)
+    if arr.ndim != 2:
+        raise ValueError(
+            f"image_feature must be [regions, feat], got shape {arr.shape}")
+    return arr
+
+
+def _parse_request(item) -> Tuple[str, np.ndarray]:
+    if not isinstance(item, dict):
+        raise ValueError("each request must be a JSON object")
+    q = item.get("question")
+    if not isinstance(q, str) or not q.strip():
+        raise ValueError('"question" must be a non-empty string')
+    if "image_feature" not in item:
+        raise ValueError('missing "image_feature"')
+    return q, decode_feature(item["image_feature"])
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_server on the handler class
+    frontend: BatchingFrontend = None
+    predictor = None
+    request_timeout_s: float = 60.0
+    quiet: bool = True
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # noqa: D102
+        if not self.quiet:
+            sys.stderr.write("serve: " + fmt % args + "\n")
+
+    # -- helpers ----------------------------------------------------------
+    def _send_json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(length)
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self):  # noqa: N802
+        if self.path == "/healthz":
+            self._send_json(200, {"status": "ok"})
+        elif self.path == "/stats":
+            fe = self.frontend
+            self._send_json(200, {
+                "batches_run": fe.batches_run,
+                "requests_served": fe.requests_served,
+                "mean_occupancy": fe.mean_occupancy,
+                "max_batch": self.predictor.max_batch,
+                "img_feat_size": getattr(
+                    self.predictor, "img_feat_size", None),
+                "engine": getattr(self.predictor, "engine", "artifact"),
+            })
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/v1/answer":
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            payload = json.loads(self._read_body())
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            self._send_json(400, {"error": f"bad JSON: {e}"})
+            return
+
+        batch = isinstance(payload, dict) and "requests" in payload
+        items = payload["requests"] if batch else [payload]
+        if not isinstance(items, list) or not items:
+            self._send_json(400, {"error": '"requests" must be a '
+                                           'non-empty list'})
+            return
+
+        # Parse first (reject before enqueueing anything), then submit the
+        # whole batch so it coalesces into as few device groups as possible.
+        futs, results = [], [None] * len(items)
+        for i, item in enumerate(items):
+            try:
+                q, feat = _parse_request(item)
+                futs.append((i, self.frontend.submit(q, feat)))
+            except (ValueError, RuntimeError) as e:
+                results[i] = {"error": str(e)}
+        for i, fut in futs:
+            try:
+                ans, prob = fut.result(timeout=self.request_timeout_s)
+                results[i] = {"answer": ans, "prob": prob}
+            except Exception as e:  # noqa: BLE001 — per-item failure
+                results[i] = {"error": str(e)}
+
+        if batch:
+            self._send_json(200, {"results": results})
+        elif "error" in results[0]:
+            self._send_json(400, results[0])
+        else:
+            self._send_json(200, results[0])
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
+                max_wait_ms: float = 2.0,
+                max_batch: Optional[int] = None,
+                request_timeout_s: float = 60.0,
+                quiet: bool = True
+                ) -> Tuple[ThreadingHTTPServer, BatchingFrontend]:
+    """Build (server, frontend); port=0 picks an ephemeral port
+    (``server.server_address[1]``). Caller runs ``serve_forever()`` and on
+    shutdown calls ``server.shutdown()`` then ``frontend.close()``."""
+    frontend = BatchingFrontend(predictor, max_wait_ms=max_wait_ms,
+                                max_batch=max_batch)
+    handler = type("Handler", (_Handler,), {
+        "frontend": frontend, "predictor": predictor,
+        "request_timeout_s": request_timeout_s, "quiet": quiet,
+    })
+    server = ThreadingHTTPServer((host, port), handler)
+    server.daemon_threads = True
+    return server, frontend
+
+
+# ---------------------------------------------------------------------------
+# model construction
+
+
+def build_predictor(args):
+    if args.artifact:
+        from mcan_vqa_tpu.artifact import load_artifact
+        return load_artifact(args.artifact)
+
+    from mcan_vqa_tpu.api import Predictor
+    from mcan_vqa_tpu.configs import Config
+
+    overrides = {k: getattr(args, k) for k in
+                 ("hidden_size", "layer", "multi_head", "img_feat_size",
+                  "img_feat_pad_size", "flat_out_size", "flat_mlp_size",
+                  "max_token", "compute_dtype")
+                 if getattr(args, k) is not None}
+    cfg = Config.from_yaml(os.path.join(_YAML_DIR, f"{args.model}.yml"),
+                           overrides=overrides)
+    buckets = (tuple(int(b) for b in args.latency_buckets.split(","))
+               if args.latency_buckets else None)
+
+    if args.synthetic:
+        import jax
+        from mcan_vqa_tpu.data import answers as ans_mod
+        from mcan_vqa_tpu.data import text as text_mod
+        from mcan_vqa_tpu.models.net import build_mcan
+        tok, _ = text_mod.build_vocab(
+            ["what color is the cat dog red blue how many people"])
+        a2i, _ = ans_mod.load_answer_dict()
+        model = build_mcan(cfg, token_size=len(tok), answer_size=len(a2i))
+        img = np.zeros((1, cfg.img_feat_pad_size, cfg.img_feat_size),
+                       np.float32)
+        ques = np.zeros((1, cfg.max_token), np.int32)
+        params = model.init({"params": jax.random.PRNGKey(args.seed)},
+                            img, ques)["params"]
+        return Predictor(cfg, params, tok, None, max_batch=args.max_batch,
+                         engine=args.engine, latency_buckets=buckets)
+
+    if not args.ckpt_path:
+        raise SystemExit("one of --artifact / --ckpt_path / --synthetic "
+                         "is required")
+    if not args.vocab_json:
+        raise SystemExit("--ckpt_path needs --vocab_json (token_to_ix)")
+    with open(args.vocab_json) as f:
+        token_to_ix = json.load(f)
+    return Predictor.from_checkpoint(
+        args.ckpt_path, cfg, token_to_ix, max_batch=args.max_batch,
+        engine=args.engine, latency_buckets=buckets)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="MCAN-VQA HTTP serving")
+    p.add_argument("--artifact", help="AOT artifact dir (artifact.py)")
+    p.add_argument("--ckpt_path", help="orbax dir or torch pickle")
+    p.add_argument("--vocab_json", help="token_to_ix JSON for --ckpt_path")
+    p.add_argument("--synthetic", action="store_true",
+                   help="random-init model (smoke test, no files)")
+    p.add_argument("--model", default="small", choices=["small", "large"])
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "fused", "plain", "int8"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--latency_buckets", type=str, default="1,8",
+                   help='comma list, e.g. "1,8"; "" disables')
+    p.add_argument("--max_wait_ms", type=float, default=2.0)
+    p.add_argument("--request_timeout_s", type=float, default=60.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    for knob in ("hidden_size", "layer", "multi_head", "img_feat_size",
+                 "img_feat_pad_size", "flat_out_size", "flat_mlp_size",
+                 "max_token"):
+        p.add_argument(f"--{knob}", type=int)
+    p.add_argument("--compute_dtype", type=str)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    predictor = build_predictor(args)
+    server, frontend = make_server(
+        predictor, args.host, args.port, max_wait_ms=args.max_wait_ms,
+        request_timeout_s=args.request_timeout_s, quiet=not args.verbose)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port} "
+          f"(max_batch={predictor.max_batch}, "
+          f"engine={getattr(predictor, 'engine', 'artifact')})", flush=True)
+
+    def _stop(signum, frame):  # noqa: ARG001
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+        frontend.close()
+        print(f"served {frontend.requests_served} requests in "
+              f"{frontend.batches_run} batches "
+              f"(mean occupancy {frontend.mean_occupancy:.2f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
