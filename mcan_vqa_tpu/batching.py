@@ -25,8 +25,9 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -50,6 +51,9 @@ class BatchingFrontend:
         self._stats_lock = threading.Lock()
         self.batches_run = 0
         self.requests_served = 0
+        # Submit->resolve wall time of the most recent requests (bounded;
+        # includes queueing, coalescing wait, and the device forward).
+        self._latencies_s: deque = deque(maxlen=2048)
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="mcan-batching-frontend")
         self._worker.start()
@@ -61,7 +65,7 @@ class BatchingFrontend:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("frontend is closed")
-            self._q.put((question, image_feature, fut))
+            self._q.put((question, image_feature, fut, time.monotonic()))
         return fut
 
     def answer(self, question: str, image_feature: np.ndarray,
@@ -124,7 +128,7 @@ class BatchingFrontend:
             # [R_i, F] to the model's region count itself.
             feat_width = getattr(self._p, "img_feat_size", None)
             valid = []
-            for q, f, fut in group:
+            for q, f, fut, _ in group:
                 try:
                     arr = np.asarray(f, np.float32)
                     if arr.ndim != 2:
@@ -150,9 +154,11 @@ class BatchingFrontend:
                     for _, _, fut in valid:
                         if not fut.done():
                             fut.set_exception(e)
+            t_done = time.monotonic()
             with self._stats_lock:
                 self.batches_run += 1
                 self.requests_served += len(group)
+                self._latencies_s.extend(t_done - g[3] for g in group)
 
     # ------------------------------------------------------------------
     @property
@@ -161,3 +167,17 @@ class BatchingFrontend:
         with self._stats_lock:
             return (self.requests_served / self.batches_run
                     if self.batches_run else 0.0)
+
+    def latency_ms(self) -> Dict[str, float]:
+        """p50/p95/p99/mean submit->resolve latency (ms) over the most
+        recent <=2048 requests. Includes queueing, the coalescing wait,
+        and the device forward — the number a caller actually sees."""
+        with self._stats_lock:
+            lat = np.asarray(self._latencies_s, np.float64)
+        if lat.size == 0:
+            return {"count": 0, "p50": 0.0, "p95": 0.0, "p99": 0.0,
+                    "mean": 0.0}
+        q50, q95, q99 = np.quantile(lat, (0.5, 0.95, 0.99)) * 1e3
+        return {"count": int(lat.size), "p50": float(q50),
+                "p95": float(q95), "p99": float(q99),
+                "mean": float(lat.mean() * 1e3)}

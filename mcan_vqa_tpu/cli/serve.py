@@ -129,6 +129,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "batches_run": fe.batches_run,
                 "requests_served": fe.requests_served,
                 "mean_occupancy": fe.mean_occupancy,
+                "latency_ms": fe.latency_ms(),
                 "max_batch": self.predictor.max_batch,
                 "img_feat_size": getattr(
                     self.predictor, "img_feat_size", None),

@@ -147,3 +147,17 @@ class TestBatchingFrontend:
                            np.zeros((6, 16), np.float32))
             ans, prob = ok.result(timeout=60)
             assert isinstance(ans, str) and 0.0 <= prob <= 1.0
+
+    def test_latency_metrics(self, predictor):
+        """latency_ms() reports submit->resolve quantiles over served
+        requests; empty before any traffic, populated and ordered after."""
+        rng = np.random.default_rng(6)
+        feat = rng.normal(size=(6, 16)).astype(np.float32)
+        with BatchingFrontend(predictor, max_wait_ms=5.0) as fe:
+            assert fe.latency_ms()["count"] == 0
+            for _ in range(3):
+                fe.answer("what color", feat, timeout=60)
+            lat = fe.latency_ms()
+        assert lat["count"] == 3
+        assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
+        assert lat["mean"] > 0
