@@ -28,7 +28,8 @@ class Predictor:
     def __init__(self, cfg, params, token_to_ix: Dict[str, int],
                  ix_to_ans: Optional[Dict[str, str]] = None,
                  max_batch: int = 64, engine: str = "auto",
-                 latency_buckets: Optional[Sequence[int]] = None):
+                 latency_buckets: Optional[Sequence[int]] = None,
+                 mesh=None):
         """max_batch: compiled batch shape; inputs are padded up to it
         (one compilation, any request size <= max_batch).
 
@@ -48,7 +49,15 @@ class Predictor:
         dynamic per-row activation quant; opt-in, gate documented in
         tests/test_quant.py: top-1 agreement >= 99%, |d_acc| <= 0.5pt);
         "auto" picks fused on TPU, plain elsewhere (the Pallas kernels
-        only compile for TPU)."""
+        only compile for TPU).
+
+        mesh: optional pure-data-parallel ``jax.sharding.Mesh`` (every
+        non-"data" axis size 1). Params are replicated, every request
+        batch is split evenly over the chips (fused/int8 engines run
+        per shard under shard_map; plain lets GSPMD partition
+        model.apply), so one Predictor serves a whole pod slice. Each
+        compiled bucket (latency_buckets + max_batch) must be divisible
+        by the mesh size."""
         self.cfg = cfg
         self.token_to_ix = token_to_ix
         if ix_to_ans is None:
@@ -87,7 +96,8 @@ class Predictor:
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
                                     use_sga_megakernel=2,
-                                    bf16_stream=True)
+                                    bf16_stream=True,
+                                    interpret=jax.default_backend() != "tpu")
             # bf16_stream ships by default: gated by
             # tests/test_bf16_stream.py (top-1 agreement >= 99.5%,
             # |d_acc| <= 0.1pt on trained real-format data) and
@@ -108,7 +118,40 @@ class Predictor:
                                   deterministic=True)
                 return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
 
-        self._forward = jax.jit(forward)
+        self.mesh = mesh
+        if mesh is None or mesh.devices.size == 1:
+            self._forward = jax.jit(forward)
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from mcan_vqa_tpu.parallel.mesh import DATA_AXIS
+            shape = dict(mesh.shape)
+            assert DATA_AXIS in shape, \
+                f'serving mesh needs a "{DATA_AXIS}" axis: {shape}'
+            assert all(v == 1 for k, v in shape.items() if k != DATA_AXIS), \
+                f"serving mesh must be pure data-parallel: {shape}"
+            n = mesh.devices.size
+            bad = [b for b in self._buckets if b % n]
+            assert not bad, (f"every compiled bucket must divide over the "
+                             f"{n}-device mesh: {bad}")
+            rep = NamedSharding(mesh, P())
+            dat = NamedSharding(mesh, P(DATA_AXIS))
+            self.params = jax.device_put(self.params, rep)
+            if self.engine == "plain":
+                # GSPMD partitions model.apply itself (batch sharded,
+                # params replicated — same scheme as the Trainer's eval).
+                self._forward = jax.jit(forward, in_shardings=(rep, dat, dat),
+                                        out_shardings=dat)
+            else:
+                # Pallas megakernels are single-device programs: run the
+                # engine per data shard (same wiring as Trainer.predict
+                # on dp>1 meshes, train/trainer.py).
+                from jax import shard_map
+                self._forward = jax.jit(shard_map(
+                    forward, mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS), check_vma=False))
 
     @property
     def img_feat_size(self) -> int:
@@ -122,8 +165,8 @@ class Predictor:
                         epoch: Optional[int] = None,
                         max_batch: int = 64,
                         engine: str = "auto",
-                        latency_buckets: Optional[Sequence[int]] = None
-                        ) -> "Predictor":
+                        latency_buckets: Optional[Sequence[int]] = None,
+                        mesh=None) -> "Predictor":
         """path: a reference .pkl/.pt, or an orbax checkpoint directory."""
         from mcan_vqa_tpu.train import checkpoint as ckpt_mod
 
@@ -135,7 +178,7 @@ class Predictor:
                 restored = ckptr.restore(path)
             params = restored["params"] if "params" in restored else restored
         return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine,
-                   latency_buckets=latency_buckets)
+                   latency_buckets=latency_buckets, mesh=mesh)
 
     # ------------------------------------------------------------------
     def predict_probs(self, questions: Sequence[str],
@@ -144,6 +187,17 @@ class Predictor:
         sequence of N per-image [R_i, F] arrays with ragged region counts
         (each padded to ``img_feat_pad_size``; zero rows are padding).
         Returns probabilities [N, answer_size]."""
+        probs, n = self.predict_probs_async(questions, image_features)
+        return np.asarray(probs)[:n]
+
+    def predict_probs_async(self, questions: Sequence[str],
+                            image_features):
+        """Host prep + DISPATCH only: returns ``(device_probs, n)``
+        without materializing the result. JAX dispatch is asynchronous,
+        so the caller can prepare/dispatch the next batch while the chip
+        computes this one (the batching frontend pipelines on this);
+        ``np.asarray(device_probs)[:n]`` blocks and yields what
+        ``predict_probs`` returns."""
         n = len(questions)
         assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
@@ -161,8 +215,7 @@ class Predictor:
                                                 np.float32)])
             ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
                                                   np.int32)])
-        probs = self._forward(self.params, img, ques)
-        return np.asarray(probs)[:n]
+        return self._forward(self.params, img, ques), n
 
     def export_artifact(self, path: str,
                         platforms: Optional[Sequence[str]] = None) -> None:

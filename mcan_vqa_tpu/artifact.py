@@ -178,6 +178,13 @@ class ArtifactPredictor:
                       image_features) -> np.ndarray:
         """Same contract as ``Predictor.predict_probs``: an [N, R, F]
         array or a sequence of N ragged [R_i, F] arrays."""
+        probs, n = self.predict_probs_async(questions, image_features)
+        return np.asarray(probs)[:n]
+
+    def predict_probs_async(self, questions: Sequence[str],
+                            image_features):
+        """Host prep + dispatch only, returning ``(device_probs, n)`` —
+        same contract as ``Predictor.predict_probs_async``."""
         n = len(questions)
         assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
@@ -194,8 +201,7 @@ class ArtifactPredictor:
                                                 np.float32)])
             ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
                                                   np.int32)])
-        probs = self._fns[target](self._leaves, img, ques)
-        return np.asarray(probs)[:n]
+        return self._fns[target](self._leaves, img, ques), n
 
     def answer(self, questions: Sequence[str],
                image_features: np.ndarray) -> List[Tuple[str, float]]:

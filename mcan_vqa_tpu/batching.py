@@ -15,9 +15,17 @@ The reference has no online-serving story (inference happens inside eval
 loops, /root/reference/core/exec.py:256-428); this is the piece a
 production VQA service puts in front of the model.
 
+The frontend is itself a two-stage pipeline: the worker thread
+validates, pads, and *dispatches* each group (JAX dispatch is
+asynchronous), while a resolver thread blocks on materialization and
+resolves the futures — so host-side prep of group N+1 overlaps device
+compute of group N instead of adding to it, with a depth-2 handoff
+queue for backpressure.
+
 Works with any object exposing ``predict_probs(questions, feats)`` and
 ``ix_to_ans`` — ``api.Predictor`` and ``artifact.ArtifactPredictor``
-both qualify.
+both qualify (their ``predict_probs_async`` enables the overlap; a
+predictor without it still works, just unpipelined).
 """
 
 from __future__ import annotations
@@ -111,9 +119,24 @@ class BatchingFrontend:
         return group
 
     def _run(self) -> None:
+        """Two pipelined stages. This thread validates, pads, and
+        DISPATCHES each group (JAX dispatch is asynchronous); a resolver
+        thread blocks on materialization and resolves the futures. While
+        the chip computes group N, this thread is already preparing
+        group N+1 — host prep overlaps device time instead of adding to
+        it. The bounded handoff queue (depth 2) is backpressure: dispatch
+        never runs more than two groups ahead of resolution."""
+        resolve_q: queue.Queue = queue.Queue(maxsize=2)
+        dispatch = getattr(self._p, "predict_probs_async", None)
+        resolver = threading.Thread(
+            target=self._resolve_loop, args=(resolve_q,), daemon=True,
+            name="mcan-batching-resolver")
+        resolver.start()
         while True:
             group = self._collect()
             if group is None:
+                resolve_q.put(None)
+                resolver.join()  # every dispatched future resolves first
                 # Fail anything that raced past close() rather than hang
                 # its caller forever.
                 while not self._q.empty():
@@ -142,23 +165,53 @@ class BatchingFrontend:
                     valid.append((q, arr, fut))
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
+            payload = None
             if valid:
+                qs = [v[0] for v in valid]
+                fs = [v[1] for v in valid]
                 try:
-                    probs = self._p.predict_probs(
-                        [v[0] for v in valid], [v[1] for v in valid])
-                    for (_, _, fut), row in zip(valid, probs):
-                        ix = int(row.argmax())
-                        ans = self._p.ix_to_ans.get(str(ix), str(ix))
-                        fut.set_result((ans, float(row[ix])))
+                    if dispatch is not None:
+                        payload = dispatch(qs, fs)  # (device_probs, n)
+                    else:
+                        probs = self._p.predict_probs(qs, fs)
+                        payload = (probs, len(valid))
                 except Exception as e:  # noqa: BLE001 — fail the callers, not the loop
                     for _, _, fut in valid:
                         if not fut.done():
                             fut.set_exception(e)
+                    valid = []
+            resolve_q.put((valid, payload, group))
+
+    def _resolve_loop(self, resolve_q: queue.Queue) -> None:
+        while True:
+            item = resolve_q.get()
+            if item is None:
+                return
+            valid, payload, group = item
+            probs, err = None, None
+            if valid:
+                try:
+                    dev, n = payload
+                    probs = np.asarray(dev)[:n]  # blocks on the device
+                except Exception as e:  # noqa: BLE001
+                    err = e
+            # Stats before resolution: a caller woken by its future must
+            # never observe counters that don't include its own batch.
             t_done = time.monotonic()
             with self._stats_lock:
                 self.batches_run += 1
                 self.requests_served += len(group)
                 self._latencies_s.extend(t_done - g[3] for g in group)
+            if probs is not None:
+                for (_, _, fut), row in zip(valid, probs):
+                    ix = int(row.argmax())
+                    ans = self._p.ix_to_ans.get(str(ix), str(ix))
+                    if not fut.cancelled():
+                        fut.set_result((ans, float(row[ix])))
+            elif err is not None:
+                for _, _, fut in valid:
+                    if not fut.done():
+                        fut.set_exception(err)
 
     # ------------------------------------------------------------------
     @property
@@ -167,6 +220,13 @@ class BatchingFrontend:
         with self._stats_lock:
             return (self.requests_served / self.batches_run
                     if self.batches_run else 0.0)
+
+    def reset_stats(self) -> None:
+        """Zero the counters and the latency window (e.g. after warmup)."""
+        with self._stats_lock:
+            self.batches_run = 0
+            self.requests_served = 0
+            self._latencies_s.clear()
 
     def latency_ms(self) -> Dict[str, float]:
         """p50/p95/p99/mean submit->resolve latency (ms) over the most

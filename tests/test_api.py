@@ -151,3 +151,56 @@ class TestPredictor:
             size=(1, 5, 16)).astype(np.float32)
         out = p.answer(["is this a cat"], feats)
         assert len(out) == 1
+
+
+class TestPredictorMesh:
+    """Pod-slice serving: Predictor(mesh=...) splits every request batch
+    over a pure-dp mesh (8 virtual CPU devices via conftest)."""
+
+    def test_plain_dp8_matches_single_device(self, setup):
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        mesh = make_mesh({"data": 8, "model": 1})
+        p1 = Predictor(cfg, params, tok, i2a, max_batch=8, engine="plain")
+        pm = Predictor(cfg, params, tok, i2a, max_batch=8, engine="plain",
+                       mesh=mesh)
+        rng = np.random.default_rng(7)
+        feats = rng.normal(size=(3, 6, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red", "what color"]
+        np.testing.assert_allclose(pm.predict_probs(qs, feats),
+                                   p1.predict_probs(qs, feats), atol=1e-5)
+
+    def test_fused_dp8_matches_single_device(self, setup):
+        """The fused (megakernel) engine runs per data shard under
+        shard_map — interpret-mode kernels on the CPU mesh."""
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        mesh = make_mesh({"data": 8, "model": 1})
+        p1 = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused")
+        pm = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       mesh=mesh)
+        rng = np.random.default_rng(8)
+        feats = rng.normal(size=(2, 6, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red"]
+        np.testing.assert_allclose(pm.predict_probs(qs, feats),
+                                   p1.predict_probs(qs, feats),
+                                   atol=2e-2)  # bf16 matmuls, summed per shard
+
+    def test_indivisible_bucket_rejected(self, setup):
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        mesh = make_mesh({"data": 8, "model": 1})
+        with pytest.raises(AssertionError):
+            Predictor(cfg, params, tok, i2a, max_batch=8, engine="plain",
+                      latency_buckets=(2,), mesh=mesh)
+        with pytest.raises(AssertionError):
+            Predictor(cfg, params, tok, i2a, max_batch=12, engine="plain",
+                      mesh=mesh)
+
+    def test_tp_mesh_rejected(self, setup):
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        mesh = make_mesh({"data": 4, "model": 2})
+        with pytest.raises(AssertionError):
+            Predictor(cfg, params, tok, i2a, max_batch=8, engine="plain",
+                      mesh=mesh)

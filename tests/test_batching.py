@@ -161,3 +161,46 @@ class TestBatchingFrontend:
         assert lat["count"] == 3
         assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
         assert lat["mean"] > 0
+
+    def test_dispatch_overlaps_resolution(self):
+        """The frontend pipelines: group N+1 is dispatched while group N
+        is still materializing (fake predictor whose result takes 0.25 s
+        to materialize records dispatch/materialize timestamps)."""
+        import time as _time
+
+        events = []
+
+        class LazyResult:
+            def __init__(self, n, tag):
+                self.n, self.tag = n, tag
+
+            def __array__(self, dtype=None, copy=None):
+                _time.sleep(0.25)
+                events.append(("materialized", self.tag,
+                               _time.monotonic()))
+                out = np.zeros((self.n, 4), np.float32)
+                out[:, 1] = 1.0  # answer ix 1
+                return out
+
+        class FakePredictor:
+            ix_to_ans = {"0": "a", "1": "b", "2": "c", "3": "d"}
+            max_batch = 4
+            img_feat_size = 16
+
+            def predict_probs_async(self, qs, fs):
+                events.append(("dispatched", len(events),
+                               _time.monotonic()))
+                return LazyResult(len(qs), "g%d" % len(events)), len(qs)
+
+        feat = np.zeros((5, 16), np.float32)
+        with BatchingFrontend(FakePredictor(), max_wait_ms=0.0) as fe:
+            f1 = fe.submit("one", feat)
+            _time.sleep(0.05)  # let group 1 dispatch + start resolving
+            f2 = fe.submit("two", feat)
+            assert f1.result(timeout=30) == ("b", 1.0)
+            assert f2.result(timeout=30) == ("b", 1.0)
+        dispatches = [e for e in events if e[0] == "dispatched"]
+        materials = [e for e in events if e[0] == "materialized"]
+        assert len(dispatches) == 2 and len(materials) == 2
+        # group 2 dispatched BEFORE group 1 finished materializing
+        assert dispatches[1][2] < materials[0][2]
