@@ -45,8 +45,12 @@ def main() -> None:
     model_size = os.environ.get("BENCH_MODEL", "small")
     flat_out = {"small": 512, "large": 2048}[model_size]
     hidden = {"small": 512, "large": 1024}[model_size]
+    # BENCH_REGIONS: image regions per sample (default 60 = the reference's
+    # img_feat_pad_size; 100 = the upstream adaptive-BUTD setting).
+    regions = int(os.environ.get("BENCH_REGIONS", "60"))
     cfg = Config(hidden_size=hidden, layer=6, multi_head=8, flat_mlp_size=512,
                  flat_glimpses=1, flat_out_size=flat_out,
+                 img_feat_pad_size=regions,
                  use_glove=False).finalize()
 
     B = int(os.environ.get("BENCH_BATCH", "64"))

@@ -240,8 +240,10 @@ def make_serving_fn(num_layers: int, num_heads: int,
     decoder. 1/True = head-major stacked weights; 2 = fused-projection
     variant (fewer, larger matmuls, per-head lane slices); 3 = the
     ALL-LAYER fused decoder (every SGA block in one launch, weights
-    VMEM-resident, cross k/v projected in-kernel) — degrades to 2 when
-    the stacked weights exceed VMEM (MCAN-large).
+    VMEM-resident, cross k/v projected in-kernel); 4 = all-layer decoder
+    with the cross k/v pre-projected OUTSIDE the kernel (full-batch
+    projection matmuls). 3/4 degrade to 2 when the stacked weights
+    exceed VMEM (MCAN-large).
     sga_group = samples packed per matmul inside it.
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
@@ -291,7 +293,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             D = v.shape[-1]
             F_ff = params["backbone"]["dec_0"]["ffn"]["mlp"][
                 "FCLayer_0"]["Dense_0"]["kernel"].shape[1]
-            if sga_mode == 3:
+            if sga_mode in (3, 4):
                 from mcan_vqa_tpu.ops.sga_block import decoder_vmem_ok
                 if not decoder_vmem_ok(D, F_ff, num_layers):
                     sga_mode = 2
@@ -330,6 +332,25 @@ def make_serving_fn(num_layers: int, num_heads: int,
             v = fused_sga_decoder(v, q, v_mask, q_mask, wp,
                                   num_heads=num_heads, group=sga_group,
                                   interpret=interpret)
+        elif sga_mode == 4:
+            # all-layer decoder, cross k/v projected OUTSIDE as full-batch
+            # matmuls (the in-kernel per-group projections were a measured
+            # component of mode 3's loss); layer-major [B, L*H, Lq, Dh]
+            from mcan_vqa_tpu.ops.sga_block import (
+                fused_sga_decoder_extkv, prepare_sga_decoder_params)
+            wp = (bb["_mk_dec"] if "_mk_dec" in bb
+                  else prepare_sga_decoder_params(bb, num_layers))
+            kqs, vqs = [], []
+            for i in range(num_layers):
+                kq, vq = _cross_kv(bb[f"dec_{i}"]["mhatt2"], q, num_heads)
+                kqs.append(kq)
+                vqs.append(vq)
+            kqs = jnp.concatenate(kqs, axis=1)   # [B, L*H, Lq, Dh]
+            vqs = jnp.concatenate(vqs, axis=1)
+            v = fused_sga_decoder_extkv(v, kqs, vqs, v_mask, q_mask, wp,
+                                        num_heads=num_heads,
+                                        group=sga_group,
+                                        interpret=interpret)
         elif sga_mode:
             from mcan_vqa_tpu.ops.sga_block import (
                 fused_sga_block, prepare_sga_block_params)

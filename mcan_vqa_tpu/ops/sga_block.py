@@ -614,6 +614,170 @@ def fused_sga_decoder(v, q, v_mask, q_mask, wp: Dict[str, Any], *,
 
 
 # ---------------------------------------------------------------------------
+# All-layer fused decoder, variant B: cross k/v pre-projected OUTSIDE
+# ---------------------------------------------------------------------------
+
+def _sga_decoder_kernel_extkv(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+                              wqkv1_ref, bqkv1_ref, wm1_ref, bm1_ref,
+                              ln1s_ref, ln1b_ref,
+                              wq2_ref, bq2_ref,
+                              wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
+                              w1_ref, b1_ref, w2_ref, b2_ref,
+                              ln3s_ref, ln3b_ref,
+                              o_ref, *, heads: int, group: int, layers: int,
+                              scale: float):
+    """All decoder layers in one launch, but with the cross keys/values
+    pre-projected OUTSIDE the kernel ([B, L*H, Lq, Dh], layer-major) —
+    the external projections run as full-batch [B*Lq, D] x [D, 2D]
+    matmuls (good MXU fill) where the in-kernel variant projected
+    [G*Lq, D] slivers per grid step. Isolates the kv-projection
+    component of the all-layer kernel's measured loss
+    (docs/PERFORMANCE.md round-2 continuation)."""
+    G = group
+    Lv, D = v_ref.shape[1], v_ref.shape[2]
+    Lq = kq_ref.shape[2]
+    Dh = D // heads
+    M, N = G * Lv, G * Lq
+
+    x = v_ref[:].reshape(M, D).astype(jnp.float32)
+
+    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
+    self_mask = (vv_off.astype(jnp.float32)
+                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    cross_mask = (vq_off.astype(jnp.float32)
+                  + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    def sdpa(qh, kh, vh, mask_add):
+        s = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jnp.dot(att, vh, preferred_element_type=jnp.float32)
+
+    for l in range(layers):
+        # ---- self-attention: ONE qkv matmul, lane-sliced heads ----
+        qkv = jnp.dot(x.astype(jnp.bfloat16),
+                      wqkv1_ref[l].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bqkv1_ref[l]
+        ohs = []
+        for h in range(heads):
+            qh = qkv[:, h * Dh:(h + 1) * Dh]
+            kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
+            vh = qkv[:, 2 * D + h * Dh:
+                     2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
+            ohs.append(sdpa(qh, kh, vh, self_mask))
+        atted = jnp.concatenate(ohs, axis=1)
+        y = jnp.dot(atted.astype(jnp.bfloat16),
+                    wm1_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        v1 = _ln(x + y + bm1_ref[l], ln1s_ref[l], ln1b_ref[l])
+
+        # ---- cross-attention: k/v read pre-projected, layer-major ----
+        qp = jnp.dot(v1.astype(jnp.bfloat16),
+                     wq2_ref[l].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + bq2_ref[l]
+        ohs = []
+        for h in range(heads):
+            kh = kq_ref[:, l * heads + h].reshape(N, Dh).astype(jnp.bfloat16)
+            vh = vq_ref[:, l * heads + h].reshape(N, Dh).astype(jnp.bfloat16)
+            ohs.append(sdpa(qp[:, h * Dh:(h + 1) * Dh], kh, vh, cross_mask))
+        atted = jnp.concatenate(ohs, axis=1)
+        y = jnp.dot(atted.astype(jnp.bfloat16),
+                    wm2_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        v2 = _ln(v1 + y + bm2_ref[l], ln2s_ref[l], ln2b_ref[l])
+
+        # ---- FFN + LN3 ----
+        h1 = jnp.dot(v2.astype(jnp.bfloat16), w1_ref[l].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + b1_ref[l]
+        h1 = jnp.maximum(h1, 0.0)
+        y = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b2_ref[l]
+        x = _ln(v2 + y, ln3s_ref[l], ln3b_ref[l])
+
+    o_ref[:] = x.reshape(G, Lv, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "group", "interpret"))
+def fused_sga_decoder_extkv(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
+                            num_heads: int, group: int = 4,
+                            interpret: bool = False):
+    """All-layer fused decoder with EXTERNAL cross k/v projections.
+
+    v [B, Lv, D] image stream; kq/vq [B, L*H, Lq, Dh] — every layer's
+    pre-projected cross keys/values, layer-major (layer l, head h at
+    index l*H + h); wp from prepare_sga_decoder_params (wkv2/bkv2 unused).
+    Returns [B, Lv, D] in v's dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lv, D = v.shape
+    Lq = kq.shape[2]
+    L = wp["w1"].shape[0]
+    F = wp["w1"].shape[2]
+    H = num_heads
+    Dh = D // H
+    scale = 1.0 / (Dh ** 0.5)
+    G = max(1, group)
+    while B % G:
+        G -= 1
+
+    def flat_pad(mask, Lx):
+        if mask is None:
+            return jnp.zeros((B // G, 1, G * Lx), jnp.int8)
+        return mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * Lx)
+
+    vpad = flat_pad(v_mask, Lv)
+    qpad = flat_pad(q_mask, Lq)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_sga_decoder_kernel_extkv, heads=H, group=G,
+                          layers=L, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L * H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L * H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lv), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((L, D, 3 * D)), rep((L, 3 * D)),
+            rep((L, D, D)), rep((L, D)), rep((L, D)), rep((L, D)),
+            rep((L, D, D)), rep((L, D)),
+            rep((L, D, D)), rep((L, D)), rep((L, D)), rep((L, D)),
+            rep((L, D, F)), rep((L, F)), rep((L, F, D)), rep((L, D)),
+            rep((L, D)), rep((L, D)),
+        ],
+        out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(v, kq, vq, vpad, qpad,
+      wp["wqkv1"], wp["bqkv1"], wp["wm1"], wp["bm1"],
+      wp["ln1_s"], wp["ln1_b"],
+      wp["wq2"], wp["bq2"],
+      wp["wm2"], wp["bm2"], wp["ln2_s"], wp["ln2_b"],
+      wp["w1"], wp["b1"], wp["w2"], wp["b2"],
+      wp["ln3_s"], wp["ln3_b"])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SA encoder-block megakernel (question path): self-att + FFN + 2 LNs
 # ---------------------------------------------------------------------------
 

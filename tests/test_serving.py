@@ -239,6 +239,25 @@ class TestSGAMegakernel:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
 
+    def test_alllayer_decoder_extkv_matches_model(self):
+        """Mode 4: all-layer decoder with EXTERNAL cross k/v projections
+        vs model.apply (same semantics as mode 3, different data path)."""
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(15)
+        img = rng.normal(size=(4, 12, 32)).astype(np.float32)
+        img[1, 8:] = 0.0
+        img[3, 6:] = 0.0
+        ques = rng.integers(1, 50, size=(4, 7)).astype(np.int32)
+        ques[2, 3:] = 0
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=4, sga_group=2,
+                              interpret=True)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
     def test_alllayer_decoder_direct_parity(self):
         """fused_sga_decoder vs layer-by-layer op composition."""
         from mcan_vqa_tpu.ops.sga_block import (fused_sga_decoder,
