@@ -141,7 +141,10 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                 bb[f"dec_{i}"]["_mk"] = prepare_sga_block_params(
                     bb[f"dec_{i}"], num_heads)
             if decoder_vmem_ok(D, F, num_layers):
+                from mcan_vqa_tpu.ops.sga_block import (
+                    prepare_sa_encoder_params)
                 bb["_mk_dec"] = prepare_sga_decoder_params(bb, num_layers)
+                bb["_mk_enc"] = prepare_sa_encoder_params(bb, num_layers)
     return out
 
 
@@ -242,8 +245,11 @@ def make_serving_fn(num_layers: int, num_heads: int,
     ALL-LAYER fused decoder (every SGA block in one launch, weights
     VMEM-resident, cross k/v projected in-kernel); 4 = all-layer decoder
     with the cross k/v pre-projected OUTSIDE the kernel (full-batch
-    projection matmuls). 3/4 degrade to 2 when the stacked weights
-    exceed VMEM (MCAN-large).
+    projection matmuls); 5 = the LATENCY engine — all-layer SA encoder +
+    all-layer (mode-4) decoder, TWO backbone launches total, built for
+    tiny batches where per-block launch overhead dominates (the
+    Predictor's small latency buckets route here). 3/4/5 degrade to 2
+    when the stacked weights exceed VMEM (MCAN-large).
     sga_group = samples packed per matmul inside it.
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
@@ -293,14 +299,22 @@ def make_serving_fn(num_layers: int, num_heads: int,
             D = v.shape[-1]
             F_ff = params["backbone"]["dec_0"]["ffn"]["mlp"][
                 "FCLayer_0"]["Dense_0"]["kernel"].shape[1]
-            if sga_mode in (3, 4):
+            if sga_mode in (3, 4, 5):
                 from mcan_vqa_tpu.ops.sga_block import decoder_vmem_ok
                 if not decoder_vmem_ok(D, F_ff, num_layers):
                     sga_mode = 2
             if not megakernel_vmem_ok(D, F_ff):
                 sga_mode = 0
 
-        if sga_mode >= 2:
+        if sga_mode == 5:
+            # latency engine: the whole encoder in ONE launch
+            from mcan_vqa_tpu.ops.sga_block import (fused_sa_encoder,
+                                                    prepare_sa_encoder_params)
+            wp = (bb["_mk_enc"] if "_mk_enc" in bb
+                  else prepare_sa_encoder_params(bb, num_layers))
+            q = fused_sa_encoder(q, q_mask, wp, num_heads=num_heads,
+                                 interpret=interpret)
+        elif sga_mode >= 2:
             # question path through the fused SA-block megakernel too
             from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,
                                                     prepare_sa_block_params)
@@ -332,7 +346,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             v = fused_sga_decoder(v, q, v_mask, q_mask, wp,
                                   num_heads=num_heads, group=sga_group,
                                   interpret=interpret)
-        elif sga_mode == 4:
+        elif sga_mode in (4, 5):
             # all-layer decoder, cross k/v projected OUTSIDE as full-batch
             # matmuls (the in-kernel per-group projections were a measured
             # component of mode 3's loss); layer-major [B, L*H, Lq, Dh]

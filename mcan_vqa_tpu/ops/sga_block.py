@@ -778,6 +778,155 @@ def fused_sga_decoder_extkv(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
 
 
 # ---------------------------------------------------------------------------
+# All-layer fused SA encoder stack: every SA block in ONE kernel launch
+# ---------------------------------------------------------------------------
+
+def encoder_vmem_ok(D: int, F: int, num_layers: int) -> bool:
+    """True when ALL encoder layers' weights fit VMEM-resident in bf16.
+    MCAN-small: 6*(4*512^2+2*512*2048)*2 = 36 MB — yes; MCAN-large:
+    144 MB — no (falls back to per-block fused_sa_block)."""
+    return num_layers * (4 * D * D + 2 * D * F) * 2 <= 64 * 1024 * 1024
+
+
+def prepare_sa_encoder_params(bb: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """Stack every encoder block's fused-projection layout along a leading
+    layer axis for the all-layer SA kernel."""
+    def stack(fn):
+        return jnp.stack([fn(bb[f"enc_{i}"]) for i in range(num_layers)])
+
+    return {
+        "wqkv": stack(lambda p: jnp.concatenate(
+            [p["mhatt"]["linear_q"]["kernel"],
+             p["mhatt"]["linear_k"]["kernel"],
+             p["mhatt"]["linear_v"]["kernel"]], axis=1)),
+        "bqkv": stack(lambda p: jnp.concatenate(
+            [p["mhatt"]["linear_q"]["bias"],
+             p["mhatt"]["linear_k"]["bias"],
+             p["mhatt"]["linear_v"]["bias"]])),
+        "wm": stack(lambda p: p["mhatt"]["linear_merge"]["kernel"]),
+        "bm": stack(lambda p: p["mhatt"]["linear_merge"]["bias"]),
+        "ln1_s": stack(lambda p: p["norm1"]["scale"]),
+        "ln1_b": stack(lambda p: p["norm1"]["bias"]),
+        "w1": stack(lambda p: p["ffn"]["mlp"]["FCLayer_0"]["Dense_0"]["kernel"]),
+        "b1": stack(lambda p: p["ffn"]["mlp"]["FCLayer_0"]["Dense_0"]["bias"]),
+        "w2": stack(lambda p: p["ffn"]["mlp"]["Dense_0"]["kernel"]),
+        "b2": stack(lambda p: p["ffn"]["mlp"]["Dense_0"]["bias"]),
+        "ln2_s": stack(lambda p: p["norm2"]["scale"]),
+        "ln2_b": stack(lambda p: p["norm2"]["bias"]),
+    }
+
+
+def _sa_encoder_kernel(x_ref, pad_ref,
+                       wqkv_ref, bqkv_ref, wm_ref, bm_ref,
+                       ln1s_ref, ln1b_ref,
+                       w1_ref, b1_ref, w2_ref, b2_ref,
+                       ln2s_ref, ln2b_ref,
+                       o_ref, *, heads: int, group: int, layers: int,
+                       scale: float):
+    """All SA encoder blocks (reference core/model/mca.py:171-178) for one
+    G-sample group in one launch; the question stream stays in VMEM for
+    the whole encoder. Built for the LATENCY path: at B=1 the per-block
+    engine pays 6 launches on a [14, D] stream — launch overhead, not
+    compute, dominates."""
+    G = group
+    Lq, D = x_ref.shape[1], x_ref.shape[2]
+    Dh = D // heads
+    M = G * Lq
+
+    x = x_ref[:].reshape(M, D).astype(jnp.float32)
+
+    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+    mask_add = (off.astype(jnp.float32)
+                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    for l in range(layers):
+        qkv = jnp.dot(x.astype(jnp.bfloat16),
+                      wqkv_ref[l].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bqkv_ref[l]
+        ohs = []
+        for h in range(heads):
+            qh = qkv[:, h * Dh:(h + 1) * Dh].astype(jnp.bfloat16)
+            kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
+            vh = qkv[:, 2 * D + h * Dh:
+                     2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + mask_add
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            att = (e / jnp.sum(e, axis=-1,
+                               keepdims=True)).astype(jnp.bfloat16)
+            ohs.append(jnp.dot(att, vh, preferred_element_type=jnp.float32))
+        atted = jnp.concatenate(ohs, axis=1)
+        y = jnp.dot(atted.astype(jnp.bfloat16),
+                    wm_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        x1 = _ln(x + y + bm_ref[l], ln1s_ref[l], ln1b_ref[l])
+
+        h1 = jnp.dot(x1.astype(jnp.bfloat16), w1_ref[l].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + b1_ref[l]
+        h1 = jnp.maximum(h1, 0.0)
+        y = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[l].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b2_ref[l]
+        x = _ln(x1 + y, ln2s_ref[l], ln2b_ref[l])
+
+    o_ref[:] = x.reshape(G, Lq, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "group", "interpret"))
+def fused_sa_encoder(x, x_mask, wp: Dict[str, Any], *, num_heads: int,
+                     group: int = 0, interpret: bool = False):
+    """Run the ENTIRE SA encoder (all blocks) in one kernel launch.
+    x [B, Lq, D]; wp from prepare_sa_encoder_params. group=0 picks the
+    largest divisor of B with G*Lq <= 128. Returns [B, Lq, D] in x's
+    dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, D = x.shape
+    L = wp["w1"].shape[0]
+    F = wp["w1"].shape[2]
+    H = num_heads
+    scale = 1.0 / ((D // H) ** 0.5)
+    G = group if group > 0 else max(1, 128 // Lq)
+    while B % G:
+        G -= 1
+
+    if x_mask is None:
+        pad = jnp.zeros((B // G, 1, G * Lq), jnp.int8)
+    else:
+        pad = x_mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * Lq)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_sa_encoder_kernel, heads=H, group=G, layers=L,
+                          scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((L, D, 3 * D)), rep((L, 3 * D)),
+            rep((L, D, D)), rep((L, D)), rep((L, D)), rep((L, D)),
+            rep((L, D, F)), rep((L, F)), rep((L, F, D)), rep((L, D)),
+            rep((L, D)), rep((L, D)),
+        ],
+        out_specs=pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), x.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(x, pad, wp["wqkv"], wp["bqkv"], wp["wm"], wp["bm"],
+      wp["ln1_s"], wp["ln1_b"], wp["w1"], wp["b1"], wp["w2"], wp["b2"],
+      wp["ln2_s"], wp["ln2_b"])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SA encoder-block megakernel (question path): self-att + FFN + 2 LNs
 # ---------------------------------------------------------------------------
 

@@ -258,6 +258,46 @@ class TestSGAMegakernel:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
 
+    def test_latency_engine_matches_model(self):
+        """Mode 5: all-layer SA encoder + all-layer extkv decoder (the
+        two-launch latency engine) vs model.apply."""
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(16)
+        img = rng.normal(size=(4, 12, 32)).astype(np.float32)
+        img[0, 9:] = 0.0
+        ques = rng.integers(1, 50, size=(4, 7)).astype(np.int32)
+        ques[1, 4:] = 0
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=5, sga_group=2,
+                              interpret=True)
+        ours = fwd(params, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_latency_engine_prepared_params_batch1(self):
+        """Mode 5 with prepare_params-attached layouts at B=1 (the latency
+        bucket it exists for)."""
+        from mcan_vqa_tpu.ops.serving import prepare_params
+        cfg, model, params, img, ques = _setup()
+        rng = np.random.default_rng(17)
+        img = rng.normal(size=(1, 12, 32)).astype(np.float32)
+        img[0, 10:] = 0.0
+        ques = rng.integers(1, 50, size=(1, 7)).astype(np.int32)
+        ques[0, 5:] = 0
+        prepared = prepare_params(params, cfg.layer,
+                                  num_heads=cfg.multi_head)
+        assert "_mk_enc" in prepared["backbone"]
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=5, sga_group=2,
+                              interpret=True)
+        ours = fwd(prepared, img, ques)
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
     def test_alllayer_decoder_direct_parity(self):
         """fused_sga_decoder vs layer-by-layer op composition."""
         from mcan_vqa_tpu.ops.sga_block import (fused_sga_decoder,
