@@ -161,3 +161,90 @@ class TestEvaluatorOracle:
         scores = set(reference_tables["perQuestion"].values())
         assert any(0.0 < s < 100.0 for s in scores)
         assert 0.0 in scores and 100.0 in scores
+
+
+# Messy answer vocabulary for the randomized sweep: contractions, digit
+# words, articles, every punctuation rule, casing, multi-word phrases.
+_FUZZ_ANSWERS = [
+    "yes", "no", "maybe", "2", "two", "10", "1,000", "1000", "none",
+    "don't know", "dont know", "doesnt matter", "doesn't matter",
+    "the cat", "a cat", "cat", "an apple", "apple", "u.s.", "us", "usa",
+    "t-shirt", "t shirt", "shirt", "red", "red!", "dark red", "semi-colon;",
+    "semicolon", "what?", "what", "it's", "its", "youre", "you're",
+    "one hundred", "100", "0", "zero", "left", "to the left", "left side",
+    "  spaced  ", "newline\nanswer", "Mixed Case", "mixed case",
+    "won't", "wont", "shouldnt've", "shouldn't've", ">100", "100%",
+]
+_FUZZ_QTYPES = ["is this", "what is", "how many", "what color", "where is"]
+_FUZZ_ATYPES = ["yes/no", "number", "other"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_files(tmp_path_factory):
+    """300 seeded-random questions: random 10-annotator GT multisets over
+    the messy vocabulary, random predictions (sometimes sampled from the
+    GT set so every score level appears, sometimes unrelated)."""
+    import random
+    rng = random.Random(20260818)
+    d = tmp_path_factory.mktemp("vqa_eval_fuzz")
+    cases = []
+    for qid in range(1, 301):
+        qt = rng.choice(_FUZZ_QTYPES)
+        at = rng.choice(_FUZZ_ATYPES)
+        # k distinct answers spread over 10 annotators
+        k = rng.randint(1, 5)
+        pool = rng.sample(_FUZZ_ANSWERS, k)
+        gt = [rng.choice(pool) for _ in range(10)]
+        pred = (rng.choice(gt) if rng.random() < 0.6
+                else rng.choice(_FUZZ_ANSWERS))
+        cases.append((qid, qt, at, gt, pred))
+    anns = {
+        "info": {}, "task_type": "Open-Ended", "data_type": "mscoco",
+        "data_subtype": "val2014", "license": {},
+        "annotations": [_ann(q, 500 + q, t, a, g)
+                        for (q, t, a, g, _) in cases],
+    }
+    ques = {
+        "info": {}, "task_type": "Open-Ended", "data_type": "mscoco",
+        "data_subtype": "val2014", "license": {},
+        "questions": [{"question_id": q, "image_id": 500 + q,
+                       "question": t + " ...?"}
+                      for (q, t, _, _, _) in cases],
+    }
+    res = [{"question_id": q, "answer": p} for (q, _, _, _, p) in cases]
+    ann_f, ques_f, res_f = (str(d / n) for n in
+                            ("anns.json", "ques.json", "res.json"))
+    for path, payload in ((ann_f, anns), (ques_f, ques), (res_f, res)):
+        with open(path, "w") as f:
+            json.dump(payload, f)
+    return ann_f, ques_f, res_f
+
+
+class TestEvaluatorOracleFuzz:
+    def test_randomized_sweep_matches_reference(self, fuzz_files):
+        """300 seeded-random messy cases: per-question scores and all
+        three accuracy tables equal the reference evaluator exactly."""
+        ann_f, ques_f, res_f = fuzz_files
+        sys.path.insert(0, REFERENCE)
+        try:
+            from utils.vqa import VQA as RefVQA  # noqa: PLC0415
+            from utils.vqaEval import VQAEval as RefVQAEval  # noqa: PLC0415
+            vqa = RefVQA(ann_f, ques_f)
+            ev = RefVQAEval(vqa, vqa.loadRes(res_f, ques_f), n=2)
+            ev.evaluate()
+        finally:
+            sys.path.remove(REFERENCE)
+
+        from mcan_vqa_tpu.evals import vqa_eval
+        gts = vqa_eval.load_annotations(ann_f)
+        res = vqa_eval.load_results(res_f)
+        acc = vqa_eval.evaluate(gts, res, ndigits=2)
+
+        assert acc["perQuestion"] == dict(ev.evalQA)
+        assert abs(acc["overall"] - ev.accuracy["overall"]) < 1e-9
+        assert acc["perQuestionType"] == dict(ev.accuracy["perQuestionType"])
+        assert acc["perAnswerType"] == dict(ev.accuracy["perAnswerType"])
+        # the sweep must actually exercise partial credit and both extremes
+        scores = set(acc["perQuestion"].values())
+        assert 0.0 in scores and 100.0 in scores
+        assert any(0.0 < s < 100.0 for s in scores)
