@@ -83,6 +83,36 @@ class TestTokenizerOracle:
             np.testing.assert_array_equal(ours, ref_ix.astype(np.int32),
                                           err_msg=repr(q))
 
+    def test_soft_scores_match_reference_proc_ans(self, ref_mods):
+        """Random 10-annotator sets -> identical soft-target vectors
+        (reference: data_utils.proc_ans + get_score)."""
+        from mcan_vqa_tpu.data import answers
+        ref_du, _ = ref_mods
+        rng = random.Random(31337)
+        pool = ["yes", "no", "2", "two", "don't know", "cat", "the cat",
+                "red", "1,000", "u.s.", "left", "blue", "none", "0"]
+        # answer dict over the NORMALIZED forms, like the frozen dict
+        from mcan_vqa_tpu.data.answers import prep_ans
+        ans_to_ix = {}
+        for a in pool:
+            ans_to_ix.setdefault(prep_ans(a), len(ans_to_ix))
+        for _ in range(100):
+            ten = [{"answer": rng.choice(pool)} for _ in range(10)]
+            ref_vec = ref_du.proc_ans({"answers": ten}, ans_to_ix)
+            ours = answers.soft_scores(ten, ans_to_ix)
+            np.testing.assert_array_equal(ours, ref_vec)
+
+    def test_pad_img_feat_matches_reference(self, ref_mods):
+        from mcan_vqa_tpu.data import features
+        ref_du, _ = ref_mods
+        rng = np.random.default_rng(55)
+        for rows in (0, 1, 7, 60, 61, 100):
+            feat = rng.standard_normal((rows, 16)).astype(np.float32)
+            ref_out = ref_du.pad_img_feat(feat, 60)
+            ours = features.pad_img_feat(feat, 60)
+            np.testing.assert_array_equal(ours, ref_out)
+            assert ours.dtype == ref_out.dtype
+
     def test_prep_ans_matches_reference(self, ref_mods):
         from mcan_vqa_tpu.data import answers
         _, ref_ans = ref_mods
