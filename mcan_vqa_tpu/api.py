@@ -91,8 +91,12 @@ class Predictor:
         elif engine == "fused":
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
                                                   prepare_params)
+            # alllayer=False: the Predictor ships the per-block engine;
+            # skip the mode-3/4/5 stacked layouts (~86 MB of duplicated
+            # weights that exported artifacts would carry as dead arrays)
             self.params = prepare_params(params, cfg.layer,
-                                         num_heads=cfg.multi_head)
+                                         num_heads=cfg.multi_head,
+                                         alllayer=False)
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
                                     use_sga_megakernel=2,

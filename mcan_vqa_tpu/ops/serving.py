@@ -86,7 +86,8 @@ def megakernel_vmem_ok(D: int, F: int) -> bool:
 def prepare_params(params: Dict[str, Any], num_layers: int,
                    cast_bf16: bool = True,
                    megakernel: bool = True,
-                   num_heads: int = 8) -> Dict[str, Any]:
+                   num_heads: int = 8,
+                   alllayer: bool = True) -> Dict[str, Any]:
     """One-time param prep: fuse each attention block's projections.
 
     Self-attention (q=k=v source): W_q|W_k|W_v -> one [D, 3D] kernel.
@@ -140,7 +141,11 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                     bb[f"enc_{i}"])
                 bb[f"dec_{i}"]["_mk"] = prepare_sga_block_params(
                     bb[f"dec_{i}"], num_heads)
-            if decoder_vmem_ok(D, F, num_layers):
+            # The all-layer (mode 3/4/5) stacked layouts cost ~86 MB of
+            # duplicated weights; skip them (alllayer=False) when only the
+            # per-block default engine will run — e.g. the Predictor, whose
+            # exported artifacts would otherwise carry dead arrays.
+            if alllayer and decoder_vmem_ok(D, F, num_layers):
                 from mcan_vqa_tpu.ops.sga_block import (
                     prepare_sa_encoder_params)
                 bb["_mk_dec"] = prepare_sga_decoder_params(bb, num_layers)
