@@ -102,8 +102,14 @@ def main() -> None:
         # INSIDE it (0=XLA, 1=per-(b,h), 2=batch-blocked, 3=block-diagonal
         # packed), so attention variants are compared like-for-like.
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
-        params = prepare_params(params, cfg.layer,
-                                num_heads=cfg.multi_head)
+        sga_mode = int(os.environ.get("BENCH_SGA", "2"))
+        # alllayer only for the mode-3/4/5 experiments: the shipped config
+        # (and the Predictor) runs the per-block engine without the ~86 MB
+        # stacked layouts, so bench == production program exactly
+        params = prepare_params(
+            params, cfg.layer, num_heads=cfg.multi_head,
+            alllayer=sga_mode >= 3
+            or os.environ.get("BENCH_ALLLAYER", "0") == "1")
         # bf16 residual stream is the default HERE AND IN PRODUCTION
         # (Predictor + Trainer fused eval ship bf16_stream=True): gated by
         # tests/test_bf16_stream.py (top-1 agreement >= 99.5%, |d_acc| <=
@@ -119,7 +125,7 @@ def main() -> None:
             # 100% top-1 agreement vs the unfused engine verified on-chip.
             # Falls back automatically when block weights exceed VMEM
             # (MCAN-large). BENCH_SGA=0 restores the per-sub-op engine.
-            use_sga_megakernel=int(os.environ.get("BENCH_SGA", "2")),
+            use_sga_megakernel=sga_mode,
             sga_group=int(os.environ.get("BENCH_SGA_GROUP", "4")),
             use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1")
     elif use_pallas:

@@ -43,6 +43,16 @@ class TestPredictor:
             assert ans in i2a.values()
             assert 0.0 <= prob <= 1.0
 
+    def test_fused_params_carry_no_alllayer_layouts(self, setup):
+        """Artifact hygiene: the shipped fused Predictor must not hold the
+        mode-3/4/5 stacked weight layouts (~86 MB of duplicated weights
+        that exported artifacts would carry as dead arrays)."""
+        cfg, tok, i2a, params = setup
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused")
+        bb = p.params["backbone"]
+        assert "_mk_dec" not in bb and "_mk_enc" not in bb
+        assert "_mk" in bb["dec_0"]  # per-block layouts still attached
+
     def test_batch_padding_no_crosstalk(self, setup):
         """Padding rows must not change real results; variable request sizes
         reuse one compilation."""
