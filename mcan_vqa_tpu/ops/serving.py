@@ -153,6 +153,95 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     return out
 
 
+def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
+                              cast_bf16: bool = True,
+                              megakernel: bool = True) -> Dict[str, Any]:
+    """One-time param prep for the CLASSIFIER serving engine: fuse each SA
+    block's q/k/v projections and attach the SA-block megakernel layouts
+    (``_mk``). ClassifierNet tree: img_feat_linear / backbone.enc_i /
+    attflat_img / proj_norm / proj (models/net.py ClassifierNet;
+    reference core/model/net.py:140-196)."""
+    def fuse(block, names):
+        return {
+            "kernel": jnp.concatenate(
+                [block[n]["kernel"] for n in names], axis=1),
+            "bias": jnp.concatenate([block[n]["bias"] for n in names]),
+        }
+
+    out = jax.tree.map(lambda x: x, params)
+    bb = out["backbone"]
+    for i in range(num_layers):
+        enc = bb[f"enc_{i}"]["mhatt"]
+        enc["linear_qkv"] = fuse(enc, ("linear_q", "linear_k", "linear_v"))
+    if cast_bf16:
+        def cast(path, leaf):
+            names = [getattr(p, "key", str(p)) for p in path]
+            if names[-1] == "kernel":
+                return leaf.astype(jnp.bfloat16)
+            return leaf
+        out = jax.tree_util.tree_map_with_path(cast, out)
+    if megakernel:
+        bb = out["backbone"]
+        D = bb["enc_0"]["mhatt"]["linear_q"]["kernel"].shape[0]
+        F = bb["enc_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+            "kernel"].shape[1]
+        if megakernel_vmem_ok(D, F):
+            from mcan_vqa_tpu.ops.sga_block import prepare_sa_block_params
+            for i in range(num_layers):
+                bb[f"enc_{i}"]["_mk"] = prepare_sa_block_params(bb[f"enc_{i}"])
+    return out
+
+
+def make_classifier_serving_fn(num_layers: int, num_heads: int,
+                               bf16_stream: bool = True,
+                               use_sa_megakernel: bool = True,
+                               interpret: bool = False):
+    """Build forward(params, img_feat) -> logits [B, A] for ClassifierNet.
+
+    The image-only twin of ``make_serving_fn``: each SA encoder block runs
+    through the fused SA-block megakernel (the [B, 60, D] image-stream
+    geometry the SGA megakernel engine already wins on), AttFlat/LN/proj
+    in XLA. Golden-tested against ``model.apply``
+    (tests/test_serving.py::TestClassifierServing). Reference parity
+    anchor: core/model/net.py:140-196 (ClassifierNet forward)."""
+    stream = jnp.bfloat16 if bf16_stream else jnp.float32
+
+    def forward(params, img_feat):
+        v_mask = make_mask(img_feat)
+        v = _dense(params["img_feat_linear"], img_feat).astype(stream)
+        bb = params["backbone"]
+        mk = use_sa_megakernel
+        if mk:
+            D = v.shape[-1]
+            F_ff = bb["enc_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+                "kernel"].shape[1]
+            mk = megakernel_vmem_ok(D, F_ff)
+        if mk:
+            from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,
+                                                    prepare_sa_block_params)
+            for i in range(num_layers):
+                p = bb[f"enc_{i}"]
+                wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
+                v = fused_sa_block(v, v_mask, wp, num_heads=num_heads,
+                                   interpret=interpret)
+        else:
+            for i in range(num_layers):
+                p = bb[f"enc_{i}"]
+                att = _mhatt(p["mhatt"], v, v, v, v_mask, num_heads,
+                             False, interpret)
+                v = _std_layer_norm(p["norm1"], v + att.astype(stream),
+                                    out_dtype=stream)
+                v = _std_layer_norm(
+                    p["norm2"], v + _mlp(p["ffn"]["mlp"], v).astype(stream),
+                    out_dtype=stream)
+        img_flat, _ = _attflat(params["attflat_img"], v, v_mask, False,
+                               interpret)
+        fused = _std_layer_norm(params["proj_norm"], img_flat)
+        return _dense(params["proj"], fused)
+
+    return forward
+
+
 def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
            interpret: bool, merge: bool = True):
     B, Lq, D = q.shape

@@ -385,12 +385,13 @@ class Trainer:
                 and self.cfg.hidden_size <= 1024)
 
     def _use_fused_eval(self) -> bool:
-        """Fused-engine eval: VQA task on a pure-DP mesh (the fused engine
-        has no TP wiring). "auto" requires a TPU backend and one process;
-        "fused" forces it (CPU: kernels in interpret mode, test-only).
-        dp>1 runs the engine per data shard under shard_map."""
+        """Fused-engine eval on a pure-DP mesh (the fused engines have no
+        TP wiring): VQA via the megakernel serving engine, classifier via
+        the SA-block megakernel twin. "auto" requires a TPU backend and
+        one process; "fused" forces it (CPU: kernels in interpret mode,
+        test-only). dp>1 runs the engine per data shard under shard_map."""
         mode = getattr(self.cfg, "eval_engine", "auto")
-        if mode == "plain" or self.image_only:
+        if mode == "plain":
             return False
         if dict(self.cfg.mesh_shape).get("model", 1) != 1:
             return False
@@ -425,36 +426,49 @@ class Trainer:
             # mid-training evals see the current weights. dp>1: the
             # engine runs per data shard under shard_map (params
             # replicated, batch sharded over "data").
-            from mcan_vqa_tpu.ops.serving import (make_serving_fn,
-                                                  prepare_params)
+            from mcan_vqa_tpu.ops.serving import (
+                make_classifier_serving_fn, make_serving_fn,
+                prepare_classifier_params, prepare_params)
             if self._jit_eval is None:
                 on_tpu = jax.default_backend() == "tpu"
-                serve = make_serving_fn(cfg.layer, cfg.multi_head,
-                                        use_pallas=False,
-                                        use_pallas_ffn=True,
-                                        use_sga_megakernel=2,
-                                        bf16_stream=True,
-                                        interpret=not on_tpu)
+                if self.image_only:
+                    # classifier: SA-block megakernel twin of the engine
+                    serve = make_classifier_serving_fn(
+                        cfg.layer, cfg.multi_head, bf16_stream=True,
+                        interpret=not on_tpu)
+                else:
+                    serve = make_serving_fn(cfg.layer, cfg.multi_head,
+                                            use_pallas=False,
+                                            use_pallas_ffn=True,
+                                            use_sga_megakernel=2,
+                                            bf16_stream=True,
+                                            interpret=not on_tpu)
                 # bf16_stream ships by default — accuracy-gated by
                 # tests/test_bf16_stream.py + the full-size oracle bound
                 # (test_full_size_parity.py); bench.py reports this config.
                 import jax.numpy as jnp
 
-                def _fused_eval(p, img, ques):
+                def _fused_eval(p, *inputs):
                     return jax.nn.sigmoid(
-                        serve(p, img, ques).astype(jnp.float32))
+                        serve(p, *inputs).astype(jnp.float32))
 
                 if self.mesh.devices.size == 1:
                     self._jit_eval = jax.jit(_fused_eval)
                 else:
                     from jax import shard_map
                     from jax.sharding import PartitionSpec as P
+                    n_in = 1 if self.image_only else 2
                     self._jit_eval = jax.jit(shard_map(
                         _fused_eval, mesh=self.mesh,
-                        in_specs=(P(), P("data"), P("data")),
+                        in_specs=(P(),) + (P("data"),) * n_in,
                         out_specs=P("data"), check_vma=False))
-            eval_params = prepare_params(state.params, cfg.layer,
-                                         num_heads=cfg.multi_head)
+            if self.image_only:
+                eval_params = prepare_classifier_params(state.params,
+                                                        cfg.layer)
+            else:
+                eval_params = prepare_params(state.params, cfg.layer,
+                                             num_heads=cfg.multi_head,
+                                             alllayer=False)
         elif self._jit_eval is None:
             self._jit_eval = shd.jit_eval_step(
                 make_eval_step(self.model, image_only=self.image_only),

@@ -114,6 +114,73 @@ class TestPackedServing:
                                    atol=5e-2, rtol=5e-2)
 
 
+class TestClassifierServing:
+    def _setup(self):
+        from mcan_vqa_tpu.models.net import ClassifierNet
+        model = ClassifierNet(answer_size=14, hidden_size=32, num_layers=2,
+                              num_heads=4, ff_size=128, img_feat_size=48,
+                              flat_mlp_size=16, flat_out_size=32,
+                              dtype=jnp.float32)
+        rng = np.random.default_rng(33)
+        img = rng.normal(size=(4, 10, 48)).astype(np.float32)
+        img[1, 6:] = 0.0
+        img[3, 3:] = 0.0
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            img)["params"]
+        return model, params, img
+
+    def test_matches_model_apply(self):
+        from mcan_vqa_tpu.ops.serving import make_classifier_serving_fn
+        model, params, img = self._setup()
+        fwd = make_classifier_serving_fn(2, 4, interpret=True)
+        ours = fwd(params, img)
+        ref = model.apply({"params": params}, img,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_prepared_params_match(self):
+        from mcan_vqa_tpu.ops.serving import (make_classifier_serving_fn,
+                                              prepare_classifier_params)
+        model, params, img = self._setup()
+        prepared = prepare_classifier_params(params, 2)
+        assert "_mk" in prepared["backbone"]["enc_0"]
+        fwd = make_classifier_serving_fn(2, 4, interpret=True)
+        ours = fwd(prepared, img)
+        ref = model.apply({"params": params}, img,
+                          deterministic=True)["logits"]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_trainer_fused_classifier_eval_matches_plain(self, tmp_path):
+        """Trainer.predict with eval_engine='fused' (classifier task) ==
+        the plain model.apply eval path."""
+        from mcan_vqa_tpu.configs import Config
+        from mcan_vqa_tpu.data.mimic import SyntheticMIMICDataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        base = dict(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                    img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                    flat_mlp_size=16, batch_size=8, eval_batch_size=8,
+                    max_epoch=1, num_workers=1, compute_dtype="float32",
+                    use_glove=False, verbose=False,
+                    ckpts_dir=str(tmp_path / "ckpts"),
+                    log_path=str(tmp_path / "log"),
+                    result_path=str(tmp_path / "results"))
+        outs = {}
+        for mode in ("plain", "fused"):
+            cfg = Config(**base, eval_engine=mode).finalize()
+            ds = SyntheticMIMICDataset(cfg, size=12, answer_size=14,
+                                       run_mode="val", seed=5)
+            tr = Trainer(cfg, eval_datasets={"val": ds}, task="classify")
+            tr.ensure_state()
+            outs[mode] = tr.predict(ds)
+        np.testing.assert_array_equal(outs["plain"]["qids"],
+                                      outs["fused"]["qids"])
+        np.testing.assert_allclose(outs["fused"]["probs"],
+                                   outs["plain"]["probs"],
+                                   atol=5e-3, rtol=5e-3)
+
+
 class TestSGAMegakernel:
     def test_megakernel_serving_matches_model(self):
         """Whole-decoder-block fused kernel vs model.apply, realistic masks."""
