@@ -95,13 +95,13 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
     TPU hardware PRNG inside the kernels (no mask generation or HBM
     mask traffic; TPU-only — the Mosaic PRNG has no CPU lowering).
     fused_encoder: run the encoder SA stack through the custom-VJP fused
-    SA blocks (ops/sa_train.py) instead of the XLA composition. Measured
-    SLIGHTLY SLOWER on TPU v5e (44.1 vs 43.4 ms/step at MCAN-small
-    B=256): the encoder's [B*14, D] matmuls are large enough that XLA
-    autodiff is already efficient, and the packed-group kernels add
-    relayout overhead without a matching HBM saving (the question stream
-    is 4x smaller than the image stream). Kept as a measured option;
-    default off.
+    SA blocks (ops/sa_train.py) instead of the XLA composition. The r2
+    emission-style kernels measured slightly slower here (44.1 vs 43.4
+    ms/step); the r3 in-kernel-dW redesign REVERSED that — fused G=16 is
+    7,129 vs 6,781 samples/s with the XLA encoder (same-session,
+    docs/PERFORMANCE.md), and the Trainer ships fused_encoder=True with
+    encoder_group=16 at hidden<=512 (at D=1024 the XLA encoder still
+    wins; the Trainer's gate reflects that).
     """
 
     def forward(params, img_feat, ques_ix, rng):
