@@ -248,3 +248,23 @@ class TestEvaluatorOracleFuzz:
         scores = set(acc["perQuestion"].values())
         assert 0.0 in scores and 100.0 in scores
         assert any(0.0 < s < 100.0 for s in scores)
+
+    def test_compat_facade_matches_on_fuzz(self, fuzz_files):
+        """The drop-in VQA/VQAEval facade agrees with the reference on the
+        same randomized sweep (not just the curated cases)."""
+        ann_f, ques_f, res_f = fuzz_files
+        sys.path.insert(0, REFERENCE)
+        try:
+            from utils.vqa import VQA as RefVQA  # noqa: PLC0415
+            from utils.vqaEval import VQAEval as RefVQAEval  # noqa: PLC0415
+            rvqa = RefVQA(ann_f, ques_f)
+            rev = RefVQAEval(rvqa, rvqa.loadRes(res_f, ques_f), n=2)
+            rev.evaluate()
+        finally:
+            sys.path.remove(REFERENCE)
+        from mcan_vqa_tpu.evals.compat import VQA, VQAEval
+        vqa = VQA(ann_f, ques_f)
+        ev = VQAEval(vqa, vqa.loadRes(res_f, ques_f), n=2)
+        ev.evaluate()
+        assert dict(ev.evalQA) == dict(rev.evalQA)
+        assert abs(ev.accuracy["overall"] - rev.accuracy["overall"]) < 1e-9
