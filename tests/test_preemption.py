@@ -41,3 +41,32 @@ class TestPreemption:
         log = open(tmp_path / "log" / f"log_run_{cfg.version}.txt").read()
         assert "checkpoint-and-exit requested" in log
         assert int(state.step) > 0
+
+    def test_sigterm_checkpoints_classifier_task(self, tmp_path):
+        """Preemption safety holds for the classifier flow too."""
+        from mcan_vqa_tpu.data.mimic import SyntheticMIMICDataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                     img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                     flat_mlp_size=16, batch_size=8, max_epoch=50,
+                     num_workers=1, compute_dtype="float32", use_glove=False,
+                     verbose=False, eval_every_epoch=False, eval_interval=0,
+                     ckpts_dir=str(tmp_path / "ckpts"),
+                     log_path=str(tmp_path / "log"),
+                     result_path=str(tmp_path / "results")).finalize()
+        ds = SyntheticMIMICDataset(cfg, size=512, answer_size=14,
+                                   run_mode="train")
+        trainer = Trainer(cfg, train_dataset=ds, task="classify")
+        killer = threading.Timer(8.0, lambda: os.kill(os.getpid(),
+                                                      signal.SIGTERM))
+        killer.start()
+        try:
+            state = trainer.train()
+        finally:
+            killer.cancel()
+        ckpt_root = tmp_path / "ckpts" / f"ckpt_{cfg.version}"
+        epochs = sorted(os.listdir(ckpt_root))
+        assert epochs and len(epochs) < 50
+        log = open(tmp_path / "log" / f"log_run_{cfg.version}.txt").read()
+        assert "checkpoint-and-exit requested" in log
+        assert int(state.step) > 0
