@@ -103,13 +103,17 @@ def main() -> None:
         # packed), so attention variants are compared like-for-like.
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
         sga_mode = int(os.environ.get("BENCH_SGA", "2"))
+        # BENCH_QFFN=1: mixed-precision megakernels — FFN matmuls int8 on
+        # the MXU, attention/projections/stream bf16 (ops/quant.py qffn).
+        use_qffn = os.environ.get("BENCH_QFFN", "0") == "1"
         # alllayer only for the mode-3/4/5 experiments: the shipped config
         # (and the Predictor) runs the per-block engine without the ~86 MB
         # stacked layouts, so bench == production program exactly
         params = prepare_params(
             params, cfg.layer, num_heads=cfg.multi_head,
             alllayer=sga_mode >= 3
-            or os.environ.get("BENCH_ALLLAYER", "0") == "1")
+            or os.environ.get("BENCH_ALLLAYER", "0") == "1",
+            qffn=use_qffn)
         # bf16 residual stream is the default HERE AND IN PRODUCTION
         # (Predictor + Trainer fused eval ship bf16_stream=True): gated by
         # tests/test_bf16_stream.py (top-1 agreement >= 99.5%, |d_acc| <=
@@ -127,7 +131,8 @@ def main() -> None:
             # (MCAN-large). BENCH_SGA=0 restores the per-sub-op engine.
             use_sga_megakernel=sga_mode,
             sga_group=int(os.environ.get("BENCH_SGA_GROUP", "4")),
-            use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1")
+            use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1",
+            qffn=use_qffn)
     elif use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn
         forward = make_serving_fn(cfg.layer, cfg.multi_head,

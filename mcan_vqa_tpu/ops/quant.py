@@ -513,6 +513,262 @@ def fused_quant_sa_block(x, x_mask, wp, *, num_heads: int, group: int = 0,
       wp["ln2_s"], wp["ln2_b"])
 
 
+# ------------------------------------------------ mixed int8-FFN blocks
+#
+# The full int8 megakernels LOSE at D=512 (35.9K vs bf16 38.6K pairs/s,
+# docs/PERFORMANCE.md): the per-row activation-quant VPU work around the
+# [*, 512] projections costs more than the int8 MXU rate saves on their
+# small-N matmuls. The FFN is the opposite regime — ~57% of block MACs,
+# and its w1 quant ([M, 512] input) amortizes over F=2048 output
+# columns. These kernels are the bf16 fused-projection megakernels
+# (ops/sga_block._sga_kernel_fusedproj / _sa_kernel) with ONLY the FFN
+# matmuls in int8: attention, projections, residual stream and LN stay
+# exactly the shipped bf16 path. Opt-in via make_serving_fn(qffn=True) /
+# BENCH_QFFN=1; accuracy-gated in tests/test_quant.py.
+
+def prepare_qffn_params(p: Dict[str, Any]) -> Dict[str, Any]:
+    """One block's FFN (raw or bf16 tree) -> int8 weights + f32 scales."""
+    mlp = p["ffn"]["mlp"]
+    q1 = _quant_w(mlp["FCLayer_0"]["Dense_0"]["kernel"])
+    q2 = _quant_w(mlp["Dense_0"]["kernel"])
+    return {
+        "w1_q": q1["w_q"], "s1": q1["w_scale"],
+        "b1": mlp["FCLayer_0"]["Dense_0"]["bias"].astype(jnp.float32),
+        "w2_q": q2["w_q"], "s2": q2["w_scale"],
+        "b2": mlp["Dense_0"]["bias"].astype(jnp.float32),
+    }
+
+
+def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
+                     wqkv_ref, bqkv_ref, wm1_ref, bm1_ref,
+                     ln1s_ref, ln1b_ref,
+                     wq2_ref, bq2_ref, wm2_ref, bm2_ref,
+                     ln2s_ref, ln2b_ref,
+                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
+                     ln3s_ref, ln3b_ref,
+                     o_ref, *, heads: int, group: int, scale: float):
+    """bf16 fused-projection SGA megakernel with an int8 FFN."""
+    G = group
+    Lv, D = v_ref.shape[1], v_ref.shape[2]
+    Lq = kq_ref.shape[2]
+    Dh = D // heads
+    M, N = G * Lv, G * Lq
+
+    x = v_ref[:].reshape(M, D).astype(jnp.float32)
+
+    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
+              != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
+    self_mask = (vv_off.astype(jnp.float32)
+                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    cross_mask = (vq_off.astype(jnp.float32)
+                  + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    def sdpa(qh, kh, vh, mask_add):
+        s = jax.lax.dot_general(
+            qh.astype(BF16), kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
+        return jnp.dot(att, vh, preferred_element_type=jnp.float32)
+
+    # ---- self-attention: ONE bf16 qkv matmul, lane-sliced heads ----
+    qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
+                  preferred_element_type=jnp.float32) + bqkv_ref[:]
+    ohs = []
+    for h in range(heads):
+        qh = qkv[:, h * Dh:(h + 1) * Dh]
+        kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
+        vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
+        ohs.append(sdpa(qh, kh, vh, self_mask))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = jnp.dot(atted.astype(BF16), wm1_ref[:].astype(BF16),
+                preferred_element_type=jnp.float32)
+    v1 = _kln(x + y + bm1_ref[:], ln1s_ref[:], ln1b_ref[:])
+
+    # ---- cross-attention (keys/values pre-projected outside) ----
+    qx = jnp.dot(v1.astype(BF16), wq2_ref[:].astype(BF16),
+                 preferred_element_type=jnp.float32) + bq2_ref[:]
+    ohs = []
+    for h in range(heads):
+        kh = kq_ref[:, h].reshape(N, Dh).astype(BF16)
+        vh = vq_ref[:, h].reshape(N, Dh).astype(BF16)
+        ohs.append(sdpa(qx[:, h * Dh:(h + 1) * Dh], kh, vh, cross_mask))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = jnp.dot(atted.astype(BF16), wm2_ref[:].astype(BF16),
+                preferred_element_type=jnp.float32)
+    v2 = _kln(v1 + y + bm2_ref[:], ln2s_ref[:], ln2b_ref[:])
+
+    # ---- FFN: int8 x int8 -> int32 on the MXU ----
+    h1 = jnp.maximum(_qdot(v2, w1q_ref, s1_ref, b1_ref[:]), 0.0)
+    y = _qdot(h1, w2q_ref, s2_ref, b2_ref[:])
+    v3 = _kln(v2 + y, ln3s_ref[:], ln3b_ref[:])
+
+    o_ref[:] = v3.reshape(G, Lv, D).astype(o_ref.dtype)
+
+
+def _sa_kernel_qffn(x_ref, pad_ref,
+                    wqkv_ref, bqkv_ref, wm_ref, bm_ref,
+                    ln1s_ref, ln1b_ref,
+                    w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
+                    ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
+                    scale: float):
+    """bf16 SA-block megakernel with an int8 FFN."""
+    G = group
+    Lq, D = x_ref.shape[1], x_ref.shape[2]
+    Dh = D // heads
+    M = G * Lq
+
+    x = x_ref[:].reshape(M, D).astype(jnp.float32)
+    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+    mask_add = (off.astype(jnp.float32)
+                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+
+    qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
+                  preferred_element_type=jnp.float32) + bqkv_ref[:]
+    ohs = []
+    for h in range(heads):
+        qh = qkv[:, h * Dh:(h + 1) * Dh].astype(BF16)
+        kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
+        vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + mask_add
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
+        ohs.append(jnp.dot(att, vh, preferred_element_type=jnp.float32))
+    atted = jnp.concatenate(ohs, axis=1)
+    y = jnp.dot(atted.astype(BF16), wm_ref[:].astype(BF16),
+                preferred_element_type=jnp.float32)
+    x1 = _kln(x + y + bm_ref[:], ln1s_ref[:], ln1b_ref[:])
+
+    h1 = jnp.maximum(_qdot(x1, w1q_ref, s1_ref, b1_ref[:]), 0.0)
+    y = _qdot(h1, w2q_ref, s2_ref, b2_ref[:])
+    x2 = _kln(x1 + y, ln2s_ref[:], ln2b_ref[:])
+
+    o_ref[:] = x2.reshape(G, Lq, D).astype(o_ref.dtype)
+
+
+def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
+                         num_heads: int, group: int = 4,
+                         interpret: bool = False):
+    """One whole SGA block: bf16 attention/projections (wp =
+    prepare_sga_block_params layout), int8 FFN (qf = prepare_qffn_params).
+    Mirrors ops/sga_block.fused_sga_block(fused_proj=True)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lv, D = v.shape
+    Lq = kq.shape[2]
+    Dh = D // num_heads
+    H = num_heads
+    scale = 1.0 / (Dh ** 0.5)
+    G = max(1, group)
+    while B % G:
+        G -= 1
+
+    def flat_pad(mask, L):
+        if mask is None:
+            return jnp.zeros((B // G, 1, G * L), jnp.int8)
+        return mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * L)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    F = qf["w1_q"].shape[1]
+    return pl.pallas_call(
+        functools.partial(_sga_kernel_qffn, heads=H, group=G, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, Lq, Dh), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lv), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((D, 3 * D)), rep((3 * D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, D)), rep((D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, F)), rep((F,)), rep((F,)),
+            rep((F, D)), rep((D,)), rep((D,)),
+            rep((D,)), rep((D,)),
+        ],
+        out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lv, D), v.dtype),
+        compiler_params=_q_compiler_params(interpret),
+        interpret=interpret,
+    )(v, kq, vq, flat_pad(v_mask, Lv), flat_pad(q_mask, Lq),
+      wp["wqkv1"], wp["bqkv1"], wp["wm1_full"], wp["bm1"],
+      wp["ln1_s"], wp["ln1_b"],
+      wp["wq2_full"], wp["bq2_full"], wp["wm2_full"], wp["bm2"],
+      wp["ln2_s"], wp["ln2_b"],
+      qf["w1_q"], qf["s1"], qf["b1"], qf["w2_q"], qf["s2"], qf["b2"],
+      wp["ln3_s"], wp["ln3_b"])
+
+
+def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
+                        group: int = 0, interpret: bool = False):
+    """One whole SA encoder block: bf16 attention (wp =
+    prepare_sa_block_params layout), int8 FFN (qf)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, D = x.shape
+    H = num_heads
+    scale = 1.0 / ((D // H) ** 0.5)
+    G = group if group > 0 else max(1, 128 // Lq)
+    while B % G:
+        G -= 1
+
+    if x_mask is None:
+        pad = jnp.zeros((B // G, 1, G * Lq), jnp.int8)
+    else:
+        pad = x_mask[:, 0, 0].astype(jnp.int8).reshape(B // G, 1, G * Lq)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    F = qf["w1_q"].shape[1]
+    return pl.pallas_call(
+        functools.partial(_sa_kernel_qffn, heads=H, group=G, scale=scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((D, 3 * D)), rep((3 * D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, F)), rep((F,)), rep((F,)),
+            rep((F, D)), rep((D,)), rep((D,)),
+            rep((D,)), rep((D,)),
+        ],
+        out_specs=pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, D), x.dtype),
+        compiler_params=_q_compiler_params(interpret),
+        interpret=interpret,
+    )(x, pad,
+      wp["wqkv"], wp["bqkv"], wp["wm"], wp["bm"],
+      wp["ln1_s"], wp["ln1_b"],
+      qf["w1_q"], qf["s1"], qf["b1"], qf["w2_q"], qf["s2"], qf["b2"],
+      wp["ln2_s"], wp["ln2_b"])
+
+
 def make_quant_serving_fn(num_layers: int, num_heads: int,
                           megakernel: bool = False, group: int = 4,
                           interpret: bool = False):

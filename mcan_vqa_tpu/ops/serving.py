@@ -87,7 +87,8 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                    cast_bf16: bool = True,
                    megakernel: bool = True,
                    num_heads: int = 8,
-                   alllayer: bool = True) -> Dict[str, Any]:
+                   alllayer: bool = True,
+                   qffn: bool = False) -> Dict[str, Any]:
     """One-time param prep: fuse each attention block's projections.
 
     Self-attention (q=k=v source): W_q|W_k|W_v -> one [D, 3D] kernel.
@@ -100,6 +101,9 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     instead of on every forward call (~42 MB of weight concats per call at
     MCAN-small otherwise). Skipped automatically when the block exceeds
     the kernel's VMEM budget (MCAN-large).
+    qffn: additionally attach per-block int8 FFN weights (``_qffn``
+    entries, ops/quant.prepare_qffn_params) for the mixed int8-FFN
+    megakernels (make_serving_fn(qffn=True)).
     """
     def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
         # jnp (not np): params may live on device; keep the concat there
@@ -150,6 +154,13 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                     prepare_sa_encoder_params)
                 bb["_mk_dec"] = prepare_sga_decoder_params(bb, num_layers)
                 bb["_mk_enc"] = prepare_sa_encoder_params(bb, num_layers)
+            if qffn:
+                from mcan_vqa_tpu.ops.quant import prepare_qffn_params
+                for i in range(num_layers):
+                    bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
+                        bb[f"enc_{i}"])
+                    bb[f"dec_{i}"]["_qffn"] = prepare_qffn_params(
+                        bb[f"dec_{i}"])
     return out
 
 
@@ -320,7 +331,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     use_pallas_ffn: bool = False,
                     use_sga_megakernel: bool = False,
                     sga_group: int = 4,
-                    use_pallas_attflat: bool = False):
+                    use_pallas_attflat: bool = False,
+                    qffn: bool = False):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
@@ -345,6 +357,11 @@ def make_serving_fn(num_layers: int, num_heads: int,
     Predictor's small latency buckets route here). 3/4/5 degrade to 2
     when the stacked weights exceed VMEM (MCAN-large).
     sga_group = samples packed per matmul inside it.
+    qffn: run each per-block megakernel's FFN matmuls in int8 on the MXU
+    (mixed precision: attention/projections/stream stay the bf16 path) —
+    requires prepare_params(qffn=True) ``_qffn`` entries (falls back to
+    the bf16 FFN per block when absent) and sga_mode 2 (the shipped
+    per-block engine).
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
 
@@ -415,8 +432,14 @@ def make_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
-                q = fused_sa_block(q, q_mask, wp, num_heads=num_heads,
-                                   interpret=interpret)
+                if qffn and "_qffn" in p:
+                    from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
+                    q = fused_qffn_sa_block(q, q_mask, wp, p["_qffn"],
+                                            num_heads=num_heads,
+                                            interpret=interpret)
+                else:
+                    q = fused_sa_block(q, q_mask, wp, num_heads=num_heads,
+                                       interpret=interpret)
         else:
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
@@ -467,11 +490,18 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
                 wp = (p["_mk"] if "_mk" in p
                       else prepare_sga_block_params(p, num_heads))
-                v = fused_sga_block(
-                    v, kq, vq, v_mask, q_mask, wp,
-                    num_heads=num_heads, group=sga_group,
-                    fused_proj=(sga_mode == 2),
-                    interpret=interpret)
+                if qffn and sga_mode == 2 and "_qffn" in p:
+                    from mcan_vqa_tpu.ops.quant import fused_qffn_sga_block
+                    v = fused_qffn_sga_block(
+                        v, kq, vq, v_mask, q_mask, wp, p["_qffn"],
+                        num_heads=num_heads, group=sga_group,
+                        interpret=interpret)
+                else:
+                    v = fused_sga_block(
+                        v, kq, vq, v_mask, q_mask, wp,
+                        num_heads=num_heads, group=sga_group,
+                        fused_proj=(sga_mode == 2),
+                        interpret=interpret)
         if sga_mode:
             lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
                                     use_pallas or use_pallas_attflat,

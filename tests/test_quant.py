@@ -47,10 +47,17 @@ def trained(tmp_path_factory):
 def _logits(cfg, trainer, ds, quant):
     from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                         quantize_params)
-    from mcan_vqa_tpu.ops.serving import make_serving_fn
+    from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
     params = jax.device_get(trainer.state.params)
     batch = {k: np.stack([ds.example(i)[k] for i in range(len(ds))])
              for k in ("img", "ques")}
+    if quant == "qffn":
+        pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
+                            alllayer=False, qffn=True)
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_sga_megakernel=2, interpret=True,
+                              qffn=True)
+        return np.asarray(fwd(pp, batch["img"], batch["ques"]))
     if quant:
         qp = quantize_params(params, cfg.layer)
         fwd = make_quant_serving_fn(cfg.layer, cfg.multi_head)
@@ -95,6 +102,78 @@ class TestInt8Accuracy:
         l8 = _logits(cfg, trainer, ds, quant=True)
         denom = np.abs(l32).max()
         assert np.abs(l8 - l32).max() / denom < 0.08
+
+
+class TestQffnAccuracy:
+    """Gate for the mixed int8-FFN megakernels (ops/quant.py qffn):
+    only the FFN matmuls are quantized, so the bar is the DEFAULT
+    path's (the bf16_stream gate): top-1 agreement >= 99.5% and
+    |d_acc| <= 0.1 points on trained real-format data."""
+
+    def test_official_accuracy_delta(self, trained):
+        from mcan_vqa_tpu.evals import vqa_eval
+        cfg, ds, trainer = trained
+        l32 = _logits(cfg, trainer, ds, quant=False)
+        lq = _logits(cfg, trainer, ds, quant="qffn")
+
+        top32, topq = l32.argmax(1), lq.argmax(1)
+        agreement = float((top32 == topq).mean())
+
+        gts = {a["question_id"]: {"answers": [x["answer"]
+                                              for x in a["answers"]]}
+               for a in ds.ans_list}
+
+        def acc(top):
+            res = {int(q["question_id"]): ds.ix_to_ans[str(int(t))]
+                   for q, t in zip(ds.ques_list, top)}
+            return vqa_eval.evaluate(gts, res)["overall"]
+
+        acc32, accq = acc(top32), acc(topq)
+        print(f"\nqffn gate: agreement={agreement:.4f} "
+              f"acc32={acc32:.2f} accq={accq:.2f}")
+        assert acc32 > 80.0
+        assert agreement >= 0.995, (agreement, acc32, accq)
+        assert abs(acc32 - accq) <= 0.1, (acc32, accq)
+
+    def test_logit_perturbation_bounded(self, trained):
+        cfg, ds, trainer = trained
+        l32 = _logits(cfg, trainer, ds, quant=False)
+        lq = _logits(cfg, trainer, ds, quant="qffn")
+        denom = np.abs(l32).max()
+        assert np.abs(lq - l32).max() / denom < 0.05
+
+
+def test_qffn_matches_model_random_init():
+    """qffn engine correctness independent of training: int8-FFN
+    megakernel forward (interpret) vs model.apply, masks exercised."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.models.net import build_mcan
+    from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+    cfg = Config(hidden_size=64, layer=2, multi_head=4, flat_mlp_size=32,
+                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                 use_glove=False).finalize()
+    model = build_mcan(cfg, token_size=50, answer_size=17)
+    B = 8
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 12, 48),
+                            jnp.float32)
+    img = img.at[0, -4:].set(0.0)
+    ques = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.max_token),
+                              1, 50, jnp.int32)
+    ques = ques.at[1, -3:].set(0)
+    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+        "params"]
+    ref = model.apply({"params": params}, img, ques,
+                      deterministic=True)["logits"]
+    pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
+                        alllayer=False, qffn=True)
+    got = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                          use_sga_megakernel=2, interpret=True,
+                          qffn=True)(pp, img, ques)
+    pr = jax.nn.softmax(ref, -1)
+    pg = jax.nn.softmax(got, -1)
+    assert float(jnp.mean(jnp.argmax(ref, -1) == jnp.argmax(got, -1))) == 1.0
+    assert float(jnp.max(jnp.abs(pr - pg))) < 0.02
 
 
 def test_quant_megakernel_matches_xla_engine():
