@@ -103,9 +103,15 @@ def main() -> None:
         # packed), so attention variants are compared like-for-like.
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
         sga_mode = int(os.environ.get("BENCH_SGA", "2"))
-        # BENCH_QFFN=1: mixed-precision megakernels — FFN matmuls int8 on
-        # the MXU, attention/projections/stream bf16 (ops/quant.py qffn).
-        use_qffn = os.environ.get("BENCH_QFFN", "0") == "1"
+        # Mixed-precision megakernels (DEFAULT here and in production —
+        # Predictor "fused" + Trainer fused eval ship the same config):
+        # FFN matmuls int8 on the MXU, attention/projections/stream bf16
+        # (ops/quant.py qffn). Same-session A/Bs: small 43,645 vs 38,356
+        # (+13.8%), large 15,890 vs 13,000 (+22%). Gated at the default
+        # path's accuracy bar (tests/test_quant.py TestQffnAccuracy,
+        # tests/test_full_size_parity.py TestFullSizeQffn). BENCH_QFFN=0
+        # restores the all-bf16 megakernels.
+        use_qffn = os.environ.get("BENCH_QFFN", "1") == "1"
         # alllayer only for the mode-3/4/5 experiments: the shipped config
         # (and the Predictor) runs the per-block engine without the ~86 MB
         # stacked layouts, so bench == production program exactly

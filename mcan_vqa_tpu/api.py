@@ -96,18 +96,20 @@ class Predictor:
             # weights that exported artifacts would carry as dead arrays)
             self.params = prepare_params(params, cfg.layer,
                                          num_heads=cfg.multi_head,
-                                         alllayer=False)
+                                         alllayer=False, qffn=True)
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
                                     use_sga_megakernel=2,
-                                    bf16_stream=True,
+                                    bf16_stream=True, qffn=True,
                                     interpret=jax.default_backend() != "tpu")
-            # bf16_stream ships by default: gated by
-            # tests/test_bf16_stream.py (top-1 agreement >= 99.5%,
-            # |d_acc| <= 0.1pt on trained real-format data) and
-            # tests/test_full_size_parity.py::TestFullSizeBF16Stream
-            # (full-size logit-delta bound vs the torch oracle, no
-            # decision flips) — same config bench.py reports.
+            # bf16_stream AND the int8-FFN megakernels (qffn) ship by
+            # default: gated by tests/test_bf16_stream.py +
+            # tests/test_quant.py::TestQffnAccuracy (top-1 agreement >=
+            # 99.5%, |d_acc| <= 0.1pt on trained real-format data) and
+            # the full-size torch-oracle logit bounds
+            # (test_full_size_parity.py TestFullSizeBF16Stream /
+            # TestFullSizeQffn, no decision flips) — same config bench.py
+            # reports (small 43.6K, large 15.9K pairs/s same-session).
 
             def forward(params, img, ques):
                 return jax.nn.sigmoid(

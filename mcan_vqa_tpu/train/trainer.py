@@ -441,11 +441,13 @@ class Trainer:
                                             use_pallas=False,
                                             use_pallas_ffn=True,
                                             use_sga_megakernel=2,
-                                            bf16_stream=True,
+                                            bf16_stream=True, qffn=True,
                                             interpret=not on_tpu)
-                # bf16_stream ships by default — accuracy-gated by
-                # tests/test_bf16_stream.py + the full-size oracle bound
-                # (test_full_size_parity.py); bench.py reports this config.
+                # bf16_stream + int8-FFN megakernels (qffn) ship by
+                # default — accuracy-gated by tests/test_bf16_stream.py,
+                # test_quant.py::TestQffnAccuracy + the full-size oracle
+                # bounds (test_full_size_parity.py); bench.py reports
+                # this same config.
                 import jax.numpy as jnp
 
                 def _fused_eval(p, *inputs):
@@ -468,7 +470,7 @@ class Trainer:
             else:
                 eval_params = prepare_params(state.params, cfg.layer,
                                              num_heads=cfg.multi_head,
-                                             alllayer=False)
+                                             alllayer=False, qffn=True)
         elif self._jit_eval is None:
             self._jit_eval = shd.jit_eval_step(
                 make_eval_step(self.model, image_only=self.image_only),

@@ -264,3 +264,50 @@ class TestFullSizeBF16Stream:
         assert rel < 0.02, rel
         assert agree_t == 1.0
         np.testing.assert_array_equal(l16.argmax(1), l32.argmax(1))
+
+
+class TestFullSizeQffn:
+    def test_qffn_logit_delta_vs_oracle(self, oracle):
+        """Full-size (512/6/8/3129) mixed int8-FFN megakernel engine
+        (ops/quant.py qffn, interpret mode) vs the torch oracle: bounded
+        prob delta, identical top-1. The full-size half of the qffn gate
+        (tests/test_quant.py covers trained real-format data)."""
+        import torch
+
+        from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+        from mcan_vqa_tpu.train.checkpoint import import_torch_state_dict
+
+        refnet, net, init = oracle
+        net.load_state_dict(init)
+        net.eval()
+
+        B = 8
+        rng = np.random.default_rng(11)
+        img = rng.normal(size=(B, L_V, IMG_FEAT)).astype(np.float32)
+        ques = rng.integers(1, TOKEN_SIZE, size=(B, L_Q)).astype(np.int64)
+        for b in range(B):
+            img[b, int(rng.integers(8, L_V + 1)):] = 0.0
+            ques[b, int(rng.integers(3, L_Q + 1)):] = 0
+
+        with torch.no_grad():
+            ref_probs = net(torch.from_numpy(img),
+                            torch.from_numpy(ques))[0].numpy()
+
+        params = import_torch_state_dict(init)
+        sp = prepare_params(params, LAYER, num_heads=HEADS, alllayer=False,
+                            qffn=True)
+        serve = make_serving_fn(LAYER, HEADS, use_pallas=False,
+                                bf16_stream=True, use_sga_megakernel=2,
+                                interpret=True, qffn=True)
+        lq = np.asarray(serve(sp, img, ques.astype(np.int32)))
+        pq = 1.0 / (1.0 + np.exp(-lq.astype(np.float64)))
+
+        delta = np.abs(pq - ref_probs).max()
+        agree = float((lq.argmax(1) == ref_probs.argmax(1)).mean())
+        print(f"\nfull-size qffn: max_prob_delta_vs_torch={delta:.6f} "
+              f"top1_agreement_vs_torch={agree:.3f}")
+        # bf16 matmuls alone measure ~3e-3 prob delta vs the fp32 oracle
+        # at full size (TestFullSizeBF16Stream); int8-FFN quantization is
+        # allowed <~5x that, and no decision may flip.
+        assert delta < 0.02, delta
+        assert agree == 1.0
