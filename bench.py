@@ -111,7 +111,9 @@ def main() -> None:
         # path's accuracy bar (tests/test_quant.py TestQffnAccuracy,
         # tests/test_full_size_parity.py TestFullSizeQffn). BENCH_QFFN=0
         # restores the all-bf16 megakernels.
-        use_qffn = os.environ.get("BENCH_QFFN", "1") == "1"
+        # BENCH_QFFN=2 additionally quantizes the self-attention qkv
+        # projections (experimental; measured in docs/PERFORMANCE.md).
+        use_qffn = int(os.environ.get("BENCH_QFFN", "1"))
         # alllayer only for the mode-3/4/5 experiments: the shipped config
         # (and the Predictor) runs the per-block engine without the ~86 MB
         # stacked layouts, so bench == production program exactly

@@ -526,27 +526,42 @@ def fused_quant_sa_block(x, x_mask, wp, *, num_heads: int, group: int = 0,
 # exactly the shipped bf16 path. Opt-in via make_serving_fn(qffn=True) /
 # BENCH_QFFN=1; accuracy-gated in tests/test_quant.py.
 
-def prepare_qffn_params(p: Dict[str, Any]) -> Dict[str, Any]:
-    """One block's FFN (raw or bf16 tree) -> int8 weights + f32 scales."""
+def prepare_qffn_params(p: Dict[str, Any],
+                        qkv_int8: bool = False) -> Dict[str, Any]:
+    """One block's FFN (raw or bf16 tree) -> int8 weights + f32 scales.
+
+    qkv_int8: also quantize the SELF-attention qkv projection (the
+    block's second-best quant-overhead-to-MXU-gain ratio after w1) —
+    the kernels then take the fused [D, 3D] kernel int8. Cross-attention
+    q/merge projections stay bf16 always (the regime where full int8
+    measured a loss)."""
     mlp = p["ffn"]["mlp"]
     q1 = _quant_w(mlp["FCLayer_0"]["Dense_0"]["kernel"])
     q2 = _quant_w(mlp["Dense_0"]["kernel"])
-    return {
+    out = {
         "w1_q": q1["w_q"], "s1": q1["w_scale"],
         "b1": mlp["FCLayer_0"]["Dense_0"]["bias"].astype(jnp.float32),
         "w2_q": q2["w_q"], "s2": q2["w_scale"],
         "b2": mlp["Dense_0"]["bias"].astype(jnp.float32),
     }
+    if qkv_int8:
+        m = p["mhatt1"] if "mhatt1" in p else p["mhatt"]
+        qq = _quant_w(jnp.concatenate([m["linear_q"]["kernel"],
+                                       m["linear_k"]["kernel"],
+                                       m["linear_v"]["kernel"]], axis=1))
+        out["wqkv_q"], out["sqkv"] = qq["w_q"], qq["w_scale"]
+    return out
 
 
 def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
-                     wqkv_ref, bqkv_ref, wm1_ref, bm1_ref,
+                     wqkv_ref, sqkv_ref, bqkv_ref, wm1_ref, bm1_ref,
                      ln1s_ref, ln1b_ref,
                      wq2_ref, bq2_ref, wm2_ref, bm2_ref,
                      ln2s_ref, ln2b_ref,
                      w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                      ln3s_ref, ln3b_ref,
-                     o_ref, *, heads: int, group: int, scale: float):
+                     o_ref, *, heads: int, group: int, scale: float,
+                     qkv_int8: bool = False):
     """bf16 fused-projection SGA megakernel with an int8 FFN."""
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
@@ -576,9 +591,12 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
         return jnp.dot(att, vh, preferred_element_type=jnp.float32)
 
-    # ---- self-attention: ONE bf16 qkv matmul, lane-sliced heads ----
-    qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
-                  preferred_element_type=jnp.float32) + bqkv_ref[:]
+    # ---- self-attention: ONE qkv matmul (bf16 or int8), lane slices ----
+    if qkv_int8:
+        qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
+    else:
+        qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
+                      preferred_element_type=jnp.float32) + bqkv_ref[:]
     ohs = []
     for h in range(heads):
         qh = qkv[:, h * Dh:(h + 1) * Dh]
@@ -612,11 +630,11 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 
 
 def _sa_kernel_qffn(x_ref, pad_ref,
-                    wqkv_ref, bqkv_ref, wm_ref, bm_ref,
+                    wqkv_ref, sqkv_ref, bqkv_ref, wm_ref, bm_ref,
                     ln1s_ref, ln1b_ref,
                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                     ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
-                    scale: float):
+                    scale: float, qkv_int8: bool = False):
     """bf16 SA-block megakernel with an int8 FFN."""
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
@@ -629,8 +647,11 @@ def _sa_kernel_qffn(x_ref, pad_ref,
     mask_add = (off.astype(jnp.float32)
                 + pad_ref[0].astype(jnp.float32)) * _NEG_INF
 
-    qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
-                  preferred_element_type=jnp.float32) + bqkv_ref[:]
+    if qkv_int8:
+        qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
+    else:
+        qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
+                      preferred_element_type=jnp.float32) + bqkv_ref[:]
     ohs = []
     for h in range(heads):
         qh = qkv[:, h * Dh:(h + 1) * Dh].astype(BF16)
@@ -660,7 +681,9 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
                          interpret: bool = False):
     """One whole SGA block: bf16 attention/projections (wp =
     prepare_sga_block_params layout), int8 FFN (qf = prepare_qffn_params).
-    Mirrors ops/sga_block.fused_sga_block(fused_proj=True)."""
+    If qf carries ``wqkv_q`` (prepare_qffn_params(qkv_int8=True)), the
+    self-attention qkv projection runs int8 too. Mirrors
+    ops/sga_block.fused_sga_block(fused_proj=True)."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -683,8 +706,12 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
     rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
     F = qf["w1_q"].shape[1]
+    qkv_int8 = "wqkv_q" in qf
+    wqkv = qf["wqkv_q"] if qkv_int8 else wp["wqkv1"]
+    sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_sga_kernel_qffn, heads=H, group=G, scale=scale),
+        functools.partial(_sga_kernel_qffn, heads=H, group=G, scale=scale,
+                          qkv_int8=qkv_int8),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
@@ -697,7 +724,7 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            rep((D, 3 * D)), rep((3 * D,)),
+            rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
             rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
             rep((D, D)), rep((D,)),
             rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
@@ -711,7 +738,7 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
         compiler_params=_q_compiler_params(interpret),
         interpret=interpret,
     )(v, kq, vq, flat_pad(v_mask, Lv), flat_pad(q_mask, Lq),
-      wp["wqkv1"], wp["bqkv1"], wp["wm1_full"], wp["bm1"],
+      wqkv, sqkv, wp["bqkv1"], wp["wm1_full"], wp["bm1"],
       wp["ln1_s"], wp["ln1_b"],
       wp["wq2_full"], wp["bq2_full"], wp["wm2_full"], wp["bm2"],
       wp["ln2_s"], wp["ln2_b"],
@@ -743,15 +770,19 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
     rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
     F = qf["w1_q"].shape[1]
+    qkv_int8 = "wqkv_q" in qf
+    wqkv = qf["wqkv_q"] if qkv_int8 else wp["wqkv"]
+    sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_sa_kernel_qffn, heads=H, group=G, scale=scale),
+        functools.partial(_sa_kernel_qffn, heads=H, group=G, scale=scale,
+                          qkv_int8=qkv_int8),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            rep((D, 3 * D)), rep((3 * D,)),
+            rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
             rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
             rep((D, F)), rep((F,)), rep((F,)),
             rep((F, D)), rep((D,)), rep((D,)),
@@ -763,7 +794,7 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
         compiler_params=_q_compiler_params(interpret),
         interpret=interpret,
     )(x, pad,
-      wp["wqkv"], wp["bqkv"], wp["wm"], wp["bm"],
+      wqkv, sqkv, wp["bqkv"], wp["wm"], wp["bm"],
       wp["ln1_s"], wp["ln1_b"],
       qf["w1_q"], qf["s1"], qf["b1"], qf["w2_q"], qf["s2"], qf["b2"],
       wp["ln2_s"], wp["ln2_b"])

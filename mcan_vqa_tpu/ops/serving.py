@@ -103,7 +103,9 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     the kernel's VMEM budget (MCAN-large).
     qffn: additionally attach per-block int8 FFN weights (``_qffn``
     entries, ops/quant.prepare_qffn_params) for the mixed int8-FFN
-    megakernels (make_serving_fn(qffn=True)).
+    megakernels (make_serving_fn(qffn=True)); qffn=2 also quantizes the
+    self-attention qkv projections (experimental, measured in
+    docs/PERFORMANCE.md).
     """
     def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
         # jnp (not np): params may live on device; keep the concat there
@@ -156,17 +158,19 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                 bb["_mk_enc"] = prepare_sa_encoder_params(bb, num_layers)
             if qffn:
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
+                qkv8 = int(qffn) >= 2
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"enc_{i}"])
+                        bb[f"enc_{i}"], qkv_int8=qkv8)
                     bb[f"dec_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"dec_{i}"])
+                        bb[f"dec_{i}"], qkv_int8=qkv8)
     return out
 
 
 def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
                               cast_bf16: bool = True,
-                              megakernel: bool = True) -> Dict[str, Any]:
+                              megakernel: bool = True,
+                              qffn: bool = True) -> Dict[str, Any]:
     """One-time param prep for the CLASSIFIER serving engine: fuse each SA
     block's q/k/v projections and attach the SA-block megakernel layouts
     (``_mk``). ClassifierNet tree: img_feat_linear / backbone.enc_i /
@@ -200,13 +204,19 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
             from mcan_vqa_tpu.ops.sga_block import prepare_sa_block_params
             for i in range(num_layers):
                 bb[f"enc_{i}"]["_mk"] = prepare_sa_block_params(bb[f"enc_{i}"])
+            if qffn:
+                from mcan_vqa_tpu.ops.quant import prepare_qffn_params
+                for i in range(num_layers):
+                    bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
+                        bb[f"enc_{i}"])
     return out
 
 
 def make_classifier_serving_fn(num_layers: int, num_heads: int,
                                bf16_stream: bool = True,
                                use_sa_megakernel: bool = True,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               qffn: bool = True):
     """Build forward(params, img_feat) -> logits [B, A] for ClassifierNet.
 
     The image-only twin of ``make_serving_fn``: each SA encoder block runs
@@ -233,8 +243,14 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
-                v = fused_sa_block(v, v_mask, wp, num_heads=num_heads,
-                                   interpret=interpret)
+                if qffn and "_qffn" in p:
+                    from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
+                    v = fused_qffn_sa_block(v, v_mask, wp, p["_qffn"],
+                                            num_heads=num_heads,
+                                            interpret=interpret)
+                else:
+                    v = fused_sa_block(v, v_mask, wp, num_heads=num_heads,
+                                       interpret=interpret)
         else:
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]

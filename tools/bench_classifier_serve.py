@@ -56,8 +56,13 @@ def main() -> None:
         return model.apply({"params": p}, x,
                            deterministic=True)["logits"]
 
-    fused = make_classifier_serving_fn(L, 8, bf16_stream=True)
-    prepared = jax.jit(lambda p: prepare_classifier_params(p, L))(params)
+    # BENCH_QFFN=0 restores the all-bf16 SA megakernels (default: the
+    # mixed int8-FFN kernels, same engine the Trainer's classifier eval
+    # ships).
+    qffn = os.environ.get("BENCH_QFFN", "1") == "1"
+    fused = make_classifier_serving_fn(L, 8, bf16_stream=True, qffn=qffn)
+    prepared = jax.jit(lambda p: prepare_classifier_params(
+        p, L, qffn=qffn))(params)
 
     def run(tag, fwd, p):
         import functools
