@@ -176,6 +176,39 @@ def test_qffn_matches_model_random_init():
     assert float(jnp.max(jnp.abs(pr - pg))) < 0.02
 
 
+def test_qffn_qkv_int8_variant_random_init():
+    """The experimental qffn=2 variant (self-attention qkv projections
+    int8 too) stays within quantization tolerance of model.apply."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.models.net import build_mcan
+    from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+    cfg = Config(hidden_size=64, layer=2, multi_head=4, flat_mlp_size=32,
+                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                 use_glove=False).finalize()
+    model = build_mcan(cfg, token_size=50, answer_size=17)
+    B = 8
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 12, 48),
+                            jnp.float32)
+    img = img.at[0, -4:].set(0.0)
+    ques = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.max_token),
+                              1, 50, jnp.int32)
+    ques = ques.at[1, -3:].set(0)
+    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+        "params"]
+    ref = model.apply({"params": params}, img, ques,
+                      deterministic=True)["logits"]
+    pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
+                        alllayer=False, qffn=2)
+    got = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                          use_sga_megakernel=2, interpret=True,
+                          qffn=True)(pp, img, ques)
+    pr = jax.nn.softmax(ref, -1)
+    pg = jax.nn.softmax(got, -1)
+    assert float(jnp.mean(jnp.argmax(ref, -1) == jnp.argmax(got, -1))) == 1.0
+    assert float(jnp.max(jnp.abs(pr - pg))) < 0.03
+
+
 def test_quant_megakernel_matches_xla_engine():
     """The int8 SA/SGA block megakernels (interpret mode) vs the int8
     XLA engine: same quantization decisions, so logits agree to fp
