@@ -103,9 +103,13 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     the kernel's VMEM budget (MCAN-large).
     qffn: additionally attach per-block int8 FFN weights (``_qffn``
     entries, ops/quant.prepare_qffn_params) for the mixed int8-FFN
-    megakernels (make_serving_fn(qffn=True)); qffn=2 also quantizes the
-    self-attention qkv projections (experimental, measured in
-    docs/PERFORMANCE.md).
+    megakernels (make_serving_fn(qffn=True)). qffn=True/1 picks the
+    quantization set by width: FFN-only at D < 1024; at D >= 1024 the
+    self-attention qkv projections join the int8 path (same-session
+    A/Bs, docs/PERFORMANCE.md: qkv-int8 is neutral at D=512 — 43.4K vs
+    43.6K — and +7.2% at D=1024 — 17,027 vs 15,890). qffn=2 forces
+    qkv-int8 at any width; accuracy for both levels is bounded by
+    tests/test_quant.py + tests/test_full_size_parity.py.
     """
     def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
         # jnp (not np): params may live on device; keep the concat there
@@ -158,7 +162,7 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                 bb["_mk_enc"] = prepare_sa_encoder_params(bb, num_layers)
             if qffn:
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
-                qkv8 = int(qffn) >= 2
+                qkv8 = int(qffn) >= 2 or D >= 1024
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
                         bb[f"enc_{i}"], qkv_int8=qkv8)
@@ -208,7 +212,7 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"enc_{i}"])
+                        bb[f"enc_{i}"], qkv_int8=D >= 1024)
     return out
 
 

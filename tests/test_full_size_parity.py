@@ -267,11 +267,13 @@ class TestFullSizeBF16Stream:
 
 
 class TestFullSizeQffn:
-    def test_qffn_logit_delta_vs_oracle(self, oracle):
+    @pytest.mark.parametrize("level", [1, 2])
+    def test_qffn_logit_delta_vs_oracle(self, oracle, level):
         """Full-size (512/6/8/3129) mixed int8-FFN megakernel engine
         (ops/quant.py qffn, interpret mode) vs the torch oracle: bounded
-        prob delta, identical top-1. The full-size half of the qffn gate
-        (tests/test_quant.py covers trained real-format data)."""
+        prob delta, identical top-1. level=2 adds the qkv-int8 set the
+        auto rule ships at D >= 1024. The full-size half of the qffn
+        gate (tests/test_quant.py covers trained real-format data)."""
         import torch
 
         from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
@@ -295,7 +297,7 @@ class TestFullSizeQffn:
 
         params = import_torch_state_dict(init)
         sp = prepare_params(params, LAYER, num_heads=HEADS, alllayer=False,
-                            qffn=True)
+                            qffn=level)
         serve = make_serving_fn(LAYER, HEADS, use_pallas=False,
                                 bf16_stream=True, use_sga_megakernel=2,
                                 interpret=True, qffn=True)
@@ -304,7 +306,8 @@ class TestFullSizeQffn:
 
         delta = np.abs(pq - ref_probs).max()
         agree = float((lq.argmax(1) == ref_probs.argmax(1)).mean())
-        print(f"\nfull-size qffn: max_prob_delta_vs_torch={delta:.6f} "
+        print(f"\nfull-size qffn (level {level}): "
+              f"max_prob_delta_vs_torch={delta:.6f} "
               f"top1_agreement_vs_torch={agree:.3f}")
         # bf16 matmuls alone measure ~3e-3 prob delta vs the fp32 oracle
         # at full size (TestFullSizeBF16Stream); int8-FFN quantization is

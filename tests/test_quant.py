@@ -51,9 +51,10 @@ def _logits(cfg, trainer, ds, quant):
     params = jax.device_get(trainer.state.params)
     batch = {k: np.stack([ds.example(i)[k] for i in range(len(ds))])
              for k in ("img", "ques")}
-    if quant == "qffn":
+    if quant in ("qffn", "qffn2"):
         pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
-                            alllayer=False, qffn=True)
+                            alllayer=False,
+                            qffn=2 if quant == "qffn2" else True)
         fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
                               use_sga_megakernel=2, interpret=True,
                               qffn=True)
@@ -110,11 +111,12 @@ class TestQffnAccuracy:
     path's (the bf16_stream gate): top-1 agreement >= 99.5% and
     |d_acc| <= 0.1 points on trained real-format data."""
 
-    def test_official_accuracy_delta(self, trained):
+    @pytest.mark.parametrize("level", ["qffn", "qffn2"])
+    def test_official_accuracy_delta(self, trained, level):
         from mcan_vqa_tpu.evals import vqa_eval
         cfg, ds, trainer = trained
         l32 = _logits(cfg, trainer, ds, quant=False)
-        lq = _logits(cfg, trainer, ds, quant="qffn")
+        lq = _logits(cfg, trainer, ds, quant=level)
 
         top32, topq = l32.argmax(1), lq.argmax(1)
         agreement = float((top32 == topq).mean())
@@ -129,7 +131,7 @@ class TestQffnAccuracy:
             return vqa_eval.evaluate(gts, res)["overall"]
 
         acc32, accq = acc(top32), acc(topq)
-        print(f"\nqffn gate: agreement={agreement:.4f} "
+        print(f"\n{level} gate: agreement={agreement:.4f} "
               f"acc32={acc32:.2f} accq={accq:.2f}")
         assert acc32 > 80.0
         assert agreement >= 0.995, (agreement, acc32, accq)
