@@ -65,9 +65,12 @@ class Predictor:
         self.ix_to_ans = ix_to_ans
         self.max_batch = max_batch
         buckets = sorted(set(latency_buckets or ()))
-        assert all(0 < b < max_batch for b in buckets), \
-            f"latency_buckets must be in (0, max_batch): {buckets}"
-        self._buckets = tuple(buckets) + (max_batch,)
+        assert all(0 < b <= max_batch for b in buckets), \
+            f"latency_buckets must be in (0, max_batch]: {buckets}"
+        # a bucket equal to max_batch is redundant, not an error (the CLI
+        # default (1, 8) must compose with any --max_batch >= 8)
+        self._buckets = tuple(b for b in buckets if b < max_batch) \
+            + (max_batch,)
 
         if engine == "auto":
             engine = "fused" if jax.default_backend() == "tpu" else "plain"

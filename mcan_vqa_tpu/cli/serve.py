@@ -44,6 +44,7 @@ import os
 import signal
 import sys
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
@@ -168,8 +169,14 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 ans, prob = fut.result(timeout=self.request_timeout_s)
                 results[i] = {"answer": ans, "prob": prob}
+            except FuturesTimeout:
+                # str(TimeoutError()) is "" — name the failure (a cold
+                # first request can sit behind a minutes-long XLA compile
+                # unless the server was started with warmup)
+                results[i] = {"error": f"request timed out after "
+                                       f"{self.request_timeout_s:g}s"}
             except Exception as e:  # noqa: BLE001 — per-item failure
-                results[i] = {"error": str(e)}
+                results[i] = {"error": str(e) or type(e).__name__}
 
         if batch:
             self._send_json(200, {"results": results})
@@ -267,6 +274,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help='comma list, e.g. "1,8"; "" disables')
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument("--request_timeout_s", type=float, default=60.0)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the pre-listen warmup forwards (default: "
+                        "every compiled batch bucket runs one dummy "
+                        "forward BEFORE the server accepts traffic, so "
+                        "no live request ever sits behind an XLA "
+                        "compile — on TPU a cold compile can exceed "
+                        "request_timeout_s)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     for knob in ("hidden_size", "layer", "multi_head", "img_feat_size",
@@ -277,9 +291,30 @@ def parse_args(argv=None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def warmup(predictor) -> None:
+    """One dummy forward per compiled batch bucket (blocking): after this,
+    every live request hits an already-compiled program."""
+    import time
+    cfg = getattr(predictor, "cfg", None)
+    R = (int(cfg.img_feat_pad_size) if cfg is not None
+         else int(predictor.meta["img_feat_pad_size"]))
+    F = predictor.img_feat_size
+    feat = np.zeros((R, F), np.float32)
+    feat[0, 0] = 1.0
+    buckets = getattr(predictor, "_buckets", None) or (1,)
+    for b in buckets:
+        t0 = time.perf_counter()
+        predictor.predict_probs(["warmup"] * int(b),
+                                [feat] * int(b))
+        print(f"warmup: bucket {b} compiled+ran in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     predictor = build_predictor(args)
+    if not args.no_warmup:
+        warmup(predictor)
     server, frontend = make_server(
         predictor, args.host, args.port, max_wait_ms=args.max_wait_ms,
         request_timeout_s=args.request_timeout_s, quiet=not args.verbose)

@@ -214,3 +214,36 @@ class TestPredictorMesh:
         with pytest.raises(AssertionError):
             Predictor(cfg, params, tok, i2a, max_batch=8, engine="plain",
                       mesh=mesh)
+
+
+def test_latency_bucket_equal_to_max_batch_is_tolerated():
+    """Regression: the serve CLI's default latency_buckets (1, 8) must
+    compose with --max_batch 8 — a bucket equal to max_batch is
+    redundant, not an assertion failure (found by a live TPU smoke of
+    cli/serve.py)."""
+    import jax
+    import numpy as np
+
+    from mcan_vqa_tpu.api import Predictor
+    from mcan_vqa_tpu.configs import Config
+    from mcan_vqa_tpu.models.net import build_mcan
+
+    cfg = Config(hidden_size=32, layer=1, multi_head=4, flat_mlp_size=16,
+                 flat_out_size=32, img_feat_size=24, img_feat_pad_size=10,
+                 max_token=8, use_glove=False).finalize()
+    tok = {"PAD": 0, "UNK": 1, "cat": 2}
+    model = build_mcan(cfg, token_size=len(tok), answer_size=7)
+    img = np.zeros((1, 10, 24), np.float32)
+    ques = np.array([[2, 0, 0, 0, 0, 0, 0, 0]], np.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, img, ques)[
+        "params"]
+    p = Predictor(cfg, params, tok, {str(i): str(i) for i in range(7)},
+                  max_batch=8, engine="plain", latency_buckets=(1, 8))
+    assert p._buckets == (1, 8)
+    probs = p.predict_probs(["cat"], [img[0] + 1.0])
+    assert probs.shape == (1, 7)
+    # > max_batch is still a user error
+    import pytest
+    with pytest.raises(AssertionError):
+        Predictor(cfg, params, tok, {"0": "0"}, max_batch=8,
+                  engine="plain", latency_buckets=(16,))
