@@ -29,6 +29,14 @@ from mcan_vqa_tpu.ops.masked_attention import (
 
 BF16 = jnp.bfloat16
 
+# Largest batch at which the mixed int8-FFN megakernels (qffn) beat the
+# all-bf16 ones. Same-session A/Bs at MCAN-small (docs/PERFORMANCE.md):
+# win at B=1/8/64/256/512 (+8.4% at 512), LOSS at B=1024 (34,964 vs
+# 38,554) — at very large batches the engine is stream-bandwidth-bound
+# and the per-row quant VPU work only adds latency. Batch size is
+# static under jit, so the forward picks per compiled shape.
+QFFN_MAX_BATCH = 512
+
 
 def _dense(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     # .astype is a no-op when prepare_params already cast the kernel
@@ -247,7 +255,7 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
-                if qffn and "_qffn" in p:
+                if qffn and "_qffn" in p and v.shape[0] <= QFFN_MAX_BATCH:
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     v = fused_qffn_sa_block(v, v_mask, wp, p["_qffn"],
                                             num_heads=num_heads,
@@ -452,7 +460,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
-                if qffn and "_qffn" in p:
+                if qffn and "_qffn" in p and q.shape[0] <= QFFN_MAX_BATCH:
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     q = fused_qffn_sa_block(q, q_mask, wp, p["_qffn"],
                                             num_heads=num_heads,
@@ -510,7 +518,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
                 wp = (p["_mk"] if "_mk" in p
                       else prepare_sga_block_params(p, num_heads))
-                if qffn and sga_mode == 2 and "_qffn" in p:
+                if (qffn and sga_mode == 2 and "_qffn" in p
+                        and v.shape[0] <= QFFN_MAX_BATCH):
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sga_block
                     v = fused_qffn_sga_block(
                         v, kq, vq, v_mask, q_mask, wp, p["_qffn"],

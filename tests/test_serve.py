@@ -221,3 +221,20 @@ class TestCLI:
             srv.server_close()
             frontend.close()
             t.join(timeout=10)
+
+    def test_warmup_covers_every_bucket(self):
+        """warmup() runs one forward per compiled batch bucket (incl. the
+        CLI's default buckets composing with max_batch — the live-TPU
+        smoke found a cold first request sitting behind a 386 s XLA
+        compile and timing out); after it, serving answers immediately."""
+        args = serve_mod.parse_args([
+            "--synthetic", "--max_batch", "4", "--latency_buckets", "1,4",
+            "--hidden_size", "32", "--layer", "1", "--multi_head", "4",
+            "--img_feat_size", "16", "--img_feat_pad_size", "8",
+            "--max_token", "6", "--flat_out_size", "32",
+            "--flat_mlp_size", "16", "--compute_dtype", "float32"])
+        p = serve_mod.build_predictor(args)
+        assert p._buckets == (1, 4)   # bucket == max_batch tolerated
+        serve_mod.warmup(p)           # compiles both buckets, no raise
+        probs = p.predict_probs(["cat"], [np.ones((8, 16), np.float32)])
+        assert probs.shape[0] == 1
