@@ -270,3 +270,46 @@ def test_quant_matches_model_random_init():
     pg = jax.nn.softmax(got, -1)
     assert float(jnp.mean(jnp.argmax(ref, -1) == jnp.argmax(got, -1))) == 1.0
     assert float(jnp.max(jnp.abs(pr - pg))) < 0.02
+
+
+def test_qffn_batch_gate_routes_to_bf16_past_threshold(monkeypatch):
+    """Compiled shapes with B > QFFN_MAX_BATCH must run the all-bf16
+    block kernels (the int8-FFN gain inverts in the stream-bandwidth-
+    bound regime — measured at B=1024, docs/PERFORMANCE.md). Routing is
+    observable from outputs: under the threshold the int8 FFN perturbs
+    logits away from the bf16 engine; over it they are bitwise equal."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.models.net import build_mcan
+    from mcan_vqa_tpu.ops import serving as serving_mod
+
+    cfg = Config(hidden_size=32, layer=1, multi_head=4, flat_mlp_size=16,
+                 flat_out_size=32, img_feat_size=24, img_feat_pad_size=10,
+                 use_glove=False).finalize()
+    model = build_mcan(cfg, token_size=50, answer_size=12)
+    B = 8
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 10, 24), jnp.float32)
+    ques = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.max_token),
+                              1, 50, jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+        "params"]
+    pp = serving_mod.prepare_params(params, cfg.layer,
+                                    num_heads=cfg.multi_head,
+                                    alllayer=False, qffn=True)
+    bf16 = serving_mod.make_serving_fn(cfg.layer, cfg.multi_head,
+                                       use_pallas=False,
+                                       use_sga_megakernel=2,
+                                       interpret=True, qffn=False)
+    qffn = serving_mod.make_serving_fn(cfg.layer, cfg.multi_head,
+                                       use_pallas=False,
+                                       use_sga_megakernel=2,
+                                       interpret=True, qffn=True)
+    ref = np.asarray(bf16(pp, img, ques))
+
+    monkeypatch.setattr(serving_mod, "QFFN_MAX_BATCH", B - 1)
+    over = np.asarray(qffn(pp, img, ques))          # B > threshold
+    np.testing.assert_array_equal(over, ref)        # routed to bf16
+
+    monkeypatch.setattr(serving_mod, "QFFN_MAX_BATCH", B)
+    under = np.asarray(qffn(pp, img, ques))         # B <= threshold
+    assert np.abs(under - ref).max() > 0.0          # int8 FFN engaged
