@@ -46,15 +46,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ckpts_dir", type=str)
     p.add_argument("--log_path", type=str)
     p.add_argument("--result_path", type=str)
+    p.add_argument("--compile_cache", type=str,
+                   help="persistent XLA compilation cache dir (default "
+                        "~/.cache/mcan_vqa_tpu/xla; 'off' disables)")
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from mcan_vqa_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache(args.compile_cache)
     yaml_path = os.path.join(_YAML_DIR, f"{args.model}.yml")
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k not in
-                 ("model", "synthetic", "synthetic_size")}
+                 ("model", "synthetic", "synthetic_size", "compile_cache")}
     overrides.setdefault("img_feat_size", 1024)
     cfg = Config.from_yaml(yaml_path, overrides)
     cfg.init_result_dirs()

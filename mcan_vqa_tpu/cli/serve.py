@@ -281,6 +281,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "no live request ever sits behind an XLA "
                         "compile — on TPU a cold compile can exceed "
                         "request_timeout_s)")
+    p.add_argument("--compile_cache", type=str,
+                   help="persistent XLA compilation cache dir (default "
+                        "~/.cache/mcan_vqa_tpu/xla; 'off' disables) — a "
+                        "restarted replica's warmup hits the cache instead "
+                        "of recompiling every bucket")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     for knob in ("hidden_size", "layer", "multi_head", "img_feat_size",
@@ -312,6 +317,8 @@ def warmup(predictor) -> None:
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+    from mcan_vqa_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache(args.compile_cache)
     predictor = build_predictor(args)
     if not args.no_warmup:
         warmup(predictor)
