@@ -239,9 +239,13 @@ class Predictor:
                image_features: np.ndarray) -> List[Tuple[str, float]]:
         """Top-1 answer string and its probability per question."""
         probs = self.predict_probs(questions, image_features)
-        out = []
-        for row in probs:
-            ix = int(row.argmax())
-            ans = self.ix_to_ans.get(str(ix), self.ix_to_ans.get(ix, str(ix)))
-            out.append((ans, float(row[ix])))
-        return out
+        return [ans_mod.topk_answers(row, self.ix_to_ans, 1)[0]
+                for row in probs]
+
+    def topk(self, questions: Sequence[str], image_features,
+             k: int = 5) -> List[List[Tuple[str, float]]]:
+        """Top-k (answer, probability) pairs per question, highest first
+        (k clamped to the answer-dict size)."""
+        probs = self.predict_probs(questions, image_features)
+        return [ans_mod.topk_answers(row, self.ix_to_ans, k)
+                for row in probs]

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
+from mcan_vqa_tpu.data import answers as ans_mod
 from mcan_vqa_tpu.data import features as feat_mod
 from mcan_vqa_tpu.data import text as text_mod
 
@@ -206,12 +207,16 @@ class ArtifactPredictor:
     def answer(self, questions: Sequence[str],
                image_features: np.ndarray) -> List[Tuple[str, float]]:
         probs = self.predict_probs(questions, image_features)
-        out = []
-        for row in probs:
-            ix = int(row.argmax())
-            out.append((self.ix_to_ans.get(str(ix), str(ix)),
-                        float(row[ix])))
-        return out
+        return [ans_mod.topk_answers(row, self.ix_to_ans, 1)[0]
+                for row in probs]
+
+    def topk(self, questions: Sequence[str], image_features,
+             k: int = 5) -> List[List[Tuple[str, float]]]:
+        """Top-k (answer, probability) pairs per question, highest first
+        — same contract as ``Predictor.topk``."""
+        probs = self.predict_probs(questions, image_features)
+        return [ans_mod.topk_answers(row, self.ix_to_ans, k)
+                for row in probs]
 
 
 def load_artifact(path: str) -> ArtifactPredictor:

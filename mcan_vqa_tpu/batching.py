@@ -39,6 +39,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from mcan_vqa_tpu.data.answers import topk_answers
+
 
 class BatchingFrontend:
     def __init__(self, predictor, max_wait_ms: float = 2.0,
@@ -67,13 +69,17 @@ class BatchingFrontend:
         self._worker.start()
 
     # ------------------------------------------------------------------
-    def submit(self, question: str, image_feature: np.ndarray) -> Future:
-        """Enqueue one request; resolves to (answer_str, prob)."""
+    def submit(self, question: str, image_feature: np.ndarray,
+               top_k: int = 1) -> Future:
+        """Enqueue one request. The future resolves to (answer_str, prob)
+        for top_k == 1 (default), or to a list of k such pairs (highest
+        first) for top_k > 1."""
         fut: Future = Future()
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("frontend is closed")
-            self._q.put((question, image_feature, fut, time.monotonic()))
+            self._q.put((question, image_feature, fut, time.monotonic(),
+                         int(top_k)))
         return fut
 
     def answer(self, question: str, image_feature: np.ndarray,
@@ -151,7 +157,7 @@ class BatchingFrontend:
             # [R_i, F] to the model's region count itself.
             feat_width = getattr(self._p, "img_feat_size", None)
             valid = []
-            for q, f, fut, _ in group:
+            for q, f, fut, _, top_k in group:
                 try:
                     arr = np.asarray(f, np.float32)
                     if arr.ndim != 2:
@@ -162,7 +168,7 @@ class BatchingFrontend:
                         raise ValueError(
                             f"feature width {arr.shape[1]} != model's "
                             f"{feat_width}")
-                    valid.append((q, arr, fut))
+                    valid.append((q, arr, fut, top_k))
                 except Exception as e:  # noqa: BLE001
                     fut.set_exception(e)
             payload = None
@@ -176,9 +182,9 @@ class BatchingFrontend:
                         probs = self._p.predict_probs(qs, fs)
                         payload = (probs, len(valid))
                 except Exception as e:  # noqa: BLE001 — fail the callers, not the loop
-                    for _, _, fut in valid:
-                        if not fut.done():
-                            fut.set_exception(e)
+                    for item in valid:
+                        if not item[2].done():
+                            item[2].set_exception(e)
                     valid = []
             resolve_q.put((valid, payload, group))
 
@@ -203,15 +209,14 @@ class BatchingFrontend:
                 self.requests_served += len(group)
                 self._latencies_s.extend(t_done - g[3] for g in group)
             if probs is not None:
-                for (_, _, fut), row in zip(valid, probs):
-                    ix = int(row.argmax())
-                    ans = self._p.ix_to_ans.get(str(ix), str(ix))
+                for (_, _, fut, top_k), row in zip(valid, probs):
+                    pairs = topk_answers(row, self._p.ix_to_ans, top_k)
                     if not fut.cancelled():
-                        fut.set_result((ans, float(row[ix])))
+                        fut.set_result(pairs[0] if top_k <= 1 else pairs)
             elif err is not None:
-                for _, _, fut in valid:
-                    if not fut.done():
-                        fut.set_exception(err)
+                for item in valid:
+                    if not item[2].done():
+                        item[2].set_exception(err)
 
     # ------------------------------------------------------------------
     @property

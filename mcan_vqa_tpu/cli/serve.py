@@ -14,8 +14,11 @@ Endpoints::
 
     GET  /healthz     -> {"status": "ok"}
     GET  /stats       -> batching + model info
-    POST /v1/answer   -> {"question": str, "image_feature": <feat>}
+    POST /v1/answer   -> {"question": str, "image_feature": <feat>,
+                          "top_k": int (optional, default 1, <= 32)}
                          => {"answer": str, "prob": float}
+                            (+ "answers": [{"answer", "prob"}, ...] when
+                             top_k > 1, highest probability first)
                       or {"requests": [{...}, ...]}
                          => {"results": [{"answer", "prob"} | {"error"}]}
 
@@ -80,7 +83,10 @@ def decode_feature(obj) -> np.ndarray:
     return arr
 
 
-def _parse_request(item) -> Tuple[str, np.ndarray]:
+_MAX_TOP_K = 32
+
+
+def _parse_request(item) -> Tuple[str, np.ndarray, int]:
     if not isinstance(item, dict):
         raise ValueError("each request must be a JSON object")
     q = item.get("question")
@@ -88,7 +94,11 @@ def _parse_request(item) -> Tuple[str, np.ndarray]:
         raise ValueError('"question" must be a non-empty string')
     if "image_feature" not in item:
         raise ValueError('missing "image_feature"')
-    return q, decode_feature(item["image_feature"])
+    top_k = item.get("top_k", 1)
+    if not isinstance(top_k, int) or isinstance(top_k, bool) \
+            or not 1 <= top_k <= _MAX_TOP_K:
+        raise ValueError(f'"top_k" must be an int in [1, {_MAX_TOP_K}]')
+    return q, decode_feature(item["image_feature"]), top_k
 
 
 # ---------------------------------------------------------------------------
@@ -161,14 +171,20 @@ class _Handler(BaseHTTPRequestHandler):
         futs, results = [], [None] * len(items)
         for i, item in enumerate(items):
             try:
-                q, feat = _parse_request(item)
-                futs.append((i, self.frontend.submit(q, feat)))
+                q, feat, top_k = _parse_request(item)
+                futs.append((i, self.frontend.submit(q, feat, top_k=top_k)))
             except (ValueError, RuntimeError) as e:
                 results[i] = {"error": str(e)}
         for i, fut in futs:
             try:
-                ans, prob = fut.result(timeout=self.request_timeout_s)
-                results[i] = {"answer": ans, "prob": prob}
+                res = fut.result(timeout=self.request_timeout_s)
+                if isinstance(res, list):     # top_k > 1
+                    results[i] = {"answers": [
+                        {"answer": a, "prob": p} for a, p in res]}
+                    results[i].update(results[i]["answers"][0])
+                else:
+                    ans, prob = res
+                    results[i] = {"answer": ans, "prob": prob}
             except FuturesTimeout:
                 # str(TimeoutError()) is "" — name the failure (a cold
                 # first request can sit behind a minutes-long XLA compile

@@ -178,3 +178,23 @@ def multi_hot(labels: Sequence[int], answer_size: int) -> np.ndarray:
     target = np.zeros(answer_size, dtype=np.float32)
     target[np.asarray(labels, dtype=np.int64)] = 1.0
     return target
+
+
+def topk_answers(probs_row: np.ndarray, ix_to_ans: Dict,
+                 k: int) -> list:
+    """Top-k (answer_string, probability) pairs for one probability row,
+    highest first. k is clamped to [1, answer_size]. ix_to_ans keys may
+    be str (checkpoint/artifact JSONs) or int (in-memory dicts); k == 1
+    uses plain argmax so its tie-breaking matches the evaluators'."""
+    row = np.asarray(probs_row)
+    k = max(1, min(int(k), row.shape[-1]))
+    if k == 1:
+        order = [int(row.argmax())]
+    else:
+        part = np.argpartition(row, -k)[-k:]
+        order = part[np.argsort(row[part])[::-1]]
+
+    def name(i):
+        return ix_to_ans.get(str(int(i)), ix_to_ans.get(int(i), str(int(i))))
+
+    return [(name(i), float(row[int(i)])) for i in order]

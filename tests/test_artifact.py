@@ -57,6 +57,7 @@ class TestArtifact:
                 ap.predict_probs(qs[:n], feats[:n]),
                 p.predict_probs(qs[:n], feats[:n]), atol=1e-6)
         assert ap.answer(qs, feats) == p.answer(qs, feats)
+        assert ap.topk(qs, feats, k=3) == p.topk(qs, feats, k=3)
         with pytest.raises(AssertionError):
             ap.predict_probs(qs * 2, np.concatenate([feats, feats]))
 

@@ -49,6 +49,19 @@ class TestBatchingFrontend:
             assert abs(p1 - p2) < 1e-5
         assert fe.requests_served == 6
 
+    def test_top_k_future_resolves_to_list(self, predictor):
+        rng = np.random.default_rng(9)
+        feat = rng.normal(size=(6, 16)).astype(np.float32)
+        q = "what color is the cat"
+        with BatchingFrontend(predictor, max_wait_ms=5.0) as fe:
+            got3 = fe.submit(q, feat, top_k=3).result(timeout=60)
+            got1 = fe.submit(q, feat).result(timeout=60)
+        (want3,) = predictor.topk([q], feat[None], k=3)
+        assert isinstance(got3, list) and len(got3) == 3
+        for (a1, p1), (a2, p2) in zip(got3, want3):
+            assert a1 == a2 and abs(p1 - p2) < 1e-5
+        assert got1 == got3[0]  # top_k=1 keeps the scalar contract
+
     def test_concurrent_callers_coalesce(self, predictor):
         """Many threads submitting at once should produce fewer batches
         than requests (the whole point), with every result correct."""

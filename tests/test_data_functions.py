@@ -92,6 +92,19 @@ class TestSoftScores:
         t = answers.multi_hot([0, 3], 5)
         np.testing.assert_allclose(t, [1, 0, 0, 1, 0])
 
+    def test_topk_answers_order_and_names(self):
+        row = np.array([0.1, 0.9, 0.3, 0.7], np.float32)
+        i2a = {"0": "a", "1": "b", "2": "c", "3": "d"}
+        assert answers.topk_answers(row, i2a, 3) == [
+            ("b", pytest.approx(0.9)), ("d", pytest.approx(0.7)),
+            ("c", pytest.approx(0.3))]
+        # k=1 uses argmax (evaluator tie-breaking); int-keyed dicts work
+        assert answers.topk_answers(row, {1: "b"}, 1) == [
+            ("b", pytest.approx(0.9))]
+        # k clamps to the row width; unknown ix falls back to the index
+        full = answers.topk_answers(row, {"1": "b"}, 99)
+        assert len(full) == 4 and full[-1] == ("0", pytest.approx(0.1))
+
 
 class TestFrozenAnswerDict:
     def test_loads_3129(self):

@@ -124,6 +124,31 @@ class TestAnswer:
             assert got["answer"] == ans
             assert abs(got["prob"] - prob) < 1e-5
 
+    def test_top_k_answers(self, server, predictor):
+        rng = np.random.default_rng(7)
+        feat = rng.normal(size=(5, 16)).astype(np.float32)
+        q = "what color is the dog"
+        status, out = _request(server, "POST", "/v1/answer", {
+            "question": q, "image_feature": feat.tolist(), "top_k": 3})
+        assert status == 200
+        assert len(out["answers"]) == 3
+        probs = [a["prob"] for a in out["answers"]]
+        assert probs == sorted(probs, reverse=True)
+        # top-1 fields stay present and agree with the list head
+        assert out["answer"] == out["answers"][0]["answer"]
+        assert out["prob"] == out["answers"][0]["prob"]
+        (topk,) = predictor.topk([q], feat[None], k=3)
+        for got, (ans, prob) in zip(out["answers"], topk):
+            assert got["answer"] == ans
+            assert abs(got["prob"] - prob) < 1e-5
+
+    def test_top_k_invalid_400(self, server):
+        feat = [[0.0] * 16]
+        for bad in (0, -1, 33, "3", True):
+            status, out = _request(server, "POST", "/v1/answer", {
+                "question": "q", "image_feature": feat, "top_k": bad})
+            assert status == 400 and "top_k" in out["error"]
+
     def test_concurrent_posts_coalesce(self, server, predictor):
         """Parallel single-question POSTs ride the micro-batcher: all
         answered correctly, in fewer device batches than requests."""
