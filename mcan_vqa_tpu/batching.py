@@ -42,15 +42,26 @@ import numpy as np
 from mcan_vqa_tpu.data.answers import topk_answers
 
 
+class FrontendOverloaded(RuntimeError):
+    """Raised by submit() when the request queue is at max_queue —
+    callers (e.g. the HTTP layer) should shed load, not block."""
+
+
 class BatchingFrontend:
     def __init__(self, predictor, max_wait_ms: float = 2.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 max_queue: Optional[int] = None):
         """max_wait_ms: how long the collector holds an open group for
         more arrivals. 0 disables coalescing-by-time (group = whatever is
-        already queued). max_batch defaults to the predictor's."""
+        already queued). max_batch defaults to the predictor's.
+        max_queue: if set, submit() raises FrontendOverloaded once this
+        many requests are already waiting (bounds memory and tail latency
+        under overload; None = unbounded)."""
         self._p = predictor
         self._max_batch = int(max_batch or predictor.max_batch)
         assert 0 < self._max_batch <= predictor.max_batch
+        self._max_queue = None if max_queue is None else int(max_queue)
+        assert self._max_queue is None or self._max_queue > 0
         self._max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue()
         self._closed = False
@@ -78,6 +89,11 @@ class BatchingFrontend:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("frontend is closed")
+            if (self._max_queue is not None
+                    and self._q.qsize() >= self._max_queue):
+                raise FrontendOverloaded(
+                    f"frontend overloaded: {self._q.qsize()} requests "
+                    f"already queued (max_queue={self._max_queue})")
             self._q.put((question, image_feature, fut, time.monotonic(),
                          int(top_k)))
         return fut

@@ -25,6 +25,11 @@ Endpoints::
 ``<feat>`` is a nested [regions, feat_size] list, or (4x smaller on the
 wire) ``{"b64": base64(float32 bytes), "shape": [R, F]}``.
 
+Load shedding: requests beyond ``--max_queue`` waiting are rejected with
+503 (batch items get per-item errors), and bodies beyond ``--max_body_mb``
+are rejected with 413 before being read — an overloaded replica answers
+fast instead of queueing unboundedly.
+
 Model sources (one required):
   --artifact DIR          frozen AOT artifact (no flax/model code path)
   --ckpt_path FILE        orbax dir or reference torch pickle, with
@@ -53,7 +58,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from mcan_vqa_tpu.batching import BatchingFrontend
+from mcan_vqa_tpu.batching import BatchingFrontend, FrontendOverloaded
 
 _YAML_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "configs")
@@ -110,6 +115,7 @@ class _Handler(BaseHTTPRequestHandler):
     frontend: BatchingFrontend = None
     predictor = None
     request_timeout_s: float = 60.0
+    max_body_bytes: int = 64 * 1024 * 1024
     quiet: bool = True
     protocol_version = "HTTP/1.1"
 
@@ -127,7 +133,19 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _read_body(self) -> bytes:
-        length = int(self.headers.get("Content-Length", 0))
+        """Read the request body, bounded by max_body_bytes. Raises
+        ValueError on a missing/garbled/oversized Content-Length (a cap
+        violation must be rejected BEFORE reading, or a hostile client
+        ties up a handler thread and the host's memory)."""
+        raw = self.headers.get("Content-Length")
+        try:
+            length = int(raw)
+        except (TypeError, ValueError):
+            raise ValueError(f"bad Content-Length: {raw!r}") from None
+        if not 0 <= length <= self.max_body_bytes:
+            raise ValueError(
+                f"body of {length} bytes exceeds the "
+                f"{self.max_body_bytes}-byte limit")
         return self.rfile.read(length)
 
     # -- routes -----------------------------------------------------------
@@ -154,7 +172,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"no route {self.path}"})
             return
         try:
-            payload = json.loads(self._read_body())
+            body = self._read_body()
+        except ValueError as e:
+            code = 413 if "exceeds" in str(e) else 400
+            self._send_json(code, {"error": str(e)})
+            return
+        try:
+            payload = json.loads(body)
         except (json.JSONDecodeError, UnicodeDecodeError) as e:
             self._send_json(400, {"error": f"bad JSON: {e}"})
             return
@@ -169,10 +193,14 @@ class _Handler(BaseHTTPRequestHandler):
         # Parse first (reject before enqueueing anything), then submit the
         # whole batch so it coalesces into as few device groups as possible.
         futs, results = [], [None] * len(items)
+        codes = [400] * len(items)
         for i, item in enumerate(items):
             try:
                 q, feat, top_k = _parse_request(item)
                 futs.append((i, self.frontend.submit(q, feat, top_k=top_k)))
+            except FrontendOverloaded as e:
+                results[i] = {"error": str(e)}
+                codes[i] = 503
             except (ValueError, RuntimeError) as e:
                 results[i] = {"error": str(e)}
         for i, fut in futs:
@@ -197,7 +225,7 @@ class _Handler(BaseHTTPRequestHandler):
         if batch:
             self._send_json(200, {"results": results})
         elif "error" in results[0]:
-            self._send_json(400, results[0])
+            self._send_json(codes[0], results[0])
         else:
             self._send_json(200, results[0])
 
@@ -206,16 +234,22 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 max_wait_ms: float = 2.0,
                 max_batch: Optional[int] = None,
                 request_timeout_s: float = 60.0,
+                max_queue: Optional[int] = 1024,
+                max_body_bytes: int = 64 * 1024 * 1024,
                 quiet: bool = True
                 ) -> Tuple[ThreadingHTTPServer, BatchingFrontend]:
     """Build (server, frontend); port=0 picks an ephemeral port
     (``server.server_address[1]``). Caller runs ``serve_forever()`` and on
-    shutdown calls ``server.shutdown()`` then ``frontend.close()``."""
+    shutdown calls ``server.shutdown()`` then ``frontend.close()``.
+    Overload behavior: requests beyond ``max_queue`` waiting are rejected
+    with 503 (load shedding beats unbounded queue growth); bodies beyond
+    ``max_body_bytes`` are rejected with 413 before being read."""
     frontend = BatchingFrontend(predictor, max_wait_ms=max_wait_ms,
-                                max_batch=max_batch)
+                                max_batch=max_batch, max_queue=max_queue)
     handler = type("Handler", (_Handler,), {
         "frontend": frontend, "predictor": predictor,
-        "request_timeout_s": request_timeout_s, "quiet": quiet,
+        "request_timeout_s": request_timeout_s,
+        "max_body_bytes": int(max_body_bytes), "quiet": quiet,
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.daemon_threads = True
@@ -290,6 +324,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help='comma list, e.g. "1,8"; "" disables')
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument("--request_timeout_s", type=float, default=60.0)
+    p.add_argument("--max_queue", type=int, default=1024,
+                   help="reject (503) once this many requests are queued; "
+                        "0 = unbounded")
+    p.add_argument("--max_body_mb", type=float, default=64.0,
+                   help="reject (413) request bodies larger than this")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the pre-listen warmup forwards (default: "
                         "every compiled batch bucket runs one dummy "
@@ -340,7 +379,10 @@ def main(argv=None) -> None:
         warmup(predictor)
     server, frontend = make_server(
         predictor, args.host, args.port, max_wait_ms=args.max_wait_ms,
-        request_timeout_s=args.request_timeout_s, quiet=not args.verbose)
+        request_timeout_s=args.request_timeout_s,
+        max_queue=args.max_queue or None,
+        max_body_bytes=int(args.max_body_mb * 1024 * 1024),
+        quiet=not args.verbose)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "
           f"(max_batch={predictor.max_batch}, "

@@ -161,6 +161,42 @@ class TestBatchingFrontend:
             ans, prob = ok.result(timeout=60)
             assert isinstance(ans, str) and 0.0 <= prob <= 1.0
 
+    def test_max_queue_sheds_load(self):
+        """With max_queue set, submit() raises FrontendOverloaded once
+        that many requests are waiting; in-flight work still completes."""
+        from mcan_vqa_tpu.batching import FrontendOverloaded
+
+        entered = threading.Event()
+        release = threading.Event()
+
+        class SlowPredictor:
+            ix_to_ans = {"0": "a", "1": "b"}
+            max_batch = 1   # one request per group
+            img_feat_size = 4
+
+            def predict_probs(self, qs, fs):
+                entered.set()
+                assert release.wait(timeout=60)
+                out = np.zeros((len(qs), 2), np.float32)
+                out[:, 1] = 1.0
+                return out
+
+        feat = np.zeros((2, 4), np.float32)
+        fe = BatchingFrontend(SlowPredictor(), max_wait_ms=0.0,
+                              max_queue=1)
+        try:
+            f_a = fe.submit("a", feat)            # dequeued, in flight
+            assert entered.wait(timeout=60)
+            f_b = fe.submit("b", feat)            # sits in the queue
+            with pytest.raises(FrontendOverloaded, match="overloaded"):
+                fe.submit("c", feat)              # queue full -> shed
+            release.set()
+            assert f_a.result(timeout=60) == ("b", 1.0)
+            assert f_b.result(timeout=60) == ("b", 1.0)
+        finally:
+            release.set()
+            fe.close()
+
     def test_latency_metrics(self, predictor):
         """latency_ms() reports submit->resolve quantiles over served
         requests; empty before any traffic, populated and ordered after."""

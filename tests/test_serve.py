@@ -217,6 +217,64 @@ class TestErrors:
         assert status == 400
 
 
+class TestOverloadAndLimits:
+    def test_overload_maps_to_503(self, predictor):
+        """A FrontendOverloaded from submit() becomes HTTP 503 for a
+        single request (and a per-item error inside a batch)."""
+        from mcan_vqa_tpu.batching import FrontendOverloaded
+
+        srv, frontend = serve_mod.make_server(predictor, port=0,
+                                              max_wait_ms=0.0)
+
+        def always_overloaded(*a, **k):
+            raise FrontendOverloaded("frontend overloaded: test")
+
+        frontend.submit = always_overloaded
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            addr = srv.server_address[:2]
+            payload = {"question": "q", "image_feature": [[0.0] * 16]}
+            status, out = _request(addr, "POST", "/v1/answer", payload)
+            assert status == 503 and "overloaded" in out["error"]
+            status, out = _request(addr, "POST", "/v1/answer",
+                                   {"requests": [payload]})
+            assert status == 200
+            assert "overloaded" in out["results"][0]["error"]
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            frontend.close()
+            t.join(timeout=10)
+
+    def test_body_cap_413_and_bad_content_length(self, predictor):
+        srv, frontend = serve_mod.make_server(predictor, port=0,
+                                              max_body_bytes=64)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            addr = srv.server_address[:2]
+            big = {"question": "q", "image_feature": [[0.0] * 64]}
+            status, out = _request(addr, "POST", "/v1/answer", big)
+            assert status == 413 and "64-byte limit" in out["error"]
+
+            conn = http.client.HTTPConnection(*addr, timeout=60)
+            conn.putrequest("POST", "/v1/answer")
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", "banana")
+            conn.endheaders()
+            resp = conn.getresponse()
+            out = json.loads(resp.read())
+            conn.close()
+            assert resp.status == 400
+            assert "Content-Length" in out["error"]
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            frontend.close()
+            t.join(timeout=10)
+
+
 class TestCLI:
     def test_synthetic_build_and_serve(self):
         """The --synthetic CLI path brings up a real server end-to-end
