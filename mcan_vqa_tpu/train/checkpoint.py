@@ -362,10 +362,15 @@ def export_torch_opt_state(opt_state, num_layers: int, lr: float = 0.0,
         v = np.asarray(nu_flat[path], np.float32)
         if transpose:
             m, v = m.T, v.T
+        # torch.from_numpy warns on read-only views (jax arrays surface
+        # as such); ascontiguousarray alone keeps them read-only
+        m = np.ascontiguousarray(m)
+        v = np.ascontiguousarray(v)
         state[i] = {
             "step": torch.tensor(float(found["count"])),
-            "exp_avg": torch.from_numpy(np.ascontiguousarray(m)),
-            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(v)),
+            "exp_avg": torch.from_numpy(m if m.flags.writeable else m.copy()),
+            "exp_avg_sq": torch.from_numpy(
+                v if v.flags.writeable else v.copy()),
         }
     param_groups = [{
         "lr": lr, "betas": tuple(betas), "eps": eps,
@@ -458,6 +463,10 @@ def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
         joined = joined.replace("FCLayer_0.Dense_0", "fc.linear")
         joined = joined.replace("mlp.Dense_0", "mlp.linear")
         arr = np.asarray(arr, np.float32)
+        if not arr.flags.writeable:
+            # jax arrays surface as read-only numpy views; torch tensors
+            # must own writable memory (and warn otherwise)
+            arr = arr.copy()
         if leaf == "kernel":
             out[f"{joined}.weight"] = torch.from_numpy(np.ascontiguousarray(arr.T))
         elif leaf == "embedding":
