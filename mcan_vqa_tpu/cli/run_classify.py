@@ -32,6 +32,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ckpt_epoch", type=int)
     p.add_argument("--ckpt_path", type=str)
     p.add_argument("--reg_factor", type=float)
+    p.add_argument("--ckpt_async", type=lambda s: s == "True")
     p.add_argument("--eval_interval", type=int)
     p.add_argument("--img_feat_size", type=int)
     p.add_argument("--synthetic", action="store_true")

@@ -35,6 +35,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ckpt_epoch", type=int)
     p.add_argument("--ckpt_path", type=str)
     p.add_argument("--grad_accu", dest="grad_accu_steps", type=int)
+    p.add_argument("--ckpt_async", type=lambda s: s == "True")
     p.add_argument("--reg_factor", type=float)
     p.add_argument("--eval_interval", type=int)
     p.add_argument("--mutan_gamma", type=int)

@@ -39,6 +39,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ckpt_epoch", dest="ckpt_epoch", type=int)
     p.add_argument("--ckpt_path", dest="ckpt_path", type=str)
     p.add_argument("--grad_accu", dest="grad_accu_steps", type=int)
+    p.add_argument("--ckpt_async", type=lambda s: s == "True",
+                   help="write per-epoch checkpoints on a background "
+                        "thread (the chip trains through the fetch+write)")
     p.add_argument("--num_workers", type=int)
     p.add_argument("--verbose", type=lambda s: s == "True")
     p.add_argument("--synthetic", action="store_true",

@@ -97,6 +97,10 @@ class Config:
     attention_packing: bool = False  # sample-pack attention to fill MXU tiles
     fused_qkv: bool = False          # one [D,3D] qkv projection per block
     keep_last_ckpts: int = 0         # prune old per-epoch ckpts (0 = keep all)
+    ckpt_async: bool = False         # write per-epoch ckpts on a background
+                                     # thread (device snapshot first, so the
+                                     # donated train step can't race it);
+                                     # the chip trains through the fetch+write
     debug_nans: bool = False
     eval_strict: bool = False        # fail (not just warn) when predictions
                                      # don't cover every ground-truth qid

@@ -49,6 +49,89 @@ def save_checkpoint(state, ckpts_dir: str, version: str, epoch: int) -> str:
     return path
 
 
+class AsyncCheckpointSaver:
+    """Background checkpoint writer: the training loop keeps running while
+    the state is fetched to host and written to disk.
+
+    The reference saves synchronously inside the epoch loop
+    (core/exec.py:241-253) — harmless in eager torch where the tensors
+    already live on host. Here the per-epoch save pays a device->host
+    fetch of the full {params, opt_state} plus the orbax write; on
+    interconnect-constrained hosts that is many seconds of idle chip per
+    epoch. ``save()`` therefore (1) snapshots the state ON DEVICE
+    (``jnp.copy`` — required for correctness, not just speed: the jitted
+    train step donates its input buffers, so a background fetch of the
+    live state would race buffer reuse) and (2) hands the snapshot to a
+    worker thread that fetches + writes while the next epoch trains.
+
+    ``wait()`` flushes pending writes — call it before exiting, resuming,
+    or reading the directory. A failed write re-raises on the next
+    ``save()`` or ``wait()``; pruning runs on the worker after each write
+    so directory mutation is single-threaded.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="mcan-async-ckpt")
+        self._worker.start()
+
+    def save(self, state, ckpts_dir: str, version: str, epoch: int,
+             keep_last: int = 0) -> str:
+        import jax.numpy as jnp
+        self._reraise()
+        snapshot = {
+            "params": jax.tree.map(jnp.copy, state.params),
+            "opt_state": jax.tree.map(jnp.copy, state.opt_state),
+            "step": int(state.step),
+        }
+        path = _ckpt_dir(ckpts_dir, version, epoch)
+        self._q.put((snapshot, path, ckpts_dir, version, keep_last))
+        return path
+
+    def wait(self) -> None:
+        """Block until every enqueued checkpoint is on disk."""
+        self._q.join()
+        self._reraise()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._worker.join()
+
+    def _reraise(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from err
+
+    def _run(self):
+        import orbax.checkpoint as ocp
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            snapshot, path, ckpts_dir, version, keep_last = item
+            try:
+                payload = {
+                    "params": jax.device_get(snapshot["params"]),
+                    "opt_state": jax.device_get(snapshot["opt_state"]),
+                    "step": snapshot["step"],
+                }
+                with ocp.PyTreeCheckpointer() as ckptr:
+                    ckptr.save(path, payload, force=True)
+                if keep_last > 0:
+                    prune_checkpoints(ckpts_dir, version, keep_last)
+            except BaseException as e:  # noqa: BLE001 — surfaced on next save/wait
+                self._error = e
+            finally:
+                del snapshot
+                self._q.task_done()
+
+
 def restore_checkpoint(ckpts_dir: str, version: str, epoch: int,
                        template: Optional[Any] = None) -> Dict[str, Any]:
     return restore_checkpoint_path(_ckpt_dir(ckpts_dir, version, epoch),

@@ -201,6 +201,9 @@ class Trainer:
                 old_handlers[sig] = signal.signal(sig, _request_stop)
         except ValueError:
             old_handlers = {}  # non-main thread: run without handlers
+        # background checkpoint writer: the chip trains through the
+        # device->host fetch + orbax write instead of idling on it
+        saver = ckpt_mod.AsyncCheckpointSaver() if cfg.ckpt_async else None
         if self._jit_train is None:
             forward_fn = None
             if self._use_fused_train():
@@ -333,11 +336,15 @@ class Trainer:
                     self.logger.jsonl({"epoch": epoch, "step": n_steps,
                                        "grad_norm_sums": norm_sums,
                                        "final": True})
-                ckpt_mod.save_checkpoint(state, cfg.ckpts_dir, cfg.version,
-                                         epoch + 1)
-                if cfg.keep_last_ckpts > 0:
-                    ckpt_mod.prune_checkpoints(cfg.ckpts_dir, cfg.version,
-                                               cfg.keep_last_ckpts)
+                if saver is not None:
+                    saver.save(state, cfg.ckpts_dir, cfg.version, epoch + 1,
+                               keep_last=cfg.keep_last_ckpts)
+                else:
+                    ckpt_mod.save_checkpoint(state, cfg.ckpts_dir,
+                                             cfg.version, epoch + 1)
+                    if cfg.keep_last_ckpts > 0:
+                        ckpt_mod.prune_checkpoints(cfg.ckpts_dir, cfg.version,
+                                                   cfg.keep_last_ckpts)
                 if stop_requested["flag"]:
                     self.logger.epoch(epoch, {**epoch_metrics,
                                               "preempted_at_step": n_steps})
@@ -349,6 +356,8 @@ class Trainer:
                             if isinstance(v, float):
                                 epoch_metrics[f"{name}/{k}"] = v
                 self.logger.epoch(epoch, epoch_metrics)
+        if saver is not None:
+            saver.close()   # flush pending writes before returning
         import signal as _sig
         for sig, h in old_handlers.items():
             _sig.signal(sig, h)

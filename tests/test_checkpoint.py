@@ -241,6 +241,97 @@ class TestOrbaxRoundtrip:
         assert ckpt.latest_epoch(str(tmp_path), "test") == 3
 
 
+class TestAsyncCheckpointSaver:
+    def _state(self, cfg, seed=0, step=7):
+        model = build_mcan(cfg, token_size=30, answer_size=10)
+        img, ques = _batch()
+        params = model.init({"params": jax.random.PRNGKey(seed)}, img,
+                            ques.astype(np.int32))["params"]
+        tx = make_optimizer(cfg, data_size=64)
+        return TrainState.create(params, tx, seed=0, step=step)
+
+    def test_matches_sync_save(self, tmp_path):
+        """Async-saved checkpoint restores bitwise-equal to the sync path
+        (same payload, same directory scheme)."""
+        cfg = _cfg()
+        state = self._state(cfg)
+        ckpt.save_checkpoint(state, str(tmp_path), "sync", epoch=3)
+        saver = ckpt.AsyncCheckpointSaver()
+        path = saver.save(state, str(tmp_path), "async", epoch=3)
+        saver.close()
+        assert path.endswith("epoch3")
+        r_sync = ckpt.restore_checkpoint(str(tmp_path), "sync", 3)
+        r_async = ckpt.restore_checkpoint(str(tmp_path), "async", 3)
+        assert int(r_async["step"]) == int(r_sync["step"]) == 7
+        for a, b in zip(jax.tree.leaves(r_sync), jax.tree.leaves(r_async)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_snapshot_survives_donation_style_mutation(self, tmp_path):
+        """save() must snapshot on device BEFORE returning: overwriting
+        the live params right after save() must not leak into the
+        checkpoint (the donated train step reuses those buffers)."""
+        cfg = _cfg()
+        state = self._state(cfg)
+        want = jax.device_get(state.params)
+        saver = ckpt.AsyncCheckpointSaver()
+        saver.save(state, str(tmp_path), "snap", epoch=1)
+        # aggressively mutate the live tree while the write is in flight
+        state = state.replace(params=jax.tree.map(
+            lambda x: x * 0 - 1.0, state.params))
+        jax.block_until_ready(state.params)
+        saver.close()
+        got = ckpt.restore_checkpoint(str(tmp_path), "snap", 1)["params"]
+        for (ka, a), (kb, b) in zip(
+                sorted(ckpt.flatten_params(want).items()),
+                sorted(ckpt.flatten_params(got).items())):
+            assert ka == kb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(ka))
+
+    def test_prunes_on_worker(self, tmp_path):
+        cfg = _cfg()
+        state = self._state(cfg)
+        saver = ckpt.AsyncCheckpointSaver()
+        for ep in (1, 2, 3):
+            saver.save(state, str(tmp_path), "pr", epoch=ep, keep_last=2)
+        saver.close()
+        import os
+        left = sorted(os.listdir(tmp_path / "ckpt_pr"))
+        assert left == ["epoch2", "epoch3"]
+
+    def test_write_failure_surfaces_on_wait(self, tmp_path):
+        cfg = _cfg()
+        state = self._state(cfg)
+        target = tmp_path / "blocked"
+        target.write_text("a file where the ckpt dir tree must go")
+        saver = ckpt.AsyncCheckpointSaver()
+        saver.save(state, str(target), "x", epoch=1)
+        with pytest.raises(RuntimeError, match="async checkpoint"):
+            saver.wait()
+
+    def test_trainer_end_to_end(self, tmp_path):
+        """Trainer with ckpt_async=True: every epoch checkpoint is on disk
+        after train() returns, and the latest restores."""
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                     img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                     flat_mlp_size=16, batch_size=8, max_epoch=2,
+                     num_workers=1, compute_dtype="float32", use_glove=False,
+                     verbose=False, eval_every_epoch=False, ckpt_async=True,
+                     ckpts_dir=str(tmp_path / "ckpts"),
+                     log_path=str(tmp_path / "log"),
+                     result_path=str(tmp_path / "res")).finalize()
+        ds = SyntheticVQADataset(cfg, size=32, token_size=40, answer_size=8,
+                                 run_mode="train")
+        state = Trainer(cfg, train_dataset=ds).train()
+        root = tmp_path / "ckpts" / f"ckpt_{cfg.version}"
+        assert sorted(p.name for p in root.iterdir()) == ["epoch1", "epoch2"]
+        restored = ckpt.restore_checkpoint(str(tmp_path / "ckpts"),
+                                           cfg.version, 2)
+        assert int(restored["step"]) == int(state.step)
+
+
 class TestTrainerTorchResume:
     def test_moments_restored_through_trainer(self, tmp_path):
         """Trainer._resume from a reference-format pickle WITH optimizer
