@@ -80,11 +80,16 @@ def decode_feature(obj) -> np.ndarray:
         if len(shape) != 2 or arr.size != shape[0] * shape[1]:
             raise ValueError(
                 f"b64 payload has {arr.size} floats, shape {shape}")
-        return arr.reshape(shape)
-    arr = np.asarray(obj, np.float32)
+        arr = arr.reshape(shape)
+    else:
+        arr = np.asarray(obj, np.float32)
     if arr.ndim != 2:
         raise ValueError(
             f"image_feature must be [regions, feat], got shape {arr.shape}")
+    if not np.isfinite(arr).all():
+        # NaN/Inf would propagate to every logit and argmax to garbage;
+        # reject at the boundary where the caller can see it
+        raise ValueError("image_feature contains non-finite values")
     return arr
 
 

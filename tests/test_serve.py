@@ -199,6 +199,20 @@ class TestErrors:
             "question": "hi", "image_feature": [1.0, 2.0]})  # 1-D
         assert status == 400 and "regions" in out["error"]
 
+    def test_non_finite_features_400(self, server):
+        for bad in (float("nan"), float("inf")):
+            feat = [[0.0] * 16, [bad] + [0.0] * 15]
+            status, out = _request(server, "POST", "/v1/answer", {
+                "question": "what", "image_feature": feat})
+            assert status == 400 and "non-finite" in out["error"]
+        # b64 path rejects too
+        raw = np.full((2, 16), np.nan, np.float32)
+        status, out = _request(server, "POST", "/v1/answer", {
+            "question": "what", "image_feature": {
+                "b64": base64.b64encode(raw.tobytes()).decode(),
+                "shape": [2, 16]}})
+        assert status == 400 and "non-finite" in out["error"]
+
     def test_bad_b64_400(self, server):
         status, out = _request(server, "POST", "/v1/answer", {
             "question": "hi",
