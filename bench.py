@@ -117,11 +117,21 @@ def main() -> None:
         # alllayer only for the mode-3/4/5 experiments: the shipped config
         # (and the Predictor) runs the per-block engine without the ~86 MB
         # stacked layouts, so bench == production program exactly
+        alllayer = (sga_mode >= 3
+                    or os.environ.get("BENCH_ALLLAYER", "0") == "1")
         params = prepare_params(
             params, cfg.layer, num_heads=cfg.multi_head,
-            alllayer=sga_mode >= 3
-            or os.environ.get("BENCH_ALLLAYER", "0") == "1",
-            qffn=use_qffn)
+            alllayer=alllayer, qffn=use_qffn)
+        if (sga_mode == 2 and not alllayer
+                and os.environ.get("BENCH_PRUNE", "1") == "1"):
+            # production parity: the Predictor ships the PRUNED tree
+            # (only _mk/_qffn + cross linear_kv per block); BENCH_PRUNE=0
+            # restores the full prepared tree
+            from mcan_vqa_tpu.ops.serving import prune_prepared_params
+            try:
+                params = prune_prepared_params(params, cfg.layer)
+            except ValueError:
+                pass  # outside the megakernel envelope
         # bf16 residual stream is the default HERE AND IN PRODUCTION
         # (Predictor + Trainer fused eval ship bf16_stream=True): gated by
         # tests/test_bf16_stream.py (top-1 agreement >= 99.5%, |d_acc| <=

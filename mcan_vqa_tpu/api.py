@@ -93,13 +93,23 @@ class Predictor:
                     serve(params, img, ques).astype(jnp.float32))
         elif engine == "fused":
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
-                                                  prepare_params)
-            # alllayer=False: the Predictor ships the per-block engine;
-            # skip the mode-3/4/5 stacked layouts (~86 MB of duplicated
-            # weights that exported artifacts would carry as dead arrays)
-            self.params = prepare_params(params, cfg.layer,
-                                         num_heads=cfg.multi_head,
-                                         alllayer=False, qffn=True)
+                                                  prepare_params,
+                                                  prune_prepared_params)
+            # alllayer=False skips the mode-3/4/5 stacked layouts;
+            # prune_prepared_params then drops every per-block weight the
+            # mode-2 megakernel forward doesn't read (raw + fused
+            # projection copies) — less HBM and smaller exported
+            # artifacts (small 262->112 MB), bitwise-identical logits
+            # (tests/test_serving.py)
+            prepared = prepare_params(params, cfg.layer,
+                                      num_heads=cfg.multi_head,
+                                      alllayer=False, qffn=True)
+            try:
+                prepared = prune_prepared_params(prepared, cfg.layer)
+            except ValueError:
+                pass  # dims outside the megakernel VMEM envelope: the
+                #       forward's mode-0 fallback reads the raw entries
+            self.params = prepared
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
                                     use_sga_megakernel=2,

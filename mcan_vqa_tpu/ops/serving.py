@@ -179,6 +179,54 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     return out
 
 
+def prune_prepared_params(params: Dict[str, Any],
+                          num_layers: int) -> Dict[str, Any]:
+    """Drop the per-block weights the shipped (mode-2 megakernel) forward
+    never reads.
+
+    ``prepare_params`` keeps the raw per-name projections, the fused
+    qkv/kv copies, AND the ``_mk``/``_qffn`` layouts side by side so one
+    tree can serve every engine variant. The production engine
+    (``make_serving_fn(use_sga_megakernel=2)`` — Predictor "fused",
+    Trainer fused eval, bench default) reads ONLY ``_mk``/``_qffn`` per
+    block plus the decoder's fused cross ``linear_kv``; everything else
+    in the blocks is dead HBM and dead artifact bytes. Measured with
+    tools/param_footprint.py: MCAN-small 262 -> 142 MB, MCAN-large
+    1010 -> 529 MB (the bf16 FFN kernels stay: compiled shapes past
+    QFFN_MAX_BATCH fall back to them).
+
+    Only valid for mode 2: the per-sub-op fallback (mode 0) and the
+    all-layer experiments (modes 3/4/5) read the raw entries — keep the
+    unpruned tree for those. Raises if any block lacks its ``_mk``
+    layout (dims outside the megakernel VMEM envelope)."""
+    bb = params["backbone"]
+    for i in range(num_layers):
+        if "_mk" not in bb[f"enc_{i}"] or "_mk" not in bb[f"dec_{i}"]:
+            raise ValueError(
+                "prune_prepared_params needs the _mk megakernel layouts "
+                "on every block (prepare_params(megakernel=True) within "
+                "the VMEM envelope)")
+    # Inside the decoder _mk, the per-head (variant-1) layouts duplicate
+    # the fused-projection set the shipped kernel actually reads
+    # (fused_sga_block(fused_proj=True) / fused_qffn_sga_block pass only
+    # wqkv1/wm1_full/wq2_full/wm2_full + biases/LN/FFN) — another
+    # 6*D^2 bf16 per block of dead weight.
+    v1_only = ("wq1", "wk1", "wv1", "bq1", "bk1", "bv1",
+               "wm1", "wq2", "bq2", "wm2")
+    out = {k: v for k, v in params.items() if k != "backbone"}
+    nbb: Dict[str, Any] = {}
+    for i in range(num_layers):
+        enc, dec = bb[f"enc_{i}"], bb[f"dec_{i}"]
+        nbb[f"enc_{i}"] = {k: enc[k] for k in ("_mk", "_qffn") if k in enc}
+        kept = {k: dec[k] for k in ("_qffn",) if k in dec}
+        kept["_mk"] = {k: v for k, v in dec["_mk"].items()
+                       if k not in v1_only}
+        kept["mhatt2"] = {"linear_kv": dec["mhatt2"]["linear_kv"]}
+        nbb[f"dec_{i}"] = kept
+    out["backbone"] = nbb
+    return out
+
+
 def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
                               cast_bf16: bool = True,
                               megakernel: bool = True,
@@ -436,8 +484,12 @@ def make_serving_fn(num_layers: int, num_heads: int,
         sga_mode = use_sga_megakernel
         if sga_mode:
             D = v.shape[-1]
-            F_ff = params["backbone"]["dec_0"]["ffn"]["mlp"][
-                "FCLayer_0"]["Dense_0"]["kernel"].shape[1]
+            dec0 = params["backbone"]["dec_0"]
+            # pruned trees (prune_prepared_params) carry the FFN width
+            # only inside the megakernel layout
+            F_ff = (dec0["_mk"]["w1"].shape[1] if "_mk" in dec0
+                    else dec0["ffn"]["mlp"][
+                        "FCLayer_0"]["Dense_0"]["kernel"].shape[1])
             if sga_mode in (3, 4, 5):
                 from mcan_vqa_tpu.ops.sga_block import decoder_vmem_ok
                 if not decoder_vmem_ok(D, F_ff, num_layers):

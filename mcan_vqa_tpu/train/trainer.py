@@ -477,9 +477,19 @@ class Trainer:
                 eval_params = prepare_classifier_params(state.params,
                                                         cfg.layer)
             else:
+                from mcan_vqa_tpu.ops.serving import prune_prepared_params
+                # pruned: the mode-2 engine reads only _mk/_qffn +
+                # cross linear_kv; dropping the rest halves the
+                # transient prepared-tree HBM per eval
                 eval_params = prepare_params(state.params, cfg.layer,
                                              num_heads=cfg.multi_head,
                                              alllayer=False, qffn=True)
+                try:
+                    eval_params = prune_prepared_params(eval_params,
+                                                        cfg.layer)
+                except ValueError:
+                    pass  # outside the megakernel envelope: mode-0
+                    #       fallback reads the raw entries
         elif self._jit_eval is None:
             self._jit_eval = shd.jit_eval_step(
                 make_eval_step(self.model, image_only=self.image_only),

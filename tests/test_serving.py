@@ -214,6 +214,46 @@ class TestSGAMegakernel:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=5e-2, rtol=5e-2)
 
+    def test_pruned_tree_bitwise_equal(self):
+        """prune_prepared_params drops only DEAD entries: the shipped
+        mode-2 engine (megakernel + qffn + bf16 stream — the Predictor
+        config) produces bitwise-identical logits from the pruned tree,
+        which must be substantially smaller."""
+        from mcan_vqa_tpu.ops.serving import (prepare_params,
+                                              prune_prepared_params)
+        cfg, model, params, img, ques = _setup()
+        prepared = prepare_params(params, cfg.layer,
+                                  num_heads=cfg.multi_head,
+                                  alllayer=False, qffn=True)
+        pruned = prune_prepared_params(prepared, cfg.layer)
+        fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
+                              use_pallas_ffn=True, use_sga_megakernel=2,
+                              bf16_stream=True, qffn=True, interpret=True)
+        full = np.asarray(fwd(prepared, img, ques))
+        slim = np.asarray(fwd(pruned, img, ques))
+        np.testing.assert_array_equal(full, slim)
+
+        def nbytes(t):
+            return sum(np.asarray(x).nbytes for x in jax.tree.leaves(t))
+        assert nbytes(pruned) < 0.75 * nbytes(prepared)
+        # blocks keep only the megakernel layouts + the cross kv fusion
+        enc = pruned["backbone"]["enc_0"]
+        dec = pruned["backbone"]["dec_0"]
+        assert set(enc) <= {"_mk", "_qffn"}
+        assert set(dec) <= {"_mk", "_qffn", "mhatt2"}
+        assert set(dec["mhatt2"]) == {"linear_kv"}
+
+    def test_prune_requires_megakernel_layouts(self):
+        import pytest
+
+        from mcan_vqa_tpu.ops.serving import (prepare_params,
+                                              prune_prepared_params)
+        cfg, model, params, img, ques = _setup()
+        no_mk = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
+                               megakernel=False)
+        with pytest.raises(ValueError, match="_mk"):
+            prune_prepared_params(no_mk, cfg.layer)
+
     def test_block_kernel_direct_parity(self):
         """fused_sga_block vs an op-by-op XLA replica of the SGA block."""
         import jax
