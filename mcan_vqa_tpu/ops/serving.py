@@ -272,6 +272,26 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
     return out
 
 
+def prune_classifier_params(params: Dict[str, Any],
+                            num_layers: int) -> Dict[str, Any]:
+    """Classifier twin of ``prune_prepared_params``: the megakernel path
+    of ``make_classifier_serving_fn`` reads only ``_mk``/``_qffn`` per SA
+    block (no cross-attention, so nothing else survives)."""
+    bb = params["backbone"]
+    for i in range(num_layers):
+        if "_mk" not in bb[f"enc_{i}"]:
+            raise ValueError(
+                "prune_classifier_params needs the _mk layouts on every "
+                "block (prepare_classifier_params(megakernel=True) within "
+                "the VMEM envelope)")
+    out = {k: v for k, v in params.items() if k != "backbone"}
+    out["backbone"] = {
+        f"enc_{i}": {k: bb[f"enc_{i}"][k] for k in ("_mk", "_qffn")
+                     if k in bb[f"enc_{i}"]}
+        for i in range(num_layers)}
+    return out
+
+
 def make_classifier_serving_fn(num_layers: int, num_heads: int,
                                bf16_stream: bool = True,
                                use_sa_megakernel: bool = True,
@@ -294,8 +314,10 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
         mk = use_sa_megakernel
         if mk:
             D = v.shape[-1]
-            F_ff = bb["enc_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
-                "kernel"].shape[1]
+            enc0 = bb["enc_0"]
+            F_ff = (enc0["_mk"]["w1"].shape[1] if "_mk" in enc0
+                    else enc0["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+                        "kernel"].shape[1])
             mk = megakernel_vmem_ok(D, F_ff)
         if mk:
             from mcan_vqa_tpu.ops.sga_block import (fused_sa_block,

@@ -474,8 +474,14 @@ class Trainer:
                         in_specs=(P(),) + (P("data"),) * n_in,
                         out_specs=P("data"), check_vma=False))
             if self.image_only:
+                from mcan_vqa_tpu.ops.serving import prune_classifier_params
                 eval_params = prepare_classifier_params(state.params,
                                                         cfg.layer)
+                try:
+                    eval_params = prune_classifier_params(eval_params,
+                                                          cfg.layer)
+                except ValueError:
+                    pass  # outside the megakernel envelope
             else:
                 from mcan_vqa_tpu.ops.serving import prune_prepared_params
                 # pruned: the mode-2 engine reads only _mk/_qffn +

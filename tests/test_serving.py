@@ -243,6 +243,27 @@ class TestSGAMegakernel:
         assert set(dec) <= {"_mk", "_qffn", "mhatt2"}
         assert set(dec["mhatt2"]) == {"linear_kv"}
 
+    def test_classifier_pruned_tree_bitwise_equal(self):
+        from mcan_vqa_tpu.models.net import ClassifierNet
+        from mcan_vqa_tpu.ops.serving import (make_classifier_serving_fn,
+                                              prepare_classifier_params,
+                                              prune_classifier_params)
+        model = ClassifierNet(answer_size=9, hidden_size=64, num_layers=2,
+                              num_heads=4, ff_size=256, img_feat_size=32,
+                              flat_mlp_size=24, flat_glimpses=1,
+                              flat_out_size=48, dropout_rate=0.1,
+                              dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(3, 12, 32)).astype(np.float32)
+        img[1, 7:] = 0.0
+        params = model.init({"params": jax.random.PRNGKey(0)}, img)["params"]
+        prepared = prepare_classifier_params(params, 2)
+        pruned = prune_classifier_params(prepared, 2)
+        fwd = make_classifier_serving_fn(2, 4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(fwd(prepared, img)),
+                                      np.asarray(fwd(pruned, img)))
+        assert set(pruned["backbone"]["enc_0"]) <= {"_mk", "_qffn"}
+
     def test_prune_requires_megakernel_layouts(self):
         import pytest
 
