@@ -138,6 +138,15 @@ def main() -> None:
         # 0.1pt on trained real-format data) and the full-size torch-oracle
         # logit bound (test_full_size_parity.py). Measured +2.7% once the
         # fused kernels stopped casting their block I/O back to f32.
+        # BENCH_QSTATIC=1: static CALIBRATED per-tensor activation scales
+        # for the qffn quant sites (ops/quant.calibrate_qffn_act_scales;
+        # calibrated here on the bench input distribution) — removes the
+        # per-row max reductions inside the qffn kernels.
+        act_scales = None
+        if use_qffn and os.environ.get("BENCH_QSTATIC", "0") == "1":
+            from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+            act_scales = calibrate_qffn_act_scales(
+                params, img_d, ques_d, cfg.layer, cfg.multi_head)
         forward = make_serving_fn(
             cfg.layer, cfg.multi_head, use_pallas=use_pallas,
             bf16_stream=os.environ.get("BENCH_BF16_STREAM", "1") == "1",
@@ -150,7 +159,7 @@ def main() -> None:
             use_sga_megakernel=sga_mode,
             sga_group=int(os.environ.get("BENCH_SGA_GROUP", "4")),
             use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1",
-            qffn=use_qffn)
+            qffn=use_qffn, qffn_act_scales=act_scales)
     elif use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn
         forward = make_serving_fn(cfg.layer, cfg.multi_head,

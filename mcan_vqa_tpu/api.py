@@ -29,7 +29,7 @@ class Predictor:
                  ix_to_ans: Optional[Dict[str, str]] = None,
                  max_batch: int = 64, engine: str = "auto",
                  latency_buckets: Optional[Sequence[int]] = None,
-                 mesh=None):
+                 mesh=None, act_calibration=None):
         """max_batch: compiled batch shape; inputs are padded up to it
         (one compilation, any request size <= max_batch).
 
@@ -50,6 +50,18 @@ class Predictor:
         tests/test_quant.py: top-1 agreement >= 99%, |d_acc| <= 0.5pt);
         "auto" picks fused on TPU, plain elsewhere (the Pallas kernels
         only compile for TPU).
+
+        act_calibration: optional ``(questions, image_features)`` batch
+        (same formats as ``predict_probs``) for the "fused" engine:
+        calibrates STATIC per-tensor activation scales for the int8
+        quant sites (ops/quant.calibrate_qffn_act_scales) and bakes them
+        into the engine — skips the per-row activation-max reductions,
+        measured +5% serving at MCAN-small same-session
+        (docs/PERFORMANCE.md). Accuracy is gated at the default path's
+        bar (tests/test_quant.py::TestStaticActScales); values beyond
+        the calibration max saturate gracefully, but the batch should
+        reflect production traffic. None (default) keeps dynamic
+        per-row quantization.
 
         mesh: optional pure-data-parallel ``jax.sharding.Mesh`` (every
         non-"data" axis size 1). Params are replicated, every request
@@ -110,10 +122,18 @@ class Predictor:
                 pass  # dims outside the megakernel VMEM envelope: the
                 #       forward's mode-0 fallback reads the raw entries
             self.params = prepared
+            act_scales = None
+            if act_calibration is not None:
+                from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+                cal_q, cal_f = act_calibration
+                cques, cimg = self._prep_inputs(cal_q, cal_f)
+                act_scales = calibrate_qffn_act_scales(
+                    prepared, cimg, cques, cfg.layer, cfg.multi_head)
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
                                     use_sga_megakernel=2,
                                     bf16_stream=True, qffn=True,
+                                    qffn_act_scales=act_scales,
                                     interpret=jax.default_backend() != "tpu")
             # bf16_stream AND the int8-FFN megakernels (qffn) ship by
             # default: gated by tests/test_bf16_stream.py +
@@ -177,6 +197,17 @@ class Predictor:
         """Per-region feature width F a request row must have."""
         return int(self.cfg.img_feat_size)
 
+    def _prep_inputs(self, questions: Sequence[str], image_features):
+        """Host prep shared by serving and calibration: tokenize + pad
+        each per-image [R_i, F] feature block to the model's region
+        count. Returns (ques [N, T] int32, img [N, R, F] f32)."""
+        ques = text_mod.encode_questions(
+            questions, self.token_to_ix, self.cfg.max_token)
+        img = np.stack([feat_mod.pad_img_feat(
+            np.asarray(f, np.float32), self.cfg.img_feat_pad_size)
+            for f in image_features])
+        return ques, img
+
     # ------------------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, path: str, cfg, token_to_ix: Dict[str, int],
@@ -185,7 +216,7 @@ class Predictor:
                         max_batch: int = 64,
                         engine: str = "auto",
                         latency_buckets: Optional[Sequence[int]] = None,
-                        mesh=None) -> "Predictor":
+                        mesh=None, act_calibration=None) -> "Predictor":
         """path: a reference .pkl/.pt, or an orbax checkpoint directory."""
         from mcan_vqa_tpu.train import checkpoint as ckpt_mod
 
@@ -197,7 +228,8 @@ class Predictor:
                 restored = ckptr.restore(path)
             params = restored["params"] if "params" in restored else restored
         return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine,
-                   latency_buckets=latency_buckets, mesh=mesh)
+                   latency_buckets=latency_buckets, mesh=mesh,
+                   act_calibration=act_calibration)
 
     # ------------------------------------------------------------------
     def predict_probs(self, questions: Sequence[str],
@@ -221,11 +253,7 @@ class Predictor:
         assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
 
-        ques = text_mod.encode_questions(
-            questions, self.token_to_ix, self.cfg.max_token)
-        img = np.stack([feat_mod.pad_img_feat(
-            np.asarray(f, np.float32), self.cfg.img_feat_pad_size)
-            for f in image_features])
+        ques, img = self._prep_inputs(questions, image_features)
 
         target = next(b for b in self._buckets if b >= n)
         if n < target:

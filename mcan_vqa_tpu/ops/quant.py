@@ -229,6 +229,25 @@ def _qdot(x, wq_ref, sw_ref, bias):
     return y.astype(jnp.float32) * (sx * sw_ref[:]) + bias
 
 
+def _qdot_static(x, a: float, wq_ref, sw_ref, bias):
+    """``_qdot`` with a CALIBRATED per-tensor activation scale ``a``
+    (a Python float baked into the kernel at trace time).
+
+    Skips the per-row max-abs reduction and the per-row rescale — the
+    quantize step is one multiply + round/clip/cast and the dequantize
+    scale is the compile-time constant ``a * w_scale``. Sound here
+    because every static-quant site in these kernels is post-LayerNorm
+    (per-row norms are ~constant, so a per-tensor scale loses little
+    vs per-row) or post-ReLU of such a matmul; values beyond the
+    calibration max saturate at +-127 (graceful). Calibration:
+    ``calibrate_qffn_act_scales``."""
+    xq = jnp.clip(jnp.round(x * (1.0 / a)), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq_ref[:],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (a * sw_ref[:]) + bias
+
+
 def prepare_quant_sga_params(p: Dict[str, Any]) -> Dict[str, Any]:
     """One decoder block (raw tree) -> int8 fused-projection layout."""
     def fuse_k(names, src):
@@ -553,6 +572,180 @@ def prepare_qffn_params(p: Dict[str, Any],
     return out
 
 
+def calibrate_qffn_act_scales(params: Dict[str, Any], img_feat, ques_ix,
+                              num_layers: int, num_heads: int,
+                              margin: float = 1.1) -> Dict[str, tuple]:
+    """Calibrate static per-tensor activation scales for the qffn engine.
+
+    Replays the qffn megakernel math (bf16 attention matmuls, f32
+    softmax/LN, int8 FFN) in plain XLA over a representative batch and
+    records each quant site's max |activation|:
+
+      * a1 — FFN w1 input (post-LayerNorm: per-row norms ~constant, so a
+        per-tensor scale costs little vs per-row),
+      * a2 — FFN w2 input (ReLU of the static-quant w1 matmul — computed
+        self-consistently with the a1 just derived),
+      * aqkv — the self-attention qkv input (post-LN block entry), only
+        meaningful when ``_qffn`` carries ``wqkv_q``.
+
+    params: a prepared serving tree (``prepare_params(qffn=True)``,
+    pruned or not) — reads ``_mk``/``_qffn`` per block plus the decoder's
+    ``mhatt2.linear_kv``. Returns {"enc_i"/"dec_i": (aqkv, a1, a2)} as
+    PYTHON FLOATS (scale = max/127 * margin; values past the calibration
+    max saturate at +-127): bake them into the engine via
+    ``make_serving_fn(qffn_act_scales=...)``. margin: headroom for
+    activations the calibration batch didn't reach."""
+
+    def replay(params, img_feat, ques_ix):
+        q_mask = make_mask(ques_ix[..., None])
+        v_mask = make_mask(img_feat)
+        q = jnp.take(params["embedding"]["embedding"], ques_ix, axis=0)
+        q = _lstm(params["lstm"], q).astype(BF16)
+        ifl = params["img_feat_linear"]
+        v = _cal_bdot(img_feat, ifl["kernel"], ifl["bias"]).astype(BF16)
+
+        bb = params["backbone"]
+        scales: Dict[str, tuple] = {}
+        for i in range(num_layers):
+            q, scales[f"enc_{i}"] = _cal_sa_block(
+                bb[f"enc_{i}"], q, q_mask, num_heads, margin)
+        for i in range(num_layers):
+            v, scales[f"dec_{i}"] = _cal_sga_block(
+                bb[f"dec_{i}"], v, q, v_mask, q_mask, num_heads, margin)
+        return scales
+
+    out = jax.jit(replay)(params, jnp.asarray(img_feat),
+                          jnp.asarray(ques_ix))
+    return {k: tuple(float(x) for x in jax.device_get(v))
+            for k, v in out.items()}
+
+
+def calibrate_classifier_act_scales(params: Dict[str, Any], img_feat,
+                                    num_layers: int, num_heads: int,
+                                    margin: float = 1.1) -> Dict[str, tuple]:
+    """Classifier twin of ``calibrate_qffn_act_scales`` (image-only SA
+    stack; params from prepare_classifier_params(qffn=True), pruned or
+    not). Bake the result into
+    ``make_classifier_serving_fn(qffn_act_scales=...)``."""
+
+    def replay(params, img_feat):
+        v_mask = make_mask(img_feat)
+        ifl = params["img_feat_linear"]
+        v = _cal_bdot(img_feat, ifl["kernel"], ifl["bias"]).astype(BF16)
+        bb = params["backbone"]
+        scales: Dict[str, tuple] = {}
+        for i in range(num_layers):
+            v, scales[f"enc_{i}"] = _cal_sa_block(
+                bb[f"enc_{i}"], v, v_mask, num_heads, margin)
+        return scales
+
+    out = jax.jit(replay)(params, jnp.asarray(img_feat))
+    return {k: tuple(float(x) for x in jax.device_get(v))
+            for k, v in out.items()}
+
+
+# --- calibration replay helpers: plain-XLA mirrors of the qffn kernel
+# math (bf16 attention matmuls, f32 softmax/LN, int8 FFN) used to derive
+# the static scales self-consistently (h1 is computed WITH the a1 just
+# calibrated, exactly as the static kernel will).
+
+def _cal_scale_of(x, margin):
+    m = jnp.max(jnp.abs(x)) / 127.0 * margin
+    return jnp.where(m == 0.0, 1.0, m).astype(jnp.float32)
+
+
+def _cal_qdot(x, a, wq, sw, b):
+    xq = jnp.clip(jnp.round(x * (1.0 / a)), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (a * sw) + b
+
+
+def _cal_bdot(x, w, b=None):
+    y = jnp.dot(x.astype(BF16), jnp.asarray(w).astype(BF16),
+                preferred_element_type=jnp.float32)
+    return y if b is None else y + b
+
+
+def _cal_sdpa(q, k, v, mask, num_heads):
+    # [B, L, D] -> [B, Lq, D] f32; group packing in the kernel is
+    # block-diagonal masking == per-sample attention here
+    B, Lq, D = q.shape
+    Dh = D // num_heads
+    sh = lambda t: t.reshape(B, -1, num_heads, Dh).transpose(0, 2, 1, 3)
+    qh, kh, vh = sh(q.astype(BF16)), sh(k.astype(BF16)), sh(v.astype(BF16))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) / (Dh ** 0.5)
+    s = s + mask.astype(jnp.float32) * _NEG_INF
+    att = jax.nn.softmax(s, axis=-1).astype(BF16)
+    o = jnp.einsum("bhqk,bhkd->bhqd", att, vh,
+                   preferred_element_type=jnp.float32)
+    return o.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+
+
+def _cal_qkv_site(flat, wp, qf, wqkv_key, bqkv, margin):
+    """The self-attention qkv quant site: int8 (static, self-consistent)
+    when the block quantizes qkv, else the bf16 matmul; returns
+    (qkv [M, 3D], aq)."""
+    if "wqkv_q" in qf:
+        aq = _cal_scale_of(flat, margin)
+        return _cal_qdot(flat, aq, qf["wqkv_q"], qf["sqkv"], bqkv), aq
+    return _cal_bdot(flat, wp[wqkv_key], bqkv), jnp.float32(1.0)
+
+
+def _cal_ffn_sites(qf, xin, margin):
+    a1 = _cal_scale_of(xin, margin)
+    h1 = jnp.maximum(_cal_qdot(xin, a1, qf["w1_q"], qf["s1"], qf["b1"]),
+                     0.0)
+    a2 = _cal_scale_of(h1, margin)
+    y = _cal_qdot(h1, a2, qf["w2_q"], qf["s2"], qf["b2"])
+    return a1, a2, y
+
+
+def _cal_sa_block(block, q, mask, num_heads, margin):
+    """One SA block of the replay: (stream_out bf16, (aq, a1, a2))."""
+    wp, qf = block["_mk"], block["_qffn"]
+    B, Lq, D = q.shape
+    x = q.astype(jnp.float32)
+    flat = x.reshape(B * Lq, D)
+    qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv", wp["bqkv"], margin)
+    qx, kx, vx = jnp.split(qkv.reshape(B, Lq, 3 * D), 3, axis=-1)
+    att = _cal_sdpa(qx, kx, vx, mask, num_heads)
+    y = _cal_bdot(att.reshape(B * Lq, D), wp["wm"]).reshape(B, Lq, D)
+    x1 = _kln(x + y + wp["bm"], wp["ln1_s"], wp["ln1_b"])
+    a1, a2, y = _cal_ffn_sites(qf, x1.reshape(B * Lq, D), margin)
+    x2 = _kln(x1 + y.reshape(B, Lq, D), wp["ln2_s"], wp["ln2_b"])
+    return x2.astype(BF16), (aq, a1, a2)
+
+
+def _cal_sga_block(dec, v, q, v_mask, q_mask, num_heads, margin):
+    """One SGA decoder block of the replay."""
+    wp, qf = dec["_mk"], dec["_qffn"]
+    B, Lv, D = v.shape
+    kv = _cal_bdot(q, dec["mhatt2"]["linear_kv"]["kernel"],
+                   dec["mhatt2"]["linear_kv"]["bias"])
+    kq, vq = jnp.split(kv, 2, axis=-1)
+
+    x = v.astype(jnp.float32)
+    flat = x.reshape(B * Lv, D)
+    qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv1", wp["bqkv1"], margin)
+    qx, kx, vx = jnp.split(qkv.reshape(B, Lv, 3 * D), 3, axis=-1)
+    att = _cal_sdpa(qx, kx, vx, v_mask, num_heads)
+    y = _cal_bdot(att.reshape(B * Lv, D), wp["wm1_full"]).reshape(B, Lv, D)
+    v1 = _kln(x + y + wp["bm1"], wp["ln1_s"], wp["ln1_b"])
+
+    qx2 = _cal_bdot(v1.reshape(B * Lv, D), wp["wq2_full"],
+                    wp["bq2_full"]).reshape(B, Lv, D)
+    att = _cal_sdpa(qx2, kq, vq, q_mask, num_heads)
+    y = _cal_bdot(att.reshape(B * Lv, D), wp["wm2_full"]).reshape(B, Lv, D)
+    v2 = _kln(v1 + y + wp["bm2"], wp["ln2_s"], wp["ln2_b"])
+
+    a1, a2, y = _cal_ffn_sites(qf, v2.reshape(B * Lv, D), margin)
+    v3 = _kln(v2 + y.reshape(B, Lv, D), wp["ln3_s"], wp["ln3_b"])
+    return v3.astype(BF16), (aq, a1, a2)
+
+
 def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                      wqkv_ref, sqkv_ref, bqkv_ref, wm1_ref, bm1_ref,
                      ln1s_ref, ln1b_ref,
@@ -561,8 +754,12 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                      w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                      ln3s_ref, ln3b_ref,
                      o_ref, *, heads: int, group: int, scale: float,
-                     qkv_int8: bool = False):
-    """bf16 fused-projection SGA megakernel with an int8 FFN."""
+                     qkv_int8: bool = False, act_scales=None):
+    """bf16 fused-projection SGA megakernel with an int8 FFN.
+
+    act_scales: optional (aqkv, a1, a2) Python floats — calibrated
+    per-tensor activation scales for the qkv / FFN-w1 / FFN-w2 quant
+    sites (``_qdot_static``); None keeps dynamic per-row quant."""
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
     Lq = kq_ref.shape[2]
@@ -593,7 +790,11 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 
     # ---- self-attention: ONE qkv matmul (bf16 or int8), lane slices ----
     if qkv_int8:
-        qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
+        if act_scales is not None:
+            qkv = _qdot_static(x, act_scales[0], wqkv_ref, sqkv_ref,
+                               bqkv_ref[:])
+        else:
+            qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
     else:
         qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
                       preferred_element_type=jnp.float32) + bqkv_ref[:]
@@ -622,8 +823,13 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     v2 = _kln(v1 + y + bm2_ref[:], ln2s_ref[:], ln2b_ref[:])
 
     # ---- FFN: int8 x int8 -> int32 on the MXU ----
-    h1 = jnp.maximum(_qdot(v2, w1q_ref, s1_ref, b1_ref[:]), 0.0)
-    y = _qdot(h1, w2q_ref, s2_ref, b2_ref[:])
+    if act_scales is not None:
+        h1 = jnp.maximum(
+            _qdot_static(v2, act_scales[1], w1q_ref, s1_ref, b1_ref[:]), 0.0)
+        y = _qdot_static(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
+    else:
+        h1 = jnp.maximum(_qdot(v2, w1q_ref, s1_ref, b1_ref[:]), 0.0)
+        y = _qdot(h1, w2q_ref, s2_ref, b2_ref[:])
     v3 = _kln(v2 + y, ln3s_ref[:], ln3b_ref[:])
 
     o_ref[:] = v3.reshape(G, Lv, D).astype(o_ref.dtype)
@@ -634,8 +840,9 @@ def _sa_kernel_qffn(x_ref, pad_ref,
                     ln1s_ref, ln1b_ref,
                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                     ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
-                    scale: float, qkv_int8: bool = False):
-    """bf16 SA-block megakernel with an int8 FFN."""
+                    scale: float, qkv_int8: bool = False, act_scales=None):
+    """bf16 SA-block megakernel with an int8 FFN (act_scales as in
+    ``_sga_kernel_qffn``)."""
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
     Dh = D // heads
@@ -648,7 +855,11 @@ def _sa_kernel_qffn(x_ref, pad_ref,
                 + pad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     if qkv_int8:
-        qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
+        if act_scales is not None:
+            qkv = _qdot_static(x, act_scales[0], wqkv_ref, sqkv_ref,
+                               bqkv_ref[:])
+        else:
+            qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
     else:
         qkv = jnp.dot(x.astype(BF16), wqkv_ref[:].astype(BF16),
                       preferred_element_type=jnp.float32) + bqkv_ref[:]
@@ -669,8 +880,13 @@ def _sa_kernel_qffn(x_ref, pad_ref,
                 preferred_element_type=jnp.float32)
     x1 = _kln(x + y + bm_ref[:], ln1s_ref[:], ln1b_ref[:])
 
-    h1 = jnp.maximum(_qdot(x1, w1q_ref, s1_ref, b1_ref[:]), 0.0)
-    y = _qdot(h1, w2q_ref, s2_ref, b2_ref[:])
+    if act_scales is not None:
+        h1 = jnp.maximum(
+            _qdot_static(x1, act_scales[1], w1q_ref, s1_ref, b1_ref[:]), 0.0)
+        y = _qdot_static(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
+    else:
+        h1 = jnp.maximum(_qdot(x1, w1q_ref, s1_ref, b1_ref[:]), 0.0)
+        y = _qdot(h1, w2q_ref, s2_ref, b2_ref[:])
     x2 = _kln(x1 + y, ln2s_ref[:], ln2b_ref[:])
 
     o_ref[:] = x2.reshape(G, Lq, D).astype(o_ref.dtype)
@@ -678,12 +894,15 @@ def _sa_kernel_qffn(x_ref, pad_ref,
 
 def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
                          num_heads: int, group: int = 4,
-                         interpret: bool = False):
+                         interpret: bool = False, act_scales=None):
     """One whole SGA block: bf16 attention/projections (wp =
     prepare_sga_block_params layout), int8 FFN (qf = prepare_qffn_params).
     If qf carries ``wqkv_q`` (prepare_qffn_params(qkv_int8=True)), the
     self-attention qkv projection runs int8 too. Mirrors
-    ops/sga_block.fused_sga_block(fused_proj=True)."""
+    ops/sga_block.fused_sga_block(fused_proj=True).
+    act_scales: optional (aqkv, a1, a2) Python floats from
+    ``calibrate_qffn_act_scales`` — static per-tensor activation quant
+    (no per-row max reductions); None = dynamic per-row."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -709,9 +928,11 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
     qkv_int8 = "wqkv_q" in qf
     wqkv = qf["wqkv_q"] if qkv_int8 else wp["wqkv1"]
     sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
+    if act_scales is not None:
+        act_scales = tuple(float(a) for a in act_scales)
     return pl.pallas_call(
         functools.partial(_sga_kernel_qffn, heads=H, group=G, scale=scale,
-                          qkv_int8=qkv_int8),
+                          qkv_int8=qkv_int8, act_scales=act_scales),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
@@ -747,9 +968,11 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
 
 
 def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
-                        group: int = 0, interpret: bool = False):
+                        group: int = 0, interpret: bool = False,
+                        act_scales=None):
     """One whole SA encoder block: bf16 attention (wp =
-    prepare_sa_block_params layout), int8 FFN (qf)."""
+    prepare_sa_block_params layout), int8 FFN (qf). act_scales as in
+    ``fused_qffn_sga_block``."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -773,9 +996,11 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
     qkv_int8 = "wqkv_q" in qf
     wqkv = qf["wqkv_q"] if qkv_int8 else wp["wqkv"]
     sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
+    if act_scales is not None:
+        act_scales = tuple(float(a) for a in act_scales)
     return pl.pallas_call(
         functools.partial(_sa_kernel_qffn, heads=H, group=G, scale=scale,
-                          qkv_int8=qkv_int8),
+                          qkv_int8=qkv_int8, act_scales=act_scales),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),

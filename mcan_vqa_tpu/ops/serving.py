@@ -296,7 +296,8 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
                                bf16_stream: bool = True,
                                use_sa_megakernel: bool = True,
                                interpret: bool = False,
-                               qffn: bool = True):
+                               qffn: bool = True,
+                               qffn_act_scales=None):
     """Build forward(params, img_feat) -> logits [B, A] for ClassifierNet.
 
     The image-only twin of ``make_serving_fn``: each SA encoder block runs
@@ -304,7 +305,9 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
     geometry the SGA megakernel engine already wins on), AttFlat/LN/proj
     in XLA. Golden-tested against ``model.apply``
     (tests/test_serving.py::TestClassifierServing). Reference parity
-    anchor: core/model/net.py:140-196 (ClassifierNet forward)."""
+    anchor: core/model/net.py:140-196 (ClassifierNet forward).
+    qffn_act_scales: optional {"enc_i": (aqkv, a1, a2)} static activation
+    scales (see make_serving_fn)."""
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
 
     def forward(params, img_feat):
@@ -327,9 +330,10 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
                 if qffn and "_qffn" in p and v.shape[0] <= QFFN_MAX_BATCH:
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
-                    v = fused_qffn_sa_block(v, v_mask, wp, p["_qffn"],
-                                            num_heads=num_heads,
-                                            interpret=interpret)
+                    v = fused_qffn_sa_block(
+                        v, v_mask, wp, p["_qffn"], num_heads=num_heads,
+                        interpret=interpret,
+                        act_scales=(qffn_act_scales or {}).get(f"enc_{i}"))
                 else:
                     v = fused_sa_block(v, v_mask, wp, num_heads=num_heads,
                                        interpret=interpret)
@@ -430,7 +434,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     use_sga_megakernel: bool = False,
                     sga_group: int = 4,
                     use_pallas_attflat: bool = False,
-                    qffn: bool = False):
+                    qffn: bool = False,
+                    qffn_act_scales=None):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
@@ -450,16 +455,22 @@ def make_serving_fn(num_layers: int, num_heads: int,
     VMEM-resident, cross k/v projected in-kernel); 4 = all-layer decoder
     with the cross k/v pre-projected OUTSIDE the kernel (full-batch
     projection matmuls); 5 = the LATENCY engine — all-layer SA encoder +
-    all-layer (mode-4) decoder, TWO backbone launches total, built for
-    tiny batches where per-block launch overhead dominates (the
-    Predictor's small latency buckets route here). 3/4/5 degrade to 2
-    when the stacked weights exceed VMEM (MCAN-large).
+    all-layer (mode-4) decoder, TWO backbone launches total — built as
+    the launch-overhead hypothesis test for tiny batches and measured
+    SLOWER at B=1 than the per-block engine (weight streaming, not
+    launches, bounds B=1 latency — docs/PERFORMANCE.md); the Predictor
+    uses mode 2 at every bucket. 3/4/5 degrade to 2 when the stacked
+    weights exceed VMEM (MCAN-large).
     sga_group = samples packed per matmul inside it.
     qffn: run each per-block megakernel's FFN matmuls in int8 on the MXU
     (mixed precision: attention/projections/stream stay the bf16 path) —
     requires prepare_params(qffn=True) ``_qffn`` entries (falls back to
     the bf16 FFN per block when absent) and sga_mode 2 (the shipped
     per-block engine).
+    qffn_act_scales: optional {"enc_i"/"dec_i": (aqkv, a1, a2)} Python
+    floats from ops.quant.calibrate_qffn_act_scales — static per-tensor
+    activation quantization (skips the per-row max reductions inside
+    the qffn kernels); None keeps dynamic per-row quant.
     """
     stream = jnp.bfloat16 if bf16_stream else jnp.float32
 
@@ -536,9 +547,10 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
                 if qffn and "_qffn" in p and q.shape[0] <= QFFN_MAX_BATCH:
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
-                    q = fused_qffn_sa_block(q, q_mask, wp, p["_qffn"],
-                                            num_heads=num_heads,
-                                            interpret=interpret)
+                    q = fused_qffn_sa_block(
+                        q, q_mask, wp, p["_qffn"], num_heads=num_heads,
+                        interpret=interpret,
+                        act_scales=(qffn_act_scales or {}).get(f"enc_{i}"))
                 else:
                     q = fused_sa_block(q, q_mask, wp, num_heads=num_heads,
                                        interpret=interpret)
@@ -598,7 +610,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     v = fused_qffn_sga_block(
                         v, kq, vq, v_mask, q_mask, wp, p["_qffn"],
                         num_heads=num_heads, group=sga_group,
-                        interpret=interpret)
+                        interpret=interpret,
+                        act_scales=(qffn_act_scales or {}).get(f"dec_{i}"))
                 else:
                     v = fused_sga_block(
                         v, kq, vq, v_mask, q_mask, wp,

@@ -82,6 +82,27 @@ class TestPredictor:
         want = p.predict_probs(qs, padded)
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_act_calibration_static_scales(self, setup):
+        """Predictor(act_calibration=...) calibrates static per-tensor
+        activation scales for the fused engine's int8 quant sites; the
+        answers stay in agreement with the dynamic-quant engine (the
+        accuracy gate proper is tests/test_quant.py TestStaticActScales
+        on trained weights)."""
+        cfg, tok, i2a, params = setup
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        qs = ["what color is the cat", "is the dog red",
+              "what is blue", "is the cat 2"]
+        p_dyn = Predictor(cfg, params, tok, i2a, max_batch=4,
+                          engine="fused")
+        p_sta = Predictor(cfg, params, tok, i2a, max_batch=4,
+                          engine="fused", act_calibration=(qs, feats))
+        pr_d = p_dyn.predict_probs(qs, feats)
+        pr_s = p_sta.predict_probs(qs, feats)
+        assert pr_s.shape == pr_d.shape
+        assert np.abs(pr_s - pr_d).max() < 0.05
+        assert (pr_s.argmax(1) == pr_d.argmax(1)).all()
+
     def test_over_batch_rejected(self, setup):
         cfg, tok, i2a, params = setup
         p = Predictor(cfg, params, tok, i2a, max_batch=2)

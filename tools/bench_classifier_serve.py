@@ -60,9 +60,17 @@ def main() -> None:
     # mixed int8-FFN kernels, same engine the Trainer's classifier eval
     # ships).
     qffn = os.environ.get("BENCH_QFFN", "1") == "1"
-    fused = make_classifier_serving_fn(L, 8, bf16_stream=True, qffn=qffn)
     prepared = jax.jit(lambda p: prepare_classifier_params(
         p, L, qffn=qffn))(params)
+    # BENCH_QSTATIC=1: static calibrated activation scales for the int8
+    # quant sites (ops/quant.calibrate_classifier_act_scales), calibrated
+    # on the bench input distribution.
+    act_scales = None
+    if qffn and os.environ.get("BENCH_QSTATIC", "0") == "1":
+        from mcan_vqa_tpu.ops.quant import calibrate_classifier_act_scales
+        act_scales = calibrate_classifier_act_scales(prepared, img, L, 8)
+    fused = make_classifier_serving_fn(L, 8, bf16_stream=True, qffn=qffn,
+                                       qffn_act_scales=act_scales)
 
     def run(tag, fwd, p):
         import functools
