@@ -113,7 +113,13 @@ def main() -> None:
         # restores the all-bf16 megakernels.
         # BENCH_QFFN=2 additionally quantizes the self-attention qkv
         # projections (experimental; measured in docs/PERFORMANCE.md).
-        use_qffn = int(os.environ.get("BENCH_QFFN", "1"))
+        # BENCH_QSTATIC=1 defaults qffn to level 2 (qkv-int8 at every
+        # width): static scales remove the per-row quant overhead that
+        # made qkv-int8 neutral at D=512 (measured 47,127 vs 45,739
+        # pairs/s same-run). Explicit BENCH_QFFN still overrides.
+        qstatic = os.environ.get("BENCH_QSTATIC", "0") == "1"
+        use_qffn = int(os.environ.get("BENCH_QFFN",
+                                      "2" if qstatic else "1"))
         # alllayer only for the mode-3/4/5 experiments: the shipped config
         # (and the Predictor) runs the per-block engine without the ~86 MB
         # stacked layouts, so bench == production program exactly
@@ -143,7 +149,7 @@ def main() -> None:
         # calibrated here on the bench input distribution) — removes the
         # per-row max reductions inside the qffn kernels.
         act_scales = None
-        if use_qffn and os.environ.get("BENCH_QSTATIC", "0") == "1":
+        if use_qffn and qstatic:
             from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
             act_scales = calibrate_qffn_act_scales(
                 params, img_d, ques_d, cfg.layer, cfg.multi_head)

@@ -113,9 +113,16 @@ class Predictor:
             # projection copies) — less HBM and smaller exported
             # artifacts (small 262->112 MB), bitwise-identical logits
             # (tests/test_serving.py)
+            # with calibration, the qkv projections join the int8 path at
+            # EVERY width (qffn=2): static scales remove the per-row quant
+            # overhead that made qkv-int8 neutral at D=512 — measured
+            # 47,127 vs 45,739 pairs/s same-run (docs/PERFORMANCE.md);
+            # accuracy gated by TestStaticActScales["qstatic2"]
             prepared = prepare_params(params, cfg.layer,
                                       num_heads=cfg.multi_head,
-                                      alllayer=False, qffn=True)
+                                      alllayer=False,
+                                      qffn=2 if act_calibration is not None
+                                      else True)
             try:
                 prepared = prune_prepared_params(prepared, cfg.layer)
             except ValueError:

@@ -10,6 +10,9 @@ class is a signature column in the image features), then scores
     model.apply (the Trainer's plain eval path)      <- reference
     the shipped fused engine (bf16 stream + int8-FFN megakernels)
     optionally the full-int8 engine (Predictor(engine="int8"))
+    optionally the static-calibrated engine ("qstatic": fused engine
+      with calibrate_qffn_act_scales baked, calibrated on a separate
+      on-device batch — the Predictor(act_calibration=...) option)
 
 on a held-out batch with the official VQA evaluator (in-memory GT built
 from the frozen answer dict), and enforces the default path's gate:
@@ -51,8 +54,8 @@ def main() -> int:
     ap.add_argument("--eval_batch", type=int, default=256)
     ap.add_argument("--classes", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--engines", default="fused,int8",
-                    help='comma list of "fused", "int8"')
+    ap.add_argument("--engines", default="fused,int8,qstatic",
+                    help='comma list of "fused", "int8", "qstatic"')
     args = ap.parse_args()
 
     import jax
@@ -150,15 +153,26 @@ def main() -> int:
         return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
 
     def build_engine(name):
-        if name == "fused":
+        if name in ("fused", "qstatic"):
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
                                                   prepare_params)
             pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
-                                alllayer=False, qffn=True)
+                                alllayer=False,
+                                qffn=2 if name == "qstatic" else True)
+            scales = None
+            if name == "qstatic":
+                # calibrate on a SEPARATE batch (different key) than the
+                # eval batch — the production situation, where calibration
+                # traffic is not the scored traffic
+                from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+                cal, _ = make_batch(jax.random.PRNGKey(555), args.batch)
+                scales = calibrate_qffn_act_scales(
+                    pp, cal["img"], cal["ques"], cfg.layer, cfg.multi_head)
             serve = make_serving_fn(cfg.layer, cfg.multi_head,
                                     use_pallas=False, use_pallas_ffn=True,
                                     use_sga_megakernel=2, bf16_stream=True,
-                                    qffn=True, interpret=not on_tpu)
+                                    qffn=True, qffn_act_scales=scales,
+                                    interpret=not on_tpu)
         elif name == "int8":
             from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                                 quantize_params)
