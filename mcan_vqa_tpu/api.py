@@ -116,13 +116,17 @@ class Predictor:
             # with calibration, the qkv projections join the int8 path at
             # EVERY width (qffn=2): static scales remove the per-row quant
             # overhead that made qkv-int8 neutral at D=512 — measured
-            # 47,127 vs 45,739 pairs/s same-run (docs/PERFORMANCE.md);
-            # accuracy gated by TestStaticActScales["qstatic2"]
+            # 47,127 vs 45,739 pairs/s same-run; at D>=1024 the merge/
+            # cross-q projections join too (qffn=3: 19,762 vs 18,126
+            # same-session — neutral at D=512, 47,586 vs 47,878).
+            # Accuracy gated by TestStaticActScales (all levels).
+            if act_calibration is not None:
+                qffn_level = 3 if cfg.hidden_size >= 1024 else 2
+            else:
+                qffn_level = True
             prepared = prepare_params(params, cfg.layer,
                                       num_heads=cfg.multi_head,
-                                      alllayer=False,
-                                      qffn=2 if act_calibration is not None
-                                      else True)
+                                      alllayer=False, qffn=qffn_level)
             try:
                 prepared = prune_prepared_params(prepared, cfg.layer)
             except ValueError:

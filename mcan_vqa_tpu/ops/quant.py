@@ -546,14 +546,19 @@ def fused_quant_sa_block(x, x_mask, wp, *, num_heads: int, group: int = 0,
 # BENCH_QFFN=1; accuracy-gated in tests/test_quant.py.
 
 def prepare_qffn_params(p: Dict[str, Any],
-                        qkv_int8: bool = False) -> Dict[str, Any]:
+                        qkv_int8: bool = False,
+                        proj_int8: bool = False) -> Dict[str, Any]:
     """One block's FFN (raw or bf16 tree) -> int8 weights + f32 scales.
 
     qkv_int8: also quantize the SELF-attention qkv projection (the
     block's second-best quant-overhead-to-MXU-gain ratio after w1) —
-    the kernels then take the fused [D, 3D] kernel int8. Cross-attention
-    q/merge projections stay bf16 always (the regime where full int8
-    measured a loss)."""
+    the kernels then take the fused [D, 3D] kernel int8.
+    proj_int8: also quantize the attention MERGE projections and the
+    decoder's cross-attention q projection. Under DYNAMIC per-row quant
+    these small-N matmuls were a measured loss (the full-int8 engine's
+    small-model regression); they are only used with STATIC calibrated
+    scales (make_serving_fn(qffn_act_scales=...) with 4-/6-tuples from
+    calibrate_qffn_act_scales on a qffn=3 tree)."""
     mlp = p["ffn"]["mlp"]
     q1 = _quant_w(mlp["FCLayer_0"]["Dense_0"]["kernel"])
     q2 = _quant_w(mlp["Dense_0"]["kernel"])
@@ -563,12 +568,24 @@ def prepare_qffn_params(p: Dict[str, Any],
         "w2_q": q2["w_q"], "s2": q2["w_scale"],
         "b2": mlp["Dense_0"]["bias"].astype(jnp.float32),
     }
+    is_sga = "mhatt1" in p
+    m = p["mhatt1"] if is_sga else p["mhatt"]
     if qkv_int8:
-        m = p["mhatt1"] if "mhatt1" in p else p["mhatt"]
         qq = _quant_w(jnp.concatenate([m["linear_q"]["kernel"],
                                        m["linear_k"]["kernel"],
                                        m["linear_v"]["kernel"]], axis=1))
         out["wqkv_q"], out["sqkv"] = qq["w_q"], qq["w_scale"]
+    if proj_int8:
+        if is_sga:
+            qm1 = _quant_w(m["linear_merge"]["kernel"])
+            qq2 = _quant_w(p["mhatt2"]["linear_q"]["kernel"])
+            qm2 = _quant_w(p["mhatt2"]["linear_merge"]["kernel"])
+            out.update({"wm1_q": qm1["w_q"], "sm1": qm1["w_scale"],
+                        "wq2_q": qq2["w_q"], "sq2": qq2["w_scale"],
+                        "wm2_q": qm2["w_q"], "sm2": qm2["w_scale"]})
+        else:
+            qm = _quant_w(m["linear_merge"]["kernel"])
+            out.update({"wm_q": qm["w_q"], "sm": qm["w_scale"]})
     return out
 
 
@@ -703,53 +720,87 @@ def _cal_ffn_sites(qf, xin, margin):
     return a1, a2, y
 
 
+def _cal_proj_site(flat, wq, sw, margin):
+    """A merge/cross-q proj quant site: (output f32, site scale)."""
+    a = _cal_scale_of(flat, margin)
+    return _cal_qdot(flat, a, wq, sw, 0.0), a
+
+
 def _cal_sa_block(block, q, mask, num_heads, margin):
-    """One SA block of the replay: (stream_out bf16, (aq, a1, a2))."""
+    """One SA block of the replay: (stream_out bf16, (aq, a1, a2)) —
+    or a 4-tuple (aq, a1, a2, am) when the block carries proj-int8
+    weights (prepare_qffn_params(proj_int8=True))."""
     wp, qf = block["_mk"], block["_qffn"]
     B, Lq, D = q.shape
     x = q.astype(jnp.float32)
     flat = x.reshape(B * Lq, D)
     qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv", wp["bqkv"], margin)
     qx, kx, vx = jnp.split(qkv.reshape(B, Lq, 3 * D), 3, axis=-1)
-    att = _cal_sdpa(qx, kx, vx, mask, num_heads)
-    y = _cal_bdot(att.reshape(B * Lq, D), wp["wm"]).reshape(B, Lq, D)
-    x1 = _kln(x + y + wp["bm"], wp["ln1_s"], wp["ln1_b"])
+    att = _cal_sdpa(qx, kx, vx, mask, num_heads).reshape(B * Lq, D)
+    if "wm_q" in qf:
+        y, am = _cal_proj_site(att, qf["wm_q"], qf["sm"], margin)
+    else:
+        y, am = _cal_bdot(att, wp["wm"]), None
+    x1 = _kln(x + y.reshape(B, Lq, D) + wp["bm"], wp["ln1_s"], wp["ln1_b"])
     a1, a2, y = _cal_ffn_sites(qf, x1.reshape(B * Lq, D), margin)
     x2 = _kln(x1 + y.reshape(B, Lq, D), wp["ln2_s"], wp["ln2_b"])
-    return x2.astype(BF16), (aq, a1, a2)
+    scales = (aq, a1, a2) if am is None else (aq, a1, a2, am)
+    return x2.astype(BF16), scales
 
 
 def _cal_sga_block(dec, v, q, v_mask, q_mask, num_heads, margin):
-    """One SGA decoder block of the replay."""
+    """One SGA decoder block of the replay. Returns a 3-tuple of scales,
+    or a 6-tuple (aq, a1, a2, am1, aq2, am2) when the block carries
+    proj-int8 weights."""
     wp, qf = dec["_mk"], dec["_qffn"]
     B, Lv, D = v.shape
     kv = _cal_bdot(q, dec["mhatt2"]["linear_kv"]["kernel"],
                    dec["mhatt2"]["linear_kv"]["bias"])
     kq, vq = jnp.split(kv, 2, axis=-1)
+    proj8 = "wm1_q" in qf
 
     x = v.astype(jnp.float32)
     flat = x.reshape(B * Lv, D)
     qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv1", wp["bqkv1"], margin)
     qx, kx, vx = jnp.split(qkv.reshape(B, Lv, 3 * D), 3, axis=-1)
-    att = _cal_sdpa(qx, kx, vx, v_mask, num_heads)
-    y = _cal_bdot(att.reshape(B * Lv, D), wp["wm1_full"]).reshape(B, Lv, D)
-    v1 = _kln(x + y + wp["bm1"], wp["ln1_s"], wp["ln1_b"])
+    att = _cal_sdpa(qx, kx, vx, v_mask, num_heads).reshape(B * Lv, D)
+    if proj8:
+        y, am1 = _cal_proj_site(att, qf["wm1_q"], qf["sm1"], margin)
+    else:
+        y, am1 = _cal_bdot(att, wp["wm1_full"]), None
+    v1 = _kln(x + y.reshape(B, Lv, D) + wp["bm1"],
+              wp["ln1_s"], wp["ln1_b"])
 
-    qx2 = _cal_bdot(v1.reshape(B * Lv, D), wp["wq2_full"],
-                    wp["bq2_full"]).reshape(B, Lv, D)
-    att = _cal_sdpa(qx2, kq, vq, q_mask, num_heads)
-    y = _cal_bdot(att.reshape(B * Lv, D), wp["wm2_full"]).reshape(B, Lv, D)
-    v2 = _kln(v1 + y + wp["bm2"], wp["ln2_s"], wp["ln2_b"])
+    v1_flat = v1.reshape(B * Lv, D)
+    if proj8:
+        aq2 = _cal_scale_of(v1_flat, margin)
+        qx2 = _cal_qdot(v1_flat, aq2, qf["wq2_q"], qf["sq2"],
+                        wp["bq2_full"])
+    else:
+        aq2 = None
+        qx2 = _cal_bdot(v1_flat, wp["wq2_full"], wp["bq2_full"])
+    att = _cal_sdpa(qx2.reshape(B, Lv, D), kq, vq, q_mask,
+                    num_heads).reshape(B * Lv, D)
+    if proj8:
+        y, am2 = _cal_proj_site(att, qf["wm2_q"], qf["sm2"], margin)
+    else:
+        y, am2 = _cal_bdot(att, wp["wm2_full"]), None
+    v2 = _kln(v1 + y.reshape(B, Lv, D) + wp["bm2"],
+              wp["ln2_s"], wp["ln2_b"])
 
     a1, a2, y = _cal_ffn_sites(qf, v2.reshape(B * Lv, D), margin)
     v3 = _kln(v2 + y.reshape(B, Lv, D), wp["ln3_s"], wp["ln3_b"])
-    return v3.astype(BF16), (aq, a1, a2)
+    scales = ((aq, a1, a2) if not proj8
+              else (aq, a1, a2, am1, aq2, am2))
+    return v3.astype(BF16), scales
 
 
 def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
-                     wqkv_ref, sqkv_ref, bqkv_ref, wm1_ref, bm1_ref,
+                     wqkv_ref, sqkv_ref, bqkv_ref,
+                     wm1_ref, sm1_ref, bm1_ref,
                      ln1s_ref, ln1b_ref,
-                     wq2_ref, bq2_ref, wm2_ref, bm2_ref,
+                     wq2_ref, sq2_ref, bq2_ref,
+                     wm2_ref, sm2_ref, bm2_ref,
                      ln2s_ref, ln2b_ref,
                      w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                      ln3s_ref, ln3b_ref,
@@ -757,9 +808,15 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                      qkv_int8: bool = False, act_scales=None):
     """bf16 fused-projection SGA megakernel with an int8 FFN.
 
-    act_scales: optional (aqkv, a1, a2) Python floats — calibrated
-    per-tensor activation scales for the qkv / FFN-w1 / FFN-w2 quant
-    sites (``_qdot_static``); None keeps dynamic per-row quant."""
+    act_scales: optional calibrated per-tensor activation scales
+    (Python floats baked at trace time). A 3-tuple (aqkv, a1, a2)
+    covers the qkv / FFN-w1 / FFN-w2 sites; a 6-tuple
+    (aqkv, a1, a2, am1, aq2, am2) additionally runs the merge and
+    cross-q projections int8 (wm1/wq2/wm2 refs then carry int8 weights
+    with sm1/sq2/sm2 scales — proj quant ships only with static
+    scales, where its per-row overhead is gone). None keeps dynamic
+    per-row quant on the FFN (+ qkv when qkv_int8)."""
+    proj8 = act_scales is not None and len(act_scales) >= 6
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
     Lq = kq_ref.shape[2]
@@ -805,21 +862,30 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
         ohs.append(sdpa(qh, kh, vh, self_mask))
     atted = jnp.concatenate(ohs, axis=1)
-    y = jnp.dot(atted.astype(BF16), wm1_ref[:].astype(BF16),
-                preferred_element_type=jnp.float32)
+    if proj8:
+        y = _qdot_static(atted, act_scales[3], wm1_ref, sm1_ref, 0.0)
+    else:
+        y = jnp.dot(atted.astype(BF16), wm1_ref[:].astype(BF16),
+                    preferred_element_type=jnp.float32)
     v1 = _kln(x + y + bm1_ref[:], ln1s_ref[:], ln1b_ref[:])
 
     # ---- cross-attention (keys/values pre-projected outside) ----
-    qx = jnp.dot(v1.astype(BF16), wq2_ref[:].astype(BF16),
-                 preferred_element_type=jnp.float32) + bq2_ref[:]
+    if proj8:
+        qx = _qdot_static(v1, act_scales[4], wq2_ref, sq2_ref, bq2_ref[:])
+    else:
+        qx = jnp.dot(v1.astype(BF16), wq2_ref[:].astype(BF16),
+                     preferred_element_type=jnp.float32) + bq2_ref[:]
     ohs = []
     for h in range(heads):
         kh = kq_ref[:, h].reshape(N, Dh).astype(BF16)
         vh = vq_ref[:, h].reshape(N, Dh).astype(BF16)
         ohs.append(sdpa(qx[:, h * Dh:(h + 1) * Dh], kh, vh, cross_mask))
     atted = jnp.concatenate(ohs, axis=1)
-    y = jnp.dot(atted.astype(BF16), wm2_ref[:].astype(BF16),
-                preferred_element_type=jnp.float32)
+    if proj8:
+        y = _qdot_static(atted, act_scales[5], wm2_ref, sm2_ref, 0.0)
+    else:
+        y = jnp.dot(atted.astype(BF16), wm2_ref[:].astype(BF16),
+                    preferred_element_type=jnp.float32)
     v2 = _kln(v1 + y + bm2_ref[:], ln2s_ref[:], ln2b_ref[:])
 
     # ---- FFN: int8 x int8 -> int32 on the MXU ----
@@ -836,13 +902,15 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 
 
 def _sa_kernel_qffn(x_ref, pad_ref,
-                    wqkv_ref, sqkv_ref, bqkv_ref, wm_ref, bm_ref,
+                    wqkv_ref, sqkv_ref, bqkv_ref,
+                    wm_ref, sm_ref, bm_ref,
                     ln1s_ref, ln1b_ref,
                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                     ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
                     scale: float, qkv_int8: bool = False, act_scales=None):
     """bf16 SA-block megakernel with an int8 FFN (act_scales as in
-    ``_sga_kernel_qffn``)."""
+    ``_sga_kernel_qffn``; the SA proj tuple is (aqkv, a1, a2, am))."""
+    proj8 = act_scales is not None and len(act_scales) >= 4
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
     Dh = D // heads
@@ -876,8 +944,11 @@ def _sa_kernel_qffn(x_ref, pad_ref,
         att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
         ohs.append(jnp.dot(att, vh, preferred_element_type=jnp.float32))
     atted = jnp.concatenate(ohs, axis=1)
-    y = jnp.dot(atted.astype(BF16), wm_ref[:].astype(BF16),
-                preferred_element_type=jnp.float32)
+    if proj8:
+        y = _qdot_static(atted, act_scales[3], wm_ref, sm_ref, 0.0)
+    else:
+        y = jnp.dot(atted.astype(BF16), wm_ref[:].astype(BF16),
+                    preferred_element_type=jnp.float32)
     x1 = _kln(x + y + bm_ref[:], ln1s_ref[:], ln1b_ref[:])
 
     if act_scales is not None:
@@ -930,6 +1001,16 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
     sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
     if act_scales is not None:
         act_scales = tuple(float(a) for a in act_scales)
+    proj8 = "wm1_q" in qf and act_scales is not None and len(act_scales) >= 6
+    if not proj8 and act_scales is not None:
+        act_scales = act_scales[:3]
+    ones_d = jnp.ones((D,), jnp.float32)
+    wm1 = qf["wm1_q"] if proj8 else wp["wm1_full"]
+    sm1 = qf["sm1"] if proj8 else ones_d
+    wq2 = qf["wq2_q"] if proj8 else wp["wq2_full"]
+    sq2 = qf["sq2"] if proj8 else ones_d
+    wm2 = qf["wm2_q"] if proj8 else wp["wm2_full"]
+    sm2 = qf["sm2"] if proj8 else ones_d
     return pl.pallas_call(
         functools.partial(_sga_kernel_qffn, heads=H, group=G, scale=scale,
                           qkv_int8=qkv_int8, act_scales=act_scales),
@@ -946,9 +1027,9 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
             pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
-            rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
-            rep((D, D)), rep((D,)),
-            rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, D)), rep((D,)), rep((D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
             rep((D, F)), rep((F,)), rep((F,)),
             rep((F, D)), rep((D,)), rep((D,)),
             rep((D,)), rep((D,)),
@@ -959,9 +1040,11 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
         compiler_params=_q_compiler_params(interpret),
         interpret=interpret,
     )(v, kq, vq, flat_pad(v_mask, Lv), flat_pad(q_mask, Lq),
-      wqkv, sqkv, wp["bqkv1"], wp["wm1_full"], wp["bm1"],
+      wqkv, sqkv, wp["bqkv1"],
+      wm1, sm1, wp["bm1"],
       wp["ln1_s"], wp["ln1_b"],
-      wp["wq2_full"], wp["bq2_full"], wp["wm2_full"], wp["bm2"],
+      wq2, sq2, wp["bq2_full"],
+      wm2, sm2, wp["bm2"],
       wp["ln2_s"], wp["ln2_b"],
       qf["w1_q"], qf["s1"], qf["b1"], qf["w2_q"], qf["s2"], qf["b2"],
       wp["ln3_s"], wp["ln3_b"])
@@ -998,6 +1081,11 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
     sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
     if act_scales is not None:
         act_scales = tuple(float(a) for a in act_scales)
+    proj8 = "wm_q" in qf and act_scales is not None and len(act_scales) >= 4
+    if not proj8 and act_scales is not None:
+        act_scales = act_scales[:3]
+    wm = qf["wm_q"] if proj8 else wp["wm"]
+    sm = qf["sm"] if proj8 else jnp.ones((D,), jnp.float32)
     return pl.pallas_call(
         functools.partial(_sa_kernel_qffn, heads=H, group=G, scale=scale,
                           qkv_int8=qkv_int8, act_scales=act_scales),
@@ -1008,7 +1096,7 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
             pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
-            rep((D, D)), rep((D,)), rep((D,)), rep((D,)),
+            rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
             rep((D, F)), rep((F,)), rep((F,)),
             rep((F, D)), rep((D,)), rep((D,)),
             rep((D,)), rep((D,)),
@@ -1019,7 +1107,8 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
         compiler_params=_q_compiler_params(interpret),
         interpret=interpret,
     )(x, pad,
-      wqkv, sqkv, wp["bqkv"], wp["wm"], wp["bm"],
+      wqkv, sqkv, wp["bqkv"],
+      wm, sm, wp["bm"],
       wp["ln1_s"], wp["ln1_b"],
       qf["w1_q"], qf["s1"], qf["b1"], qf["w2_q"], qf["s2"], qf["b2"],
       wp["ln2_s"], wp["ln2_b"])

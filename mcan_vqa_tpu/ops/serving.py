@@ -117,7 +117,11 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     A/Bs, docs/PERFORMANCE.md: qkv-int8 is neutral at D=512 — 43.4K vs
     43.6K — and +7.2% at D=1024 — 17,027 vs 15,890). qffn=2 forces
     qkv-int8 at any width; accuracy for both levels is bounded by
-    tests/test_quant.py + tests/test_full_size_parity.py.
+    tests/test_quant.py + tests/test_full_size_parity.py. qffn=3
+    additionally attaches int8 merge/cross-q projection weights —
+    usable ONLY with static calibrated scales
+    (make_serving_fn(qffn_act_scales=...) 4-/6-tuples; without them
+    the kernels keep the bf16 projections).
     """
     def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
         # jnp (not np): params may live on device; keep the concat there
@@ -171,11 +175,12 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
             if qffn:
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
                 qkv8 = int(qffn) >= 2 or D >= 1024
+                proj8 = int(qffn) >= 3
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"enc_{i}"], qkv_int8=qkv8)
+                        bb[f"enc_{i}"], qkv_int8=qkv8, proj_int8=proj8)
                     bb[f"dec_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"dec_{i}"], qkv_int8=qkv8)
+                        bb[f"dec_{i}"], qkv_int8=qkv8, proj_int8=proj8)
     return out
 
 
@@ -268,7 +273,9 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"enc_{i}"], qkv_int8=D >= 1024)
+                        bb[f"enc_{i}"],
+                        qkv_int8=int(qffn) >= 2 or D >= 1024,
+                        proj_int8=int(qffn) >= 3)
     return out
 
 

@@ -314,3 +314,62 @@ class TestFullSizeQffn:
         # allowed <~5x that, and no decision may flip.
         assert delta < 0.02, delta
         assert agree == 1.0
+
+
+class TestFullSizeQstatic:
+    @pytest.mark.parametrize("level", [2, 3])
+    def test_static_scales_logit_delta_vs_oracle(self, oracle, level):
+        """Full-size calibrated static-activation-scale engine — the
+        ``Predictor(act_calibration=...)`` path — vs the torch oracle.
+        level=3 adds the int8 merge/cross-q projections that ship ONLY
+        with static scales (prepare_qffn_params(proj_int8=True)).
+        Calibration runs on the evaluated batch itself (strongest-case
+        scales, mirroring tests/test_quant.py::TestStaticActScales);
+        bounded prob delta, identical top-1."""
+        import torch
+
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+        from mcan_vqa_tpu.train.checkpoint import import_torch_state_dict
+
+        refnet, net, init = oracle
+        net.load_state_dict(init)
+        net.eval()
+
+        B = 8
+        rng = np.random.default_rng(13)
+        img = rng.normal(size=(B, L_V, IMG_FEAT)).astype(np.float32)
+        ques = rng.integers(1, TOKEN_SIZE, size=(B, L_Q)).astype(np.int64)
+        for b in range(B):
+            img[b, int(rng.integers(8, L_V + 1)):] = 0.0
+            ques[b, int(rng.integers(3, L_Q + 1)):] = 0
+
+        with torch.no_grad():
+            ref_probs = net(torch.from_numpy(img),
+                            torch.from_numpy(ques))[0].numpy()
+
+        params = import_torch_state_dict(init)
+        sp = prepare_params(params, LAYER, num_heads=HEADS, alllayer=False,
+                            qffn=level)
+        scales = calibrate_qffn_act_scales(sp, img,
+                                           ques.astype(np.int32),
+                                           LAYER, HEADS)
+        n_want = 3 if level < 3 else 4
+        assert all(len(v) >= n_want for v in scales.values()), scales
+        serve = make_serving_fn(LAYER, HEADS, use_pallas=False,
+                                bf16_stream=True, use_sga_megakernel=2,
+                                interpret=True, qffn=True,
+                                qffn_act_scales=scales)
+        lq = np.asarray(serve(sp, img, ques.astype(np.int32)))
+        pq = 1.0 / (1.0 + np.exp(-lq.astype(np.float64)))
+
+        delta = np.abs(pq - ref_probs).max()
+        agree = float((lq.argmax(1) == ref_probs.argmax(1)).mean())
+        print(f"\nfull-size qstatic (level {level}): "
+              f"max_prob_delta_vs_torch={delta:.6f} "
+              f"top1_agreement_vs_torch={agree:.3f}")
+        # Static per-tensor scales are coarser than per-row dynamic quant
+        # (the dynamic bound above is 0.02); level 3 adds three more int8
+        # sites per decoder block. No decision may flip.
+        assert delta < 0.03, delta
+        assert agree == 1.0

@@ -51,10 +51,10 @@ def _logits(cfg, trainer, ds, quant):
     params = jax.device_get(trainer.state.params)
     batch = {k: np.stack([ds.example(i)[k] for i in range(len(ds))])
              for k in ("img", "ques")}
-    if quant in ("qffn", "qffn2", "qstatic", "qstatic2"):
+    if quant in ("qffn", "qffn2", "qstatic", "qstatic2", "qstatic3"):
+        level = {"2": 2, "3": 3}.get(quant[-1], True)
         pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
-                            alllayer=False,
-                            qffn=2 if quant.endswith("2") else True)
+                            alllayer=False, qffn=level)
         scales = None
         if quant.startswith("qstatic"):
             from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
@@ -158,7 +158,7 @@ class TestStaticActScales:
     evaluated slice itself — the strongest-case scales; the bench
     calibrates on its own input distribution the same way."""
 
-    @pytest.mark.parametrize("level", ["qstatic", "qstatic2"])
+    @pytest.mark.parametrize("level", ["qstatic", "qstatic2", "qstatic3"])
     def test_official_accuracy_delta(self, trained, level):
         from mcan_vqa_tpu.evals import vqa_eval
         cfg, ds, trainer = trained

@@ -156,9 +156,12 @@ def main() -> int:
         if name in ("fused", "qstatic"):
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
                                                   prepare_params)
+            # qstatic mirrors Predictor(act_calibration=...): qkv-int8 at
+            # every width, + merge/cross-q int8 at D >= 1024
+            qlevel = True if name != "qstatic" else (
+                3 if args.hidden >= 1024 else 2)
             pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
-                                alllayer=False,
-                                qffn=2 if name == "qstatic" else True)
+                                alllayer=False, qffn=qlevel)
             scales = None
             if name == "qstatic":
                 # calibrate on a SEPARATE batch (different key) than the
