@@ -36,6 +36,13 @@ Model sources (one required):
                           --vocab_json (token_to_ix) and --model/knobs
   --synthetic             random-init tiny model (smoke tests, no files)
 
+``--calibrate sample.npz`` (arrays ``questions`` [N] str and
+``features`` [N, R, F] float32 — a traffic sample) bakes static int8
+activation scales into the fused engine (``Predictor(act_calibration=
+...)``): +8–16% measured over the dynamic-quant default
+(docs/PERFORMANCE.md "static calibrated activation scales"). Not
+applicable to ``--artifact`` (already frozen).
+
 Example::
 
     python -m mcan_vqa_tpu.cli.serve --synthetic --port 8080
@@ -265,8 +272,35 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
 # model construction
 
 
+def _load_calibration(path: str):
+    """--calibrate npz -> (questions list, features) for
+    Predictor(act_calibration=...). ``features`` is [N, R, F] float32, or
+    an object array of per-image [R_i, F] blocks (ragged region counts —
+    the same formats predict_probs accepts)."""
+    data = np.load(path, allow_pickle=True)
+    missing = [k for k in ("questions", "features") if k not in data]
+    if missing:
+        raise SystemExit(f"--calibrate npz is missing arrays: {missing} "
+                         f"(has {sorted(data.files)})")
+    qs = [str(q) for q in data["questions"]]
+    feats = data["features"]
+    if feats.dtype == object:
+        feats = [np.asarray(f, np.float32) for f in feats]
+    else:
+        feats = np.asarray(feats, np.float32)
+    if len(qs) != len(feats):
+        raise SystemExit(f"--calibrate: {len(qs)} questions vs "
+                         f"{len(feats)} feature blocks")
+    return qs, feats
+
+
 def build_predictor(args):
     if args.artifact:
+        if args.calibrate:
+            raise SystemExit("--calibrate does not apply to --artifact "
+                             "(the exported engine is frozen; calibrate "
+                             "at export time via Predictor("
+                             "act_calibration=...).export_artifact)")
         from mcan_vqa_tpu.artifact import load_artifact
         return load_artifact(args.artifact)
 
@@ -282,6 +316,10 @@ def build_predictor(args):
                            overrides=overrides)
     buckets = (tuple(int(b) for b in args.latency_buckets.split(","))
                if args.latency_buckets else None)
+    cal = _load_calibration(args.calibrate) if args.calibrate else None
+    if cal is not None and args.engine not in ("auto", "fused"):
+        print(f"[serve] note: --calibrate only affects the fused engine "
+              f"(--engine {args.engine} ignores it)", file=sys.stderr)
 
     if args.synthetic:
         import jax
@@ -298,7 +336,8 @@ def build_predictor(args):
         params = model.init({"params": jax.random.PRNGKey(args.seed)},
                             img, ques)["params"]
         return Predictor(cfg, params, tok, None, max_batch=args.max_batch,
-                         engine=args.engine, latency_buckets=buckets)
+                         engine=args.engine, latency_buckets=buckets,
+                         act_calibration=cal)
 
     if not args.ckpt_path:
         raise SystemExit("one of --artifact / --ckpt_path / --synthetic "
@@ -309,7 +348,8 @@ def build_predictor(args):
         token_to_ix = json.load(f)
     return Predictor.from_checkpoint(
         args.ckpt_path, cfg, token_to_ix, max_batch=args.max_batch,
-        engine=args.engine, latency_buckets=buckets)
+        engine=args.engine, latency_buckets=buckets,
+        act_calibration=cal)
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -322,6 +362,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--model", default="small", choices=["small", "large"])
     p.add_argument("--engine", default="auto",
                    choices=["auto", "fused", "plain", "int8"])
+    p.add_argument("--calibrate", metavar="NPZ",
+                   help="traffic sample ('questions' strings + 'features' "
+                        "[N, R, F] float32, or an object array of ragged "
+                        "[R_i, F] blocks): bakes static int8 activation "
+                        "scales into the fused engine (+8-16% measured; "
+                        "docs/PERFORMANCE.md). Fused/auto engines only; "
+                        "not applicable to --artifact")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=64)

@@ -319,6 +319,52 @@ class TestCLI:
             frontend.close()
             t.join(timeout=10)
 
+    def test_calibrate_flag(self, tmp_path):
+        """--calibrate NPZ bakes static activation scales into the fused
+        engine via Predictor(act_calibration=...): the calibrated
+        predictor stays in top-1 agreement with the dynamic-quant one
+        (accuracy gate proper: tests/test_quant.py TestStaticActScales).
+        Ragged object-array features exercise the per-image path."""
+        rng = np.random.default_rng(3)
+        feats = np.empty(3, dtype=object)
+        for i, r in enumerate((8, 5, 2)):
+            feats[i] = rng.normal(size=(r, 16)).astype(np.float32)
+        npz = tmp_path / "cal.npz"
+        np.savez(npz, questions=np.array(
+            ["what color is the cat", "is the dog red", "what is blue"]),
+            features=feats)
+
+        knobs = ["--synthetic", "--engine", "fused", "--max_batch", "4",
+                 "--latency_buckets", "",
+                 "--hidden_size", "32", "--layer", "1", "--multi_head",
+                 "4", "--img_feat_size", "16", "--img_feat_pad_size", "8",
+                 "--max_token", "6", "--flat_out_size", "32",
+                 "--flat_mlp_size", "16", "--compute_dtype", "float32"]
+        p_cal = serve_mod.build_predictor(serve_mod.parse_args(
+            knobs + ["--calibrate", str(npz)]))
+        p_dyn = serve_mod.build_predictor(serve_mod.parse_args(knobs))
+
+        qs = ["what color is the cat", "is the dog red"]
+        test_feats = [rng.normal(size=(6, 16)).astype(np.float32)
+                      for _ in qs]
+        pr_c = p_cal.predict_probs(qs, test_feats)
+        pr_d = p_dyn.predict_probs(qs, test_feats)
+        assert np.isfinite(pr_c).all()
+        assert (pr_c.argmax(1) == pr_d.argmax(1)).all()
+        assert np.abs(pr_c - pr_d).max() < 0.05
+
+    def test_calibrate_flag_errors(self, tmp_path):
+        bad = tmp_path / "bad.npz"
+        np.savez(bad, questions=np.array(["q"]))
+        args = serve_mod.parse_args(
+            ["--synthetic", "--calibrate", str(bad)])
+        with pytest.raises(SystemExit, match="missing arrays"):
+            serve_mod.build_predictor(args)
+        args = serve_mod.parse_args(
+            ["--artifact", "/nonexistent", "--calibrate", str(bad)])
+        with pytest.raises(SystemExit, match="does not apply"):
+            serve_mod.build_predictor(args)
+
     def test_warmup_covers_every_bucket(self):
         """warmup() runs one forward per compiled batch bucket (incl. the
         CLI's default buckets composing with max_batch — the live-TPU
