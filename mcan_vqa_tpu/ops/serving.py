@@ -29,12 +29,16 @@ from mcan_vqa_tpu.ops.masked_attention import (
 
 BF16 = jnp.bfloat16
 
-# Largest batch at which the mixed int8-FFN megakernels (qffn) beat the
-# all-bf16 ones. Same-session A/Bs at MCAN-small (docs/PERFORMANCE.md):
-# win at B=1/8/64/256/512 (+8.4% at 512), LOSS at B=1024 (34,964 vs
-# 38,554) — at very large batches the engine is stream-bandwidth-bound
-# and the per-row quant VPU work only adds latency. Batch size is
-# static under jit, so the forward picks per compiled shape.
+# Largest batch at which the mixed int8-FFN megakernels (qffn) with
+# DYNAMIC per-row activation quant beat the all-bf16 ones. Same-session
+# A/Bs at MCAN-small (docs/PERFORMANCE.md): win at B=1/8/64/256/512
+# (+8.4% at 512), LOSS at B=1024 (34,964 vs 38,554; interleaved re-run
+# 35,132 vs 38,419) — at very large batches the engine is
+# stream-bandwidth-bound and the per-row quant VPU work only adds
+# latency. STATIC calibrated scales have no per-row work, and measured
+# a WIN at B=1024 (39,109 vs 38,419 interleaved same-process), so the
+# gate only applies when qffn_act_scales is None. Batch size is static
+# under jit, so the forward picks per compiled shape.
 QFFN_MAX_BATCH = 512
 
 
@@ -335,7 +339,9 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
-                if qffn and "_qffn" in p and v.shape[0] <= QFFN_MAX_BATCH:
+                if qffn and "_qffn" in p and (
+                        v.shape[0] <= QFFN_MAX_BATCH
+                        or qffn_act_scales is not None):
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     v = fused_qffn_sa_block(
                         v, v_mask, wp, p["_qffn"], num_heads=num_heads,
@@ -552,7 +558,9 @@ def make_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
-                if qffn and "_qffn" in p and q.shape[0] <= QFFN_MAX_BATCH:
+                if qffn and "_qffn" in p and (
+                        q.shape[0] <= QFFN_MAX_BATCH
+                        or qffn_act_scales is not None):
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     q = fused_qffn_sa_block(
                         q, q_mask, wp, p["_qffn"], num_heads=num_heads,
@@ -612,7 +620,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 wp = (p["_mk"] if "_mk" in p
                       else prepare_sga_block_params(p, num_heads))
                 if (qffn and sga_mode == 2 and "_qffn" in p
-                        and v.shape[0] <= QFFN_MAX_BATCH):
+                        and (v.shape[0] <= QFFN_MAX_BATCH
+                             or qffn_act_scales is not None)):
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sga_block
                     v = fused_qffn_sga_block(
                         v, kq, vq, v_mask, q_mask, wp, p["_qffn"],

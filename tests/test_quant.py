@@ -384,6 +384,22 @@ def test_qffn_batch_gate_routes_to_bf16_past_threshold(monkeypatch):
     under = np.asarray(qffn(pp, img, ques))         # B <= threshold
     assert np.abs(under - ref).max() > 0.0          # int8 FFN engaged
 
+    # STATIC calibrated scales lift the gate: the per-row quant overhead
+    # it guards against is gone, and B=1024 measured a WIN for the
+    # static kernels (39,109 vs 38,419 interleaved, docs/PERFORMANCE.md)
+    # — with scales present, B > threshold still runs the int8 kernels.
+    from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+    scales = calibrate_qffn_act_scales(pp, img, ques, cfg.layer,
+                                       cfg.multi_head)
+    qstatic = serving_mod.make_serving_fn(cfg.layer, cfg.multi_head,
+                                          use_pallas=False,
+                                          use_sga_megakernel=2,
+                                          interpret=True, qffn=True,
+                                          qffn_act_scales=scales)
+    monkeypatch.setattr(serving_mod, "QFFN_MAX_BATCH", B - 1)
+    static_over = np.asarray(qstatic(pp, img, ques))
+    assert np.abs(static_over - ref).max() > 0.0    # engaged past gate
+
 
 def test_classifier_static_act_scales():
     """Classifier twin: calibrate_classifier_act_scales + the static

@@ -22,6 +22,11 @@ production program):
     qstatic  calibrated static activation scales at the width-auto level
              (2 below D=1024, 3 at D>=1024) — Predictor(act_calibration=)
     qstatic2 / qstatic3   calibrated at an explicit level
+    int8     the full-int8 engine (Predictor(engine="int8") megakernels)
+
+BENCH_QFFN_MAX_BATCH overrides ops.serving.QFFN_MAX_BATCH (the compiled
+batch size past which qffn falls back to the bf16 kernels) — set it huge
+to force the int8-FFN kernels at B>512 for gate experiments.
 
 Prints one line per config per round plus a median-of-rounds summary.
 Timing matches bench.py: n_iters forwards inside one jitted lax.scan
@@ -45,10 +50,22 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
     """-> (forward fn, prepared params) for one named config."""
     import jax
 
+    import mcan_vqa_tpu.ops.serving as serving_mod
     from mcan_vqa_tpu.ops.serving import (make_serving_fn, prepare_params,
                                           prune_prepared_params)
 
+    if "BENCH_QFFN_MAX_BATCH" in os.environ:
+        serving_mod.QFFN_MAX_BATCH = int(
+            os.environ["BENCH_QFFN_MAX_BATCH"])
+
     hidden = cfg.hidden_size
+    if name == "int8":
+        from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
+                                            quantize_params)
+        params = quantize_params(raw_params, cfg.layer, megakernel=True)
+        forward = make_quant_serving_fn(cfg.layer, cfg.multi_head,
+                                        megakernel=True)
+        return forward, jax.device_put(params)
     if name == "bf16":
         level = 0
     elif name == "qffn":
