@@ -217,6 +217,27 @@ class TestPredictorMesh:
                                    p1.predict_probs(qs, feats),
                                    atol=2e-2)  # bf16 matmuls, summed per shard
 
+    def test_calibrated_fused_dp8_matches_single_device(self, setup):
+        """act_calibration composes with mesh serving: the static-scale
+        engine runs per data shard under shard_map and matches the
+        single-device calibrated predictor."""
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        rng = np.random.default_rng(9)
+        cal_feats = rng.normal(size=(4, 6, 16)).astype(np.float32)
+        cal_qs = ["what is this", "is the cat red", "what color",
+                  "how many"]
+        mesh = make_mesh({"data": 8, "model": 1})
+        p1 = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       act_calibration=(cal_qs, cal_feats))
+        pm = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       act_calibration=(cal_qs, cal_feats), mesh=mesh)
+        feats = rng.normal(size=(2, 6, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red"]
+        np.testing.assert_allclose(pm.predict_probs(qs, feats),
+                                   p1.predict_probs(qs, feats),
+                                   atol=2e-2)
+
     def test_indivisible_bucket_rejected(self, setup):
         from mcan_vqa_tpu.parallel.mesh import make_mesh
         cfg, tok, i2a, params = setup
