@@ -34,6 +34,14 @@ Note the lr matters: at lr 1e-3 this task sits in the all-zeros
 sum-BCE basin (acc ~5%) and top-1 agreement is coin-flip noise, hence
 the acc_ref>=95 learn-guard in the gate; lr 1e-4 (the reference
 recipe's base lr, /root/reference/core/exec.py) learns it cleanly.
+
+D=1024 (the width where the calibrated engine ships qffn level 3 —
+int8 merge/cross-q projections) needs warmup to learn: constant lr
+1e-4/2e-4 stays in the basin through 3000 steps, while
+``--hidden 1024 --lr 2e-4 --warmup 400 --steps 3000`` PASSES on the
+chip (same date): fused agreement=1.0000 acc 100.00/100.00
+max_prob_delta=0.00007; qstatic(level 3) agreement=1.0000
+acc 100.00/100.00 max_prob_delta=0.00014.
 """
 
 from __future__ import annotations
@@ -54,6 +62,13 @@ def main() -> int:
     ap.add_argument("--eval_batch", type=int, default=256)
     ap.add_argument("--classes", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear lr warmup steps (0 = constant lr). The "
+                         "D=1024 run needs it: at constant lr the "
+                         "sum-BCE all-zeros basin holds through 3000 "
+                         "steps (acc 6-12%), the same failure the "
+                         "reference recipe's epoch-1-3 warmup exists "
+                         "to avoid")
     ap.add_argument("--engines", default="fused,int8,qstatic",
                     help='comma list of "fused", "int8", "qstatic"')
     args = ap.parse_args()
@@ -112,7 +127,11 @@ def main() -> int:
         return model.init({"params": key}, img0, ques0)["params"]
 
     params = init_params(jax.random.PRNGKey(0))
-    tx = optax.adamw(args.lr, weight_decay=1e-4)
+    if args.warmup > 0:
+        lr = optax.linear_schedule(0.0, args.lr, args.warmup)
+    else:
+        lr = args.lr
+    tx = optax.adamw(lr, weight_decay=1e-4)
     opt_state = jax.jit(tx.init)(params)
 
     def loss_fn(p, batch, rng):
