@@ -113,16 +113,15 @@ def main() -> None:
         # restores the all-bf16 megakernels.
         # BENCH_QFFN=2 additionally quantizes the self-attention qkv
         # projections (experimental; measured in docs/PERFORMANCE.md).
-        # BENCH_QSTATIC=1 defaults qffn by width, mirroring
-        # Predictor(act_calibration=...): level 2 (qkv-int8) at D<1024,
-        # level 3 (+ merge/cross-q int8) at D>=1024 — static scales
+        # BENCH_QSTATIC=1 defaults qffn to level 3 (every projection
+        # int8), mirroring Predictor(act_calibration=...): static scales
         # remove the per-row quant overhead that made those projections
-        # a loss (same-run A/Bs in docs/PERFORMANCE.md: qkv at small
-        # 47,127 vs 45,739; proj at large 19,762 vs 18,126, neutral at
-        # small). Explicit BENCH_QFFN still overrides.
+        # a loss (same-run A/Bs in docs/PERFORMANCE.md: decisive at
+        # large 19,762 vs 18,126, batch-neutral at small 47,586 vs
+        # 47,878, B=1 champion at both widths — 0.0969 ms at small).
+        # Explicit BENCH_QFFN still overrides.
         qstatic = os.environ.get("BENCH_QSTATIC", "0") == "1"
-        auto_level = "1" if not qstatic else ("3" if hidden >= 1024
-                                              else "2")
+        auto_level = "3" if qstatic else "1"
         use_qffn = int(os.environ.get("BENCH_QFFN", auto_level))
         # alllayer only for the mode-3/4/5 experiments: the shipped config
         # (and the Predictor) runs the per-block engine without the ~86 MB

@@ -113,15 +113,17 @@ class Predictor:
             # projection copies) — less HBM and smaller exported
             # artifacts (small 262->112 MB), bitwise-identical logits
             # (tests/test_serving.py)
-            # with calibration, the qkv projections join the int8 path at
-            # EVERY width (qffn=2): static scales remove the per-row quant
-            # overhead that made qkv-int8 neutral at D=512 — measured
-            # 47,127 vs 45,739 pairs/s same-run; at D>=1024 the merge/
-            # cross-q projections join too (qffn=3: 19,762 vs 18,126
-            # same-session — neutral at D=512, 47,586 vs 47,878).
-            # Accuracy gated by TestStaticActScales (all levels).
+            # with calibration, every projection joins the int8 path
+            # (qffn=3): static scales remove the per-row quant overhead
+            # that made the small-N projections a dynamic-quant loss.
+            # Measured: decisive at D>=1024 (19,762 vs 18,126 same-run),
+            # batch-neutral at D=512 (47,586 vs 47,878 same-run), and
+            # the B=1 champion at BOTH widths (small 0.0969 ms vs level
+            # 2's 0.1045 / full int8's 0.1247 — interleaved medians;
+            # int8 weights stream fewer bytes). Accuracy gated by
+            # TestStaticActScales (all levels) + TestFullSizeQstatic.
             if act_calibration is not None:
-                qffn_level = 3 if cfg.hidden_size >= 1024 else 2
+                qffn_level = 3
             else:
                 qffn_level = True
             prepared = prepare_params(params, cfg.layer,

@@ -19,8 +19,8 @@ production program):
     qffn     the shipped default: int8 FFN, dynamic per-row quant,
              width-auto qkv (qffn=1)
     qffn2    qkv-int8 at every width, dynamic quant
-    qstatic  calibrated static activation scales at the width-auto level
-             (2 below D=1024, 3 at D>=1024) — Predictor(act_calibration=)
+    qstatic  calibrated static activation scales at level 3 (the
+             Predictor's calibrated default) — Predictor(act_calibration=)
     qstatic2 / qstatic3   calibrated at an explicit level
     int8     the full-int8 engine (Predictor(engine="int8") megakernels)
 
@@ -58,7 +58,6 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
         serving_mod.QFFN_MAX_BATCH = int(
             os.environ["BENCH_QFFN_MAX_BATCH"])
 
-    hidden = cfg.hidden_size
     if name == "int8":
         from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                             quantize_params)
@@ -73,7 +72,8 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
     elif name == "qffn2":
         level = 2
     elif name == "qstatic":
-        level = 3 if hidden >= 1024 else 2
+        level = 3  # matches Predictor(act_calibration=...): level 3 at
+        #            every width (B=1 A/B settled the D=512 choice)
     elif name.startswith("qstatic"):
         level = int(name[len("qstatic"):])
     else:
