@@ -30,6 +30,9 @@ interpret mode.)
 Measured on the real v5e chip (2026-08-18, defaults): fused
 agreement=1.0000 acc 100.00/100.00 max_prob_delta=0.00163; int8
 agreement=1.0000 acc 100.00/100.00 max_prob_delta=0.00499 — both PASS.
+qstatic at its shipping level (3, int8 at every projection):
+agreement=1.0000 acc 100.00/100.00 max_prob_delta=0.00258 — PASS
+(same date, D=512 defaults).
 Note the lr matters: at lr 1e-3 this task sits in the all-zeros
 sum-BCE basin (acc ~5%) and top-1 agreement is coin-flip noise, hence
 the acc_ref>=95 learn-guard in the gate; lr 1e-4 (the reference
@@ -175,10 +178,9 @@ def main() -> int:
         if name in ("fused", "qstatic"):
             from mcan_vqa_tpu.ops.serving import (make_serving_fn,
                                                   prepare_params)
-            # qstatic mirrors Predictor(act_calibration=...): qkv-int8 at
-            # every width, + merge/cross-q int8 at D >= 1024
-            qlevel = True if name != "qstatic" else (
-                3 if args.hidden >= 1024 else 2)
+            # qstatic mirrors Predictor(act_calibration=...): int8 at
+            # every projection (level 3) at every width
+            qlevel = True if name != "qstatic" else 3
             pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
                                 alllayer=False, qffn=qlevel)
             scales = None
