@@ -401,10 +401,13 @@ def test_qffn_batch_gate_routes_to_bf16_past_threshold(monkeypatch):
     assert np.abs(static_over - ref).max() > 0.0    # engaged past gate
 
 
-def test_classifier_static_act_scales():
+@pytest.mark.parametrize("level", [1, 3])
+def test_classifier_static_act_scales(level):
     """Classifier twin: calibrate_classifier_act_scales + the static
     int8-FFN SA megakernels stay within quantization tolerance of the
-    dynamic-quant classifier engine (interpret mode)."""
+    dynamic-quant classifier engine (interpret mode). Level 3 (int8 at
+    every projection) is the calibrated classifier bench default,
+    mirroring the VQA Predictor(act_calibration=...)."""
     import jax.numpy as jnp
 
     from mcan_vqa_tpu.models.net import ClassifierNet
@@ -423,9 +426,10 @@ def test_classifier_static_act_scales():
     img = img.at[0, -3:].set(0.0)
     params = model.init({"params": jax.random.PRNGKey(1)}, img)["params"]
     pp = prune_classifier_params(
-        prepare_classifier_params(params, L, qffn=True), L)
+        prepare_classifier_params(params, L, qffn=level), L)
     scales = calibrate_classifier_act_scales(pp, img, L, 4)
     assert set(scales) == {f"enc_{i}" for i in range(L)}
+    assert all(len(v) == (4 if level >= 3 else 3) for v in scales.values())
     dyn = make_classifier_serving_fn(L, 4, interpret=True, qffn=True)
     sta = make_classifier_serving_fn(L, 4, interpret=True, qffn=True,
                                      qffn_act_scales=scales)

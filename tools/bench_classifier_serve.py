@@ -1,16 +1,34 @@
-"""A/B the classifier serving engines on the real chip.
+"""Same-process interleaved A/B of the CLASSIFIER serving engines.
 
 model.apply vs the SA-block-megakernel classifier serving engine
 (ops/serving.make_classifier_serving_fn) at MIMIC-CXR dims: B=64,
 60 regions, img_feat 1024, hidden 512, 6 layers, 14 labels.
-Scan-loop timing methodology (see bench.py docstring).
+Scan-loop timing methodology (see bench.py docstring); every named
+config is timed interleaved over BENCH_ROUNDS rounds in ONE process
+(cross-process numbers on this rig drift >10% — see
+tools/bench_serving_ab.py).
 
-    python tools/bench_classifier_serve.py            # both engines
-    BENCH_BATCH=128 python tools/bench_classifier_serve.py
+Usage:
+    python tools/bench_classifier_serve.py              # plain + qffn
+    python tools/bench_classifier_serve.py bf16 qffn qstatic
+    BENCH_BATCH=128 BENCH_ROUNDS=4 python tools/bench_classifier_serve.py ...
+
+Configs:
+    plain    model.apply (the XLA path)
+    bf16     all-bf16 SA megakernels (qffn=0)
+    qffn     the shipped default: int8-FFN SA megakernels, dynamic
+             per-row quant (qffn=1)
+    qffn2 / qffn3   higher dynamic int8 levels (qkv / +merge)
+    qstatic  calibrated static activation scales at level 3 — the
+             classifier twin of Predictor(act_calibration=...)
+             (ops/quant.calibrate_classifier_act_scales, calibrated on
+             the bench input distribution)
+    qstatic1 / qstatic2   calibrated at an explicit level
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -18,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -33,8 +53,10 @@ def main() -> None:
     from mcan_vqa_tpu.ops.serving import (make_classifier_serving_fn,
                                           prepare_classifier_params)
 
+    names = sys.argv[1:] or ["plain", "qffn"]
     B = int(os.environ.get("BENCH_BATCH", "64"))
     n_iters = int(os.environ.get("BENCH_ITERS", "60"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     L = int(os.environ.get("BENCH_LAYERS", "6"))
     H = int(os.environ.get("BENCH_HIDDEN", "512"))
     model = ClassifierNet(answer_size=14, hidden_size=H, num_layers=L,
@@ -49,57 +71,78 @@ def main() -> None:
         return img * (jnp.arange(60)[None, :, None] < n_valid[..., None])
 
     img = make_inputs(jax.random.PRNGKey(0))
-    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
-                                 img)["params"]
+    raw = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                              img)["params"]
 
-    def plain(p, x):
-        return model.apply({"params": p}, x,
-                           deterministic=True)["logits"]
+    def build(name):
+        if name == "plain":
+            fwd = lambda p, x: model.apply({"params": p}, x,
+                                           deterministic=True)["logits"]
+            return fwd, raw
+        if name == "bf16":
+            level = 0
+        elif name == "qffn":
+            level = 1
+        elif name.startswith("qffn"):
+            level = int(name[len("qffn"):])
+        elif name == "qstatic":
+            level = 3  # matches the VQA calibrated default
+        elif name.startswith("qstatic"):
+            level = int(name[len("qstatic"):])
+        else:
+            raise SystemExit(f"unknown config {name!r}")
+        prepared = jax.jit(lambda p: prepare_classifier_params(
+            p, L, qffn=level))(raw)
+        act_scales = None
+        if name.startswith("qstatic"):
+            from mcan_vqa_tpu.ops.quant import calibrate_classifier_act_scales
+            act_scales = calibrate_classifier_act_scales(prepared, img, L, 8)
+        fwd = make_classifier_serving_fn(L, 8, bf16_stream=True,
+                                         qffn=bool(level),
+                                         qffn_act_scales=act_scales)
+        return fwd, prepared
 
-    # BENCH_QFFN=0 restores the all-bf16 SA megakernels (default: the
-    # mixed int8-FFN kernels, same engine the Trainer's classifier eval
-    # ships).
-    qffn = os.environ.get("BENCH_QFFN", "1") == "1"
-    prepared = jax.jit(lambda p: prepare_classifier_params(
-        p, L, qffn=qffn))(params)
-    # BENCH_QSTATIC=1: static calibrated activation scales for the int8
-    # quant sites (ops/quant.calibrate_classifier_act_scales), calibrated
-    # on the bench input distribution.
-    act_scales = None
-    if qffn and os.environ.get("BENCH_QSTATIC", "0") == "1":
-        from mcan_vqa_tpu.ops.quant import calibrate_classifier_act_scales
-        act_scales = calibrate_classifier_act_scales(prepared, img, L, 8)
-    fused = make_classifier_serving_fn(L, 8, bf16_stream=True, qffn=qffn,
-                                       qffn_act_scales=act_scales)
-
-    def run(tag, fwd, p):
-        import functools
+    entries = []
+    for name in names:
+        fwd, p = build(name)
 
         @functools.partial(jax.jit, static_argnames="n")
-        def loop(p, x, n):
+        def loop(p, x, n, fwd=fwd):
             def body(c, _):
                 probs = jax.nn.sigmoid(fwd(p, x + c).astype(jnp.float32))
                 return jnp.max(probs) * jnp.float32(1e-30), None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
-                                length=n)
-            return c
+            return jax.lax.scan(body, jnp.float32(0.0), None, length=n)[0]
 
-        float(loop(p, img, 1))
+        float(loop(p, img, 1))            # compile
         float(loop(p, img, n_iters + 1))
-        t0 = time.perf_counter()
-        float(loop(p, img, 1))
-        overhead = time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(3):
+        entries.append((name, loop, p))
+
+    results = {name: [] for name, _, _ in entries}
+    for r in range(rounds):
+        for name, loop, p in entries:
+            t0 = time.perf_counter()
+            float(loop(p, img, 1))
+            overhead = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(loop(p, img, n_iters + 1))
-            best = min(best, time.perf_counter() - t0)
-        per = max((best - overhead) / n_iters, 1e-9)
-        print(json.dumps({"engine": tag, "samples_per_s": round(B / per, 1),
-                          "ms_per_batch": round(per * 1e3, 3)}))
+            el = time.perf_counter() - t0
+            sps = B / max((el - overhead) / n_iters, 1e-9)
+            results[name].append(sps)
+            print(f"round {r}: {name:9s} {sps:10.1f} samples/s", flush=True)
 
-    run("model.apply", plain, params)
-    run("fused_sa_megakernel", fused, prepared)
+    print(f"\n== medians over {rounds} interleaved rounds (B={B}) ==")
+    base = None
+    out = {}
+    for name, _, _ in entries:
+        med = statistics.median(results[name])
+        out[name] = round(med, 1)
+        if base is None:
+            base = med
+            print(f"{name:9s} {med:10.1f} samples/s   (baseline)")
+        else:
+            print(f"{name:9s} {med:10.1f} samples/s   "
+                  f"{(med / base - 1) * 100:+.1f}% vs {entries[0][0]}")
+    print(json.dumps({"batch": B, "medians": out}))
 
 
 if __name__ == "__main__":
