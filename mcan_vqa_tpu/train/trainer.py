@@ -456,7 +456,14 @@ class Trainer:
                 # default — accuracy-gated by tests/test_bf16_stream.py,
                 # test_quant.py::TestQffnAccuracy + the full-size oracle
                 # bounds (test_full_size_parity.py); bench.py reports
-                # this same config.
+                # this same config. Static calibrated scales (the
+                # Predictor's act_calibration) are deliberately NOT
+                # offered here: they are compile-time kernel constants,
+                # and mid-training weights move — refreshing scales per
+                # eval would recompile (minutes on TPU) while frozen
+                # scales would drift out of range as training proceeds.
+                # Calibration is a deployment-time optimization
+                # (Predictor / artifact export / serve --calibrate).
                 import jax.numpy as jnp
 
                 def _fused_eval(p, *inputs):
