@@ -101,7 +101,7 @@ def main() -> None:
         # fused-QKV engine; BENCH_PALLAS picks the attention implementation
         # INSIDE it (0=XLA, 1=per-(b,h), 2=batch-blocked, 3=block-diagonal
         # packed), so attention variants are compared like-for-like.
-        from mcan_vqa_tpu.ops.serving import make_serving_fn, prepare_params
+        from mcan_vqa_tpu.ops.serving import build_production_engine
         sga_mode = int(os.environ.get("BENCH_SGA", "2"))
         # Mixed-precision megakernels (DEFAULT here and in production —
         # Predictor "fused" + Trainer fused eval ship the same config):
@@ -128,47 +128,30 @@ def main() -> None:
         # stacked layouts, so bench == production program exactly
         alllayer = (sga_mode >= 3
                     or os.environ.get("BENCH_ALLLAYER", "0") == "1")
-        params = prepare_params(
-            params, cfg.layer, num_heads=cfg.multi_head,
-            alllayer=alllayer, qffn=use_qffn)
-        if (sga_mode == 2 and not alllayer
-                and os.environ.get("BENCH_PRUNE", "1") == "1"):
-            # production parity: the Predictor ships the PRUNED tree
-            # (only _mk/_qffn + cross linear_kv per block); BENCH_PRUNE=0
-            # restores the full prepared tree
-            from mcan_vqa_tpu.ops.serving import prune_prepared_params
-            try:
-                params = prune_prepared_params(params, cfg.layer)
-            except ValueError:
-                pass  # outside the megakernel envelope
-        # bf16 residual stream is the default HERE AND IN PRODUCTION
-        # (Predictor + Trainer fused eval ship bf16_stream=True): gated by
-        # tests/test_bf16_stream.py (top-1 agreement >= 99.5%, |d_acc| <=
-        # 0.1pt on trained real-format data) and the full-size torch-oracle
-        # logit bound (test_full_size_parity.py). Measured +2.7% once the
-        # fused kernels stopped casting their block I/O back to f32.
-        # BENCH_QSTATIC=1: static CALIBRATED per-tensor activation scales
-        # for the qffn quant sites (ops/quant.calibrate_qffn_act_scales;
-        # calibrated here on the bench input distribution) — removes the
-        # per-row max reductions inside the qffn kernels.
-        act_scales = None
-        if use_qffn and qstatic:
-            from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
-            act_scales = calibrate_qffn_act_scales(
-                params, img_d, ques_d, cfg.layer, cfg.multi_head)
-        forward = make_serving_fn(
-            cfg.layer, cfg.multi_head, use_pallas=use_pallas,
+        # ONE construction path with the Predictor and the A/B/canary
+        # tools (ops/serving.build_production_engine): pruned mode-2
+        # megakernel tree (BENCH_PRUNE=0 restores the full tree), bf16
+        # residual stream, int8-FFN kernels — every default gated by
+        # tests/test_bf16_stream.py, test_quant.py and the full-size
+        # torch-oracle bounds (test_full_size_parity.py). BENCH_QSTATIC=1
+        # calibrates static activation scales on the bench input
+        # distribution, exactly like Predictor(act_calibration=...).
+        # BENCH_SGA picks the engine structure (2 = the shipped
+        # fused-projection megakernel; 0 = per-sub-op; 3/4/5 = the
+        # all-layer experiments), BENCH_PALLAS the attention variant
+        # inside it.
+        forward, params = build_production_engine(
+            params, cfg.layer, cfg.multi_head,
+            qffn=use_qffn,
+            act_scale_inputs=(img_d, ques_d) if (use_qffn and qstatic)
+            else None,
+            prune=os.environ.get("BENCH_PRUNE", "1") == "1",
+            sga_mode=sga_mode, alllayer=alllayer,
             bf16_stream=os.environ.get("BENCH_BF16_STREAM", "1") == "1",
             use_pallas_ffn=os.environ.get("BENCH_FFN", "1") == "1",
-            # Default serving engine: the fused-projection SGA megakernel
-            # (variant 2) — measured 37.8K vs 26.0K pairs/s at B=64, with
-            # 100% top-1 agreement vs the unfused engine verified on-chip.
-            # Falls back automatically when block weights exceed VMEM
-            # (MCAN-large). BENCH_SGA=0 restores the per-sub-op engine.
-            use_sga_megakernel=sga_mode,
+            use_pallas=use_pallas,
             sga_group=int(os.environ.get("BENCH_SGA_GROUP", "4")),
-            use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1",
-            qffn=use_qffn, qffn_act_scales=act_scales)
+            use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1")
     elif use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn
         forward = make_serving_fn(cfg.layer, cfg.multi_head,

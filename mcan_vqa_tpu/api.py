@@ -84,9 +84,25 @@ class Predictor:
         self._buckets = tuple(b for b in buckets if b < max_batch) \
             + (max_batch,)
 
+        requested_engine = engine
         if engine == "auto":
             engine = "fused" if jax.default_backend() == "tpu" else "plain"
         self.engine = engine
+        if act_calibration is not None and engine != "fused":
+            # static activation scales only exist in the fused engine's
+            # int8 quant sites — silently ignoring the sample would let a
+            # deployer believe the calibrated (+12-18%) engine is active
+            if requested_engine == "auto":
+                import warnings
+                warnings.warn(
+                    f"act_calibration ignored: engine='auto' resolved to "
+                    f"'{engine}' on this backend; calibration applies "
+                    f"only to the fused engine")
+                act_calibration = None
+            else:
+                raise ValueError(
+                    f"act_calibration requires engine='fused' (or 'auto' "
+                    f"on TPU), got engine='{engine}'")
         if engine == "int8":
             from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                                 quantize_params)
@@ -104,58 +120,24 @@ class Predictor:
                 return jax.nn.sigmoid(
                     serve(params, img, ques).astype(jnp.float32))
         elif engine == "fused":
-            from mcan_vqa_tpu.ops.serving import (make_serving_fn,
-                                                  prepare_params,
-                                                  prune_prepared_params)
-            # alllayer=False skips the mode-3/4/5 stacked layouts;
-            # prune_prepared_params then drops every per-block weight the
-            # mode-2 megakernel forward doesn't read (raw + fused
-            # projection copies) — less HBM and smaller exported
-            # artifacts (small 262->112 MB), bitwise-identical logits
-            # (tests/test_serving.py)
-            # with calibration, every projection joins the int8 path
-            # (qffn=3): static scales remove the per-row quant overhead
-            # that made the small-N projections a dynamic-quant loss.
-            # Measured: decisive at D>=1024 (19,762 vs 18,126 same-run),
-            # batch-neutral at D=512 (47,586 vs 47,878 same-run), and
-            # the B=1 champion at BOTH widths (small 0.0969 ms vs level
-            # 2's 0.1045 / full int8's 0.1247 — interleaved medians;
-            # int8 weights stream fewer bytes). Accuracy gated by
-            # TestStaticActScales (all levels) + TestFullSizeQstatic.
+            from mcan_vqa_tpu.ops.serving import build_production_engine
+            # ONE construction path, shared with bench.py and the
+            # A/B/canary tools: pruned mode-2 megakernel tree, bf16
+            # stream, dynamic int8-FFN (qffn) — or, with a calibration
+            # batch, static scales + int8 at every projection (level 3:
+            # decisive at D>=1024, batch-neutral at D=512, B=1 champion
+            # at both widths — docs/PERFORMANCE.md). Accuracy gated by
+            # tests/test_bf16_stream.py, test_quant.py (TestQffnAccuracy,
+            # TestStaticActScales) + the full-size torch-oracle bounds
+            # (test_full_size_parity.py), all zero top-1 flips.
+            act_inputs = None
             if act_calibration is not None:
-                qffn_level = 3
-            else:
-                qffn_level = True
-            prepared = prepare_params(params, cfg.layer,
-                                      num_heads=cfg.multi_head,
-                                      alllayer=False, qffn=qffn_level)
-            try:
-                prepared = prune_prepared_params(prepared, cfg.layer)
-            except ValueError:
-                pass  # dims outside the megakernel VMEM envelope: the
-                #       forward's mode-0 fallback reads the raw entries
-            self.params = prepared
-            act_scales = None
-            if act_calibration is not None:
-                from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
                 cal_q, cal_f = act_calibration
                 cques, cimg = self._prep_inputs(cal_q, cal_f)
-                act_scales = calibrate_qffn_act_scales(
-                    prepared, cimg, cques, cfg.layer, cfg.multi_head)
-            serve = make_serving_fn(cfg.layer, cfg.multi_head,
-                                    use_pallas=False, use_pallas_ffn=True,
-                                    use_sga_megakernel=2,
-                                    bf16_stream=True, qffn=True,
-                                    qffn_act_scales=act_scales,
-                                    interpret=jax.default_backend() != "tpu")
-            # bf16_stream AND the int8-FFN megakernels (qffn) ship by
-            # default: gated by tests/test_bf16_stream.py +
-            # tests/test_quant.py::TestQffnAccuracy (top-1 agreement >=
-            # 99.5%, |d_acc| <= 0.1pt on trained real-format data) and
-            # the full-size torch-oracle logit bounds
-            # (test_full_size_parity.py TestFullSizeBF16Stream /
-            # TestFullSizeQffn, no decision flips) — same config bench.py
-            # reports (small 43.6K, large 15.9K pairs/s same-session).
+                act_inputs = (cimg, cques)
+            serve, self.params = build_production_engine(
+                params, cfg.layer, cfg.multi_head,
+                act_scale_inputs=act_inputs)
 
             def forward(params, img, ques):
                 return jax.nn.sigmoid(

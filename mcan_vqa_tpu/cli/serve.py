@@ -291,6 +291,13 @@ def _load_calibration(path: str):
     if len(qs) != len(feats):
         raise SystemExit(f"--calibrate: {len(qs)} questions vs "
                          f"{len(feats)} feature blocks")
+    blocks = feats if isinstance(feats, list) else [feats]
+    if any(not np.isfinite(b).all() for b in blocks):
+        # a single NaN/Inf row would poison every static scale for the
+        # server's whole lifetime (calibrate_qffn_act_scales would also
+        # reject it, but catch it here with the actionable message)
+        raise SystemExit("--calibrate: sample contains non-finite feature "
+                         "values; clean the npz before baking scales")
     return qs, feats
 
 
@@ -320,6 +327,7 @@ def build_predictor(args):
     if cal is not None and args.engine not in ("auto", "fused"):
         print(f"[serve] note: --calibrate only affects the fused engine "
               f"(--engine {args.engine} ignores it)", file=sys.stderr)
+        cal = None  # Predictor rejects calibration on non-fused engines
 
     if args.synthetic:
         import jax

@@ -633,8 +633,23 @@ def calibrate_qffn_act_scales(params: Dict[str, Any], img_feat, ques_ix,
 
     out = jax.jit(replay)(params, jnp.asarray(img_feat),
                           jnp.asarray(ques_ix))
-    return {k: tuple(float(x) for x in jax.device_get(v))
-            for k, v in out.items()}
+    return _check_scales({k: tuple(float(x) for x in jax.device_get(v))
+                          for k, v in out.items()})
+
+
+def _check_scales(scales: Dict[str, tuple]) -> Dict[str, tuple]:
+    """Scales are baked into kernels as compile-time constants: a single
+    NaN/Inf (e.g. a non-finite row in the calibration sample) would
+    silently poison every int8 site for the engine's whole lifetime."""
+    import math
+    for name, tup in scales.items():
+        for s in tup:
+            if not (math.isfinite(s) and s > 0.0):
+                raise ValueError(
+                    f"calibration produced a non-finite/non-positive "
+                    f"activation scale at {name}: {tup} — check the "
+                    f"calibration sample for NaN/Inf features")
+    return scales
 
 
 def calibrate_classifier_act_scales(params: Dict[str, Any], img_feat,
@@ -657,8 +672,8 @@ def calibrate_classifier_act_scales(params: Dict[str, Any], img_feat,
         return scales
 
     out = jax.jit(replay)(params, jnp.asarray(img_feat))
-    return {k: tuple(float(x) for x in jax.device_get(v))
-            for k, v in out.items()}
+    return _check_scales({k: tuple(float(x) for x in jax.device_get(v))
+                          for k, v in out.items()})
 
 
 # --- calibration replay helpers: plain-XLA mirrors of the qffn kernel

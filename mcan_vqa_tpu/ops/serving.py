@@ -339,14 +339,17 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
+                # the B>QFFN_MAX_BATCH lift applies only when THIS block
+                # has baked scales (a partial scales dict must not run
+                # dynamic quant in the regime the gate exists to avoid)
+                scales_i = (qffn_act_scales or {}).get(f"enc_{i}")
                 if qffn and "_qffn" in p and (
                         v.shape[0] <= QFFN_MAX_BATCH
-                        or qffn_act_scales is not None):
+                        or scales_i is not None):
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     v = fused_qffn_sa_block(
                         v, v_mask, wp, p["_qffn"], num_heads=num_heads,
-                        interpret=interpret,
-                        act_scales=(qffn_act_scales or {}).get(f"enc_{i}"))
+                        interpret=interpret, act_scales=scales_i)
                 else:
                     v = fused_sa_block(v, v_mask, wp, num_heads=num_heads,
                                        interpret=interpret)
@@ -438,6 +441,68 @@ def _cross_kv(p, q, num_heads):
     def split(x):
         return x.reshape(B, Lq, num_heads, Dh).transpose(0, 2, 1, 3)
     return split(kx), split(vx)
+
+
+def build_production_engine(params: Dict[str, Any], num_layers: int,
+                            num_heads: int, *, qffn=None,
+                            act_scale_inputs=None, interpret=None,
+                            prune: bool = True, sga_mode: int = 2,
+                            alllayer: bool = False,
+                            bf16_stream: bool = True,
+                            use_pallas_ffn: bool = True,
+                            **serving_kwargs):
+    """ONE construction path for the shipped VQA serving engine.
+
+    The Predictor, bench.py, the interleaved A/B tool, and the on-chip
+    accuracy canary all serve THIS program; hand-copying the
+    prepare -> prune -> calibrate -> make_serving_fn recipe at each site
+    let the benched program drift from the shipped one (the round-2
+    failure mode), so they all call here instead.
+
+    params: the raw MCANet tree. qffn: None picks the production
+    default — dynamic int8-FFN (level 1/width-auto via ``True``), or
+    level 3 (int8 at every projection) when a calibration batch is
+    given; an int forces a level, 0 the all-bf16 kernels.
+    act_scale_inputs: optional (img_feat, ques_ix) arrays — bakes static
+    activation scales (ops.quant.calibrate_qffn_act_scales). interpret:
+    None = off-TPU autodetect. serving_kwargs pass through to
+    ``make_serving_fn`` (experiment knobs: sga_group, use_pallas_attflat,
+    ...).
+
+    -> (forward, prepared_params)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if qffn is None:
+        qffn = 3 if act_scale_inputs is not None else True
+    prepared = prepare_params(params, num_layers, num_heads=num_heads,
+                              alllayer=alllayer, qffn=qffn)
+    if prune and sga_mode == 2 and not alllayer:
+        try:
+            prepared = prune_prepared_params(prepared, num_layers)
+        except ValueError:
+            pass  # dims outside the megakernel VMEM envelope: the
+            #       forward's mode-0 fallback reads the raw entries
+    act_scales = None
+    if act_scale_inputs is not None and qffn:
+        if "_mk" not in prepared["backbone"]["enc_0"]:
+            import warnings
+            warnings.warn(
+                "act_scale_inputs ignored: model dims are outside the "
+                "megakernel VMEM envelope, the engine falls back to the "
+                "per-sub-op path (no int8 quant sites)")
+        else:
+            from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+            img, ques = act_scale_inputs
+            act_scales = calibrate_qffn_act_scales(
+                prepared, img, ques, num_layers, num_heads)
+    serving_kwargs.setdefault("use_pallas", False)
+    forward = make_serving_fn(num_layers, num_heads,
+                              use_pallas_ffn=use_pallas_ffn,
+                              use_sga_megakernel=sga_mode,
+                              bf16_stream=bf16_stream, qffn=bool(qffn),
+                              qffn_act_scales=act_scales,
+                              interpret=interpret, **serving_kwargs)
+    return forward, prepared
 
 
 def make_serving_fn(num_layers: int, num_heads: int,
@@ -558,14 +623,15 @@ def make_serving_fn(num_layers: int, num_heads: int,
             for i in range(num_layers):
                 p = bb[f"enc_{i}"]
                 wp = p["_mk"] if "_mk" in p else prepare_sa_block_params(p)
+                # per-block gate: see the SA-stack comment above
+                scales_i = (qffn_act_scales or {}).get(f"enc_{i}")
                 if qffn and "_qffn" in p and (
                         q.shape[0] <= QFFN_MAX_BATCH
-                        or qffn_act_scales is not None):
+                        or scales_i is not None):
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     q = fused_qffn_sa_block(
                         q, q_mask, wp, p["_qffn"], num_heads=num_heads,
-                        interpret=interpret,
-                        act_scales=(qffn_act_scales or {}).get(f"enc_{i}"))
+                        interpret=interpret, act_scales=scales_i)
                 else:
                     q = fused_sa_block(q, q_mask, wp, num_heads=num_heads,
                                        interpret=interpret)
@@ -619,15 +685,15 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
                 wp = (p["_mk"] if "_mk" in p
                       else prepare_sga_block_params(p, num_heads))
+                scales_i = (qffn_act_scales or {}).get(f"dec_{i}")
                 if (qffn and sga_mode == 2 and "_qffn" in p
                         and (v.shape[0] <= QFFN_MAX_BATCH
-                             or qffn_act_scales is not None)):
+                             or scales_i is not None)):
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sga_block
                     v = fused_qffn_sga_block(
                         v, kq, vq, v_mask, q_mask, wp, p["_qffn"],
                         num_heads=num_heads, group=sga_group,
-                        interpret=interpret,
-                        act_scales=(qffn_act_scales or {}).get(f"dec_{i}"))
+                        interpret=interpret, act_scales=scales_i)
                 else:
                     v = fused_sga_block(
                         v, kq, vq, v_mask, q_mask, wp,

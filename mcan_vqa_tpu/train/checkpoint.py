@@ -68,12 +68,20 @@ class AsyncCheckpointSaver:
     or reading the directory. A failed write re-raises on the next
     ``save()`` or ``wait()``; pruning runs on the worker after each write
     so directory mutation is single-threaded.
+
+    The queue is bounded to ONE pending snapshot: each enqueued item
+    holds a full on-device {params, opt_state} copy (~3x the param
+    bytes), so an unbounded queue would accumulate device memory without
+    limit whenever writes are slower than epochs — exactly the
+    slow-disk/slow-fetch regime this class exists for. With maxsize=1,
+    ``save()`` blocks (briefly) until the PREVIOUS write has been picked
+    up, bounding live snapshots at two (one writing + one queued).
     """
 
     def __init__(self):
         import queue
         import threading
-        self._q: "queue.Queue" = queue.Queue()
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
         self._error: Optional[BaseException] = None
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="mcan-async-ckpt")

@@ -280,87 +280,102 @@ class Trainer:
         if cfg.resume:
             start_epoch = max(start_epoch, cfg.ckpt_epoch)
 
-        with trace(cfg.profile_dir):
-            for epoch in range(start_epoch, cfg.max_epoch):
-                loader.set_epoch(epoch)
-                t0 = time.time()
-                meter = StepMeter(len(loader), enabled=cfg.verbose)
-                timer = StepTimer()
-                keys = ("img", "target") if self.image_only else \
-                    ("img", "ques", "target")
-                loss_sum, n_steps = 0.0, 0
-                metrics = {"loss": 0.0, "lr": 0.0}
-                norm_sums: Dict[str, float] = {}
-                for batch in loader:
-                    if stop_requested["flag"]:
-                        break
-                    batch = {k: batch[k] for k in keys}
-                    state, metrics = self._jit_train(state, batch)
-                    loss_sum += float(metrics["loss"])
-                    n_steps += 1
-                    if "param_grad_norms" in metrics:
-                        # per-param grad-norm bookkeeping (reference
-                        # accumulates these every step, core/exec.py:199-202)
-                        flat, _ = jax.tree_util.tree_flatten_with_path(
-                            jax.device_get(metrics["param_grad_norms"]))
-                        for path, v in flat:
-                            name = "/".join(
-                                getattr(p, "key", str(p)) for p in path)
-                            norm_sums[name] = norm_sums.get(name, 0.0) \
-                                + float(v)
-                        if n_steps % cfg.grad_norm_log_every == 0:
-                            self.logger.jsonl({"epoch": epoch,
-                                               "step": n_steps,
-                                               "grad_norm_sums": norm_sums})
-                    timer.tick()
-                    meter.update({"loss": metrics["loss"], "lr": metrics["lr"]})
-                    # classifier flow: periodic in-epoch eval
-                    # (reference: core/exec.py:940-951)
-                    if (self.image_only and cfg.eval_interval > 0
-                            and n_steps % cfg.eval_interval == 0
-                            and self.eval_datasets):
-                        self.state = state
-                        for name, ds in self.eval_datasets.items():
-                            r = self.evaluate(ds)
-                            self.logger.write(
-                                f"  [step {n_steps}] {name}: {r}")
-                self.state = state
+        try:
+            with trace(cfg.profile_dir):
+                for epoch in range(start_epoch, cfg.max_epoch):
+                    loader.set_epoch(epoch)
+                    t0 = time.time()
+                    meter = StepMeter(len(loader), enabled=cfg.verbose)
+                    timer = StepTimer()
+                    keys = ("img", "target") if self.image_only else \
+                        ("img", "ques", "target")
+                    loss_sum, n_steps = 0.0, 0
+                    metrics = {"loss": 0.0, "lr": 0.0}
+                    norm_sums: Dict[str, float] = {}
+                    for batch in loader:
+                        if stop_requested["flag"]:
+                            break
+                        batch = {k: batch[k] for k in keys}
+                        state, metrics = self._jit_train(state, batch)
+                        loss_sum += float(metrics["loss"])
+                        n_steps += 1
+                        if "param_grad_norms" in metrics:
+                            # per-param grad-norm bookkeeping (reference
+                            # accumulates these every step, core/exec.py:199-202)
+                            flat, _ = jax.tree_util.tree_flatten_with_path(
+                                jax.device_get(metrics["param_grad_norms"]))
+                            for path, v in flat:
+                                name = "/".join(
+                                    getattr(p, "key", str(p)) for p in path)
+                                norm_sums[name] = norm_sums.get(name, 0.0) \
+                                    + float(v)
+                            if n_steps % cfg.grad_norm_log_every == 0:
+                                self.logger.jsonl({"epoch": epoch,
+                                                   "step": n_steps,
+                                                   "grad_norm_sums": norm_sums})
+                        timer.tick()
+                        meter.update({"loss": metrics["loss"], "lr": metrics["lr"]})
+                        # classifier flow: periodic in-epoch eval
+                        # (reference: core/exec.py:940-951)
+                        if (self.image_only and cfg.eval_interval > 0
+                                and n_steps % cfg.eval_interval == 0
+                                and self.eval_datasets):
+                            self.state = state
+                            for name, ds in self.eval_datasets.items():
+                                r = self.evaluate(ds)
+                                self.logger.write(
+                                    f"  [step {n_steps}] {name}: {r}")
+                    self.state = state
 
-                epoch_metrics = {
-                    "loss": loss_sum / max(n_steps, 1),
-                    "lr": float(metrics["lr"]),
-                    "wall_s": time.time() - t0,
-                    "step_ema_s": timer.ema or 0.0,
-                }
-                if norm_sums:
-                    self.logger.jsonl({"epoch": epoch, "step": n_steps,
-                                       "grad_norm_sums": norm_sums,
-                                       "final": True})
-                if saver is not None:
-                    saver.save(state, cfg.ckpts_dir, cfg.version, epoch + 1,
-                               keep_last=cfg.keep_last_ckpts)
-                else:
-                    ckpt_mod.save_checkpoint(state, cfg.ckpts_dir,
-                                             cfg.version, epoch + 1)
-                    if cfg.keep_last_ckpts > 0:
-                        ckpt_mod.prune_checkpoints(cfg.ckpts_dir, cfg.version,
-                                                   cfg.keep_last_ckpts)
-                if stop_requested["flag"]:
-                    self.logger.epoch(epoch, {**epoch_metrics,
-                                              "preempted_at_step": n_steps})
-                    break
-                if cfg.eval_every_epoch:
-                    for name, ds in self.eval_datasets.items():
-                        res = self.evaluate(ds)
-                        for k, v in res.items():
-                            if isinstance(v, float):
-                                epoch_metrics[f"{name}/{k}"] = v
-                self.logger.epoch(epoch, epoch_metrics)
-        if saver is not None:
-            saver.close()   # flush pending writes before returning
-        import signal as _sig
-        for sig, h in old_handlers.items():
-            _sig.signal(sig, h)
+                    epoch_metrics = {
+                        "loss": loss_sum / max(n_steps, 1),
+                        "lr": float(metrics["lr"]),
+                        "wall_s": time.time() - t0,
+                        "step_ema_s": timer.ema or 0.0,
+                    }
+                    if norm_sums:
+                        self.logger.jsonl({"epoch": epoch, "step": n_steps,
+                                           "grad_norm_sums": norm_sums,
+                                           "final": True})
+                    if saver is not None:
+                        saver.save(state, cfg.ckpts_dir, cfg.version, epoch + 1,
+                                   keep_last=cfg.keep_last_ckpts)
+                    else:
+                        ckpt_mod.save_checkpoint(state, cfg.ckpts_dir,
+                                                 cfg.version, epoch + 1)
+                        if cfg.keep_last_ckpts > 0:
+                            ckpt_mod.prune_checkpoints(cfg.ckpts_dir, cfg.version,
+                                                       cfg.keep_last_ckpts)
+                    if stop_requested["flag"]:
+                        self.logger.epoch(epoch, {**epoch_metrics,
+                                                  "preempted_at_step": n_steps})
+                        break
+                    if cfg.eval_every_epoch:
+                        for name, ds in self.eval_datasets.items():
+                            res = self.evaluate(ds)
+                            for k, v in res.items():
+                                if isinstance(v, float):
+                                    epoch_metrics[f"{name}/{k}"] = v
+                    self.logger.epoch(epoch, epoch_metrics)
+        finally:
+            # always restore the signal handlers and flush the async
+            # checkpoint writer, even when training/eval raises mid-epoch
+            # (otherwise queued snapshots die with the daemon thread,
+            # possibly mid-orbax-write, and a stored worker error is
+            # never surfaced)
+            import signal as _sig
+            for sig, h in old_handlers.items():
+                _sig.signal(sig, h)
+            if saver is not None:
+                import sys as _sys
+                try:
+                    saver.close()   # flush pending writes
+                except Exception:
+                    if _sys.exc_info()[0] is None:
+                        raise       # no outer exception: surface it
+                    self.logger.write(
+                        "async checkpoint flush failed during error "
+                        "unwind (original exception propagates)")
         return state
 
     # ------------------------------------------------------------------

@@ -103,6 +103,34 @@ class TestPredictor:
         assert np.abs(pr_s - pr_d).max() < 0.05
         assert (pr_s.argmax(1) == pr_d.argmax(1)).all()
 
+    def test_act_calibration_rejected_on_non_fused_engines(self, setup):
+        """Static scales only exist in the fused engine: an explicit
+        plain/int8 engine with a calibration sample is a config error
+        (silently ignoring it would fake the +12-18% calibrated engine);
+        'auto' resolving to plain (CPU) downgrades to a warning."""
+        cfg, tok, i2a, params = setup
+        feats = np.zeros((1, 8, 16), np.float32)
+        cal = (["what color"], feats)
+        for engine in ("plain", "int8"):
+            with pytest.raises(ValueError, match="act_calibration"):
+                Predictor(cfg, params, tok, i2a, max_batch=2,
+                          engine=engine, act_calibration=cal)
+        if jax.default_backend() != "tpu":
+            with pytest.warns(UserWarning, match="act_calibration ignored"):
+                p = Predictor(cfg, params, tok, i2a, max_batch=2,
+                              engine="auto", act_calibration=cal)
+            assert p.engine == "plain"
+
+    def test_act_calibration_nonfinite_sample_rejected(self, setup):
+        """A NaN in the calibration sample must fail loudly at
+        construction, not bake NaN scales into every int8 site."""
+        cfg, tok, i2a, params = setup
+        feats = np.ones((1, 8, 16), np.float32)
+        feats[0, 0, 0] = np.nan
+        with pytest.raises(ValueError, match="non-finite"):
+            Predictor(cfg, params, tok, i2a, max_batch=2, engine="fused",
+                      act_calibration=(["what color"], feats))
+
     def test_over_batch_rejected(self, setup):
         cfg, tok, i2a, params = setup
         p = Predictor(cfg, params, tok, i2a, max_batch=2)

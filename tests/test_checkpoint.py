@@ -309,6 +309,54 @@ class TestAsyncCheckpointSaver:
         with pytest.raises(RuntimeError, match="async checkpoint"):
             saver.wait()
 
+    def test_queue_bounded_to_one_pending_snapshot(self, tmp_path):
+        """Each queued item holds a full on-device state copy, so the
+        queue must be bounded (an unbounded queue accumulates HBM without
+        limit whenever writes are slower than epochs — the exact regime
+        async saving targets). maxsize=1 == at most one writing + one
+        queued; back-to-back saves must still all land."""
+        cfg = _cfg()
+        state = self._state(cfg)
+        saver = ckpt.AsyncCheckpointSaver()
+        assert saver._q.maxsize == 1
+        for epoch in (1, 2, 3):
+            saver.save(state, str(tmp_path), "bounded", epoch=epoch)
+        saver.close()
+        for epoch in (1, 2, 3):
+            r = ckpt.restore_checkpoint(str(tmp_path), "bounded", epoch)
+            assert int(r["step"]) == int(state.step)
+
+    def test_flush_on_training_exception(self, tmp_path, monkeypatch):
+        """An exception AFTER a save is enqueued must still flush the
+        pending write (otherwise the daemon worker dies at interpreter
+        exit, possibly mid-orbax-write) and restore the signal handlers."""
+        import signal
+
+        from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+        from mcan_vqa_tpu.train.trainer import Trainer
+        cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                     img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                     flat_mlp_size=16, batch_size=8, max_epoch=1,
+                     num_workers=1, compute_dtype="float32", use_glove=False,
+                     verbose=False, eval_every_epoch=True, ckpt_async=True,
+                     ckpts_dir=str(tmp_path / "ckpts"),
+                     log_path=str(tmp_path / "log"),
+                     result_path=str(tmp_path / "res")).finalize()
+        ds = SyntheticVQADataset(cfg, size=16, token_size=40, answer_size=8,
+                                 run_mode="train")
+        tr = Trainer(cfg, train_dataset=ds, eval_datasets={"val": ds})
+        monkeypatch.setattr(
+            tr, "evaluate",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("eval boom")))
+        before = signal.getsignal(signal.SIGTERM)
+        with pytest.raises(RuntimeError, match="eval boom"):
+            tr.train()
+        assert signal.getsignal(signal.SIGTERM) is before
+        # the epoch-1 save enqueued before the eval raised is ON DISK
+        restored = ckpt.restore_checkpoint(str(tmp_path / "ckpts"),
+                                           cfg.version, 1)
+        assert int(restored["step"]) == 2    # 16 examples / batch 8
+
     def test_trainer_end_to_end(self, tmp_path):
         """Trainer with ckpt_async=True: every epoch checkpoint is on disk
         after train() returns, and the latest restores."""

@@ -47,12 +47,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def build_forward(name: str, raw_params, cfg, img_d, ques_d):
-    """-> (forward fn, prepared params) for one named config."""
+    """-> (forward fn, prepared params) for one named config. Every
+    named config goes through ops.serving.build_production_engine — the
+    SAME construction path the Predictor and bench.py use — so the A/B
+    orderings measured here are orderings of the shipped programs."""
     import jax
 
     import mcan_vqa_tpu.ops.serving as serving_mod
-    from mcan_vqa_tpu.ops.serving import (make_serving_fn, prepare_params,
-                                          prune_prepared_params)
+    from mcan_vqa_tpu.ops.serving import build_production_engine
 
     if "BENCH_QFFN_MAX_BATCH" in os.environ:
         serving_mod.QFFN_MAX_BATCH = int(
@@ -72,28 +74,17 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
     elif name == "qffn2":
         level = 2
     elif name == "qstatic":
-        level = 3  # matches Predictor(act_calibration=...): level 3 at
-        #            every width (B=1 A/B settled the D=512 choice)
+        level = None  # the builder's calibrated default (level 3 at
+        #               every width — the Predictor's act_calibration)
     elif name.startswith("qstatic"):
         level = int(name[len("qstatic"):])
     else:
         raise SystemExit(f"unknown config {name!r}")
 
-    params = prepare_params(raw_params, cfg.layer, num_heads=cfg.multi_head,
-                            alllayer=False, qffn=level)
-    try:
-        params = prune_prepared_params(params, cfg.layer)
-    except ValueError:
-        pass
-    act_scales = None
-    if name.startswith("qstatic"):
-        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
-        act_scales = calibrate_qffn_act_scales(
-            params, img_d, ques_d, cfg.layer, cfg.multi_head)
-    forward = make_serving_fn(
-        cfg.layer, cfg.multi_head, use_pallas=False,
-        bf16_stream=True, use_pallas_ffn=True, use_sga_megakernel=2,
-        qffn=bool(level), qffn_act_scales=act_scales)
+    forward, params = build_production_engine(
+        raw_params, cfg.layer, cfg.multi_head, qffn=level,
+        act_scale_inputs=(img_d, ques_d) if name.startswith("qstatic")
+        else None)
     # params live on device already (prepare_params runs jnp ops)
     return forward, jax.device_put(params)
 

@@ -176,27 +176,19 @@ def main() -> int:
 
     def build_engine(name):
         if name in ("fused", "qstatic"):
-            from mcan_vqa_tpu.ops.serving import (make_serving_fn,
-                                                  prepare_params)
-            # qstatic mirrors Predictor(act_calibration=...): int8 at
-            # every projection (level 3) at every width
-            qlevel = True if name != "qstatic" else 3
-            pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
-                                alllayer=False, qffn=qlevel)
-            scales = None
+            # the SAME construction path the Predictor/bench ship
+            # (ops.serving.build_production_engine); qstatic calibrates
+            # on a SEPARATE batch (different key) than the eval batch —
+            # the production situation, where calibration traffic is not
+            # the scored traffic
+            from mcan_vqa_tpu.ops.serving import build_production_engine
+            cal_inputs = None
             if name == "qstatic":
-                # calibrate on a SEPARATE batch (different key) than the
-                # eval batch — the production situation, where calibration
-                # traffic is not the scored traffic
-                from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
                 cal, _ = make_batch(jax.random.PRNGKey(555), args.batch)
-                scales = calibrate_qffn_act_scales(
-                    pp, cal["img"], cal["ques"], cfg.layer, cfg.multi_head)
-            serve = make_serving_fn(cfg.layer, cfg.multi_head,
-                                    use_pallas=False, use_pallas_ffn=True,
-                                    use_sga_megakernel=2, bf16_stream=True,
-                                    qffn=True, qffn_act_scales=scales,
-                                    interpret=not on_tpu)
+                cal_inputs = (cal["img"], cal["ques"])
+            serve, pp = build_production_engine(
+                params, cfg.layer, cfg.multi_head,
+                act_scale_inputs=cal_inputs, interpret=not on_tpu)
         elif name == "int8":
             from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                                 quantize_params)
