@@ -303,6 +303,54 @@ def prune_classifier_params(params: Dict[str, Any],
     return out
 
 
+def prepare_production_classifier_params(params: Dict[str, Any],
+                                         num_layers: int, *,
+                                         qffn=True) -> Dict[str, Any]:
+    """Classifier twin of ``prepare_production_params``."""
+    prepared = prepare_classifier_params(params, num_layers, qffn=qffn)
+    try:
+        prepared = prune_classifier_params(prepared, num_layers)
+    except ValueError:
+        pass  # outside the megakernel envelope: per-sub-op fallback
+    return prepared
+
+
+def build_production_classifier_engine(params: Dict[str, Any],
+                                       num_layers: int, num_heads: int, *,
+                                       qffn=None, act_scale_inputs=None,
+                                       interpret=None, **serving_kwargs):
+    """Classifier twin of ``build_production_engine`` — the ONE
+    construction path for the image-only SA-megakernel serving engine
+    (Trainer classifier eval, tools/bench_classifier_serve.py).
+    act_scale_inputs: optional img_feat array for static scales.
+    -> (forward, prepared_params)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if qffn is None:
+        qffn = 3 if act_scale_inputs is not None else True
+    prepared = prepare_production_classifier_params(params, num_layers,
+                                                    qffn=qffn)
+    act_scales = None
+    if act_scale_inputs is not None and qffn:
+        bb = prepared["backbone"]
+        if "_mk" not in bb["enc_0"]:
+            import warnings
+            warnings.warn(
+                "act_scale_inputs ignored: classifier dims are outside "
+                "the megakernel VMEM envelope (no int8 quant sites)")
+        else:
+            from mcan_vqa_tpu.ops.quant import (
+                calibrate_classifier_act_scales)
+            act_scales = calibrate_classifier_act_scales(
+                prepared, act_scale_inputs, num_layers, num_heads)
+    forward = make_classifier_serving_fn(num_layers, num_heads,
+                                         bf16_stream=True, qffn=bool(qffn),
+                                         qffn_act_scales=act_scales,
+                                         interpret=interpret,
+                                         **serving_kwargs)
+    return forward, prepared
+
+
 def make_classifier_serving_fn(num_layers: int, num_heads: int,
                                bf16_stream: bool = True,
                                use_sa_megakernel: bool = True,
@@ -443,6 +491,26 @@ def _cross_kv(p, q, num_heads):
     return split(kx), split(vx)
 
 
+def prepare_production_params(params: Dict[str, Any], num_layers: int,
+                              num_heads: int, *, qffn=True,
+                              alllayer: bool = False, sga_mode: int = 2,
+                              prune: bool = True) -> Dict[str, Any]:
+    """Param prep for the shipped serving program: megakernel layouts
+    attached, raw/duplicate projections pruned (mode-2 tree). The
+    engine-building half lives in ``build_production_engine``; this half
+    is separate because the Trainer re-prepares params per eval call
+    (mid-training weights move) while reusing one compiled engine."""
+    prepared = prepare_params(params, num_layers, num_heads=num_heads,
+                              alllayer=alllayer, qffn=qffn)
+    if prune and sga_mode == 2 and not alllayer:
+        try:
+            prepared = prune_prepared_params(prepared, num_layers)
+        except ValueError:
+            pass  # dims outside the megakernel VMEM envelope: the
+            #       forward's mode-0 fallback reads the raw entries
+    return prepared
+
+
 def build_production_engine(params: Dict[str, Any], num_layers: int,
                             num_heads: int, *, qffn=None,
                             act_scale_inputs=None, interpret=None,
@@ -474,14 +542,9 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
         interpret = jax.default_backend() != "tpu"
     if qffn is None:
         qffn = 3 if act_scale_inputs is not None else True
-    prepared = prepare_params(params, num_layers, num_heads=num_heads,
-                              alllayer=alllayer, qffn=qffn)
-    if prune and sga_mode == 2 and not alllayer:
-        try:
-            prepared = prune_prepared_params(prepared, num_layers)
-        except ValueError:
-            pass  # dims outside the megakernel VMEM envelope: the
-            #       forward's mode-0 fallback reads the raw entries
+    prepared = prepare_production_params(params, num_layers, num_heads,
+                                         qffn=qffn, alllayer=alllayer,
+                                         sga_mode=sga_mode, prune=prune)
     act_scales = None
     if act_scale_inputs is not None and qffn:
         if "_mk" not in prepared["backbone"]["enc_0"]:

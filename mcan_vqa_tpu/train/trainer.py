@@ -451,22 +451,22 @@ class Trainer:
             # engine runs per data shard under shard_map (params
             # replicated, batch sharded over "data").
             from mcan_vqa_tpu.ops.serving import (
-                make_classifier_serving_fn, make_serving_fn,
-                prepare_classifier_params, prepare_params)
+                build_production_classifier_engine, build_production_engine)
             if self._jit_eval is None:
                 on_tpu = jax.default_backend() == "tpu"
                 if self.image_only:
                     # classifier: SA-block megakernel twin of the engine
-                    serve = make_classifier_serving_fn(
-                        cfg.layer, cfg.multi_head, bf16_stream=True,
+                    serve, _ = build_production_classifier_engine(
+                        state.params, cfg.layer, cfg.multi_head,
                         interpret=not on_tpu)
                 else:
-                    serve = make_serving_fn(cfg.layer, cfg.multi_head,
-                                            use_pallas=False,
-                                            use_pallas_ffn=True,
-                                            use_sga_megakernel=2,
-                                            bf16_stream=True, qffn=True,
-                                            interpret=not on_tpu)
+                    # same construction path as the Predictor/bench
+                    # (the prepared tree it returns is discarded: params
+                    # are re-prepared per call below so mid-training
+                    # evals see the current weights)
+                    serve, _ = build_production_engine(
+                        state.params, cfg.layer, cfg.multi_head,
+                        interpret=not on_tpu)
                 # bf16_stream + int8-FFN megakernels (qffn) ship by
                 # default — accuracy-gated by tests/test_bf16_stream.py,
                 # test_quant.py::TestQffnAccuracy + the full-size oracle
@@ -496,28 +496,18 @@ class Trainer:
                         in_specs=(P(),) + (P("data"),) * n_in,
                         out_specs=P("data"), check_vma=False))
             if self.image_only:
-                from mcan_vqa_tpu.ops.serving import prune_classifier_params
-                eval_params = prepare_classifier_params(state.params,
-                                                        cfg.layer)
-                try:
-                    eval_params = prune_classifier_params(eval_params,
-                                                          cfg.layer)
-                except ValueError:
-                    pass  # outside the megakernel envelope
+                from mcan_vqa_tpu.ops.serving import (
+                    prepare_production_classifier_params)
+                eval_params = prepare_production_classifier_params(
+                    state.params, cfg.layer)
             else:
-                from mcan_vqa_tpu.ops.serving import prune_prepared_params
-                # pruned: the mode-2 engine reads only _mk/_qffn +
-                # cross linear_kv; dropping the rest halves the
-                # transient prepared-tree HBM per eval
-                eval_params = prepare_params(state.params, cfg.layer,
-                                             num_heads=cfg.multi_head,
-                                             alllayer=False, qffn=True)
-                try:
-                    eval_params = prune_prepared_params(eval_params,
-                                                        cfg.layer)
-                except ValueError:
-                    pass  # outside the megakernel envelope: mode-0
-                    #       fallback reads the raw entries
+                # pruned mode-2 tree (only _mk/_qffn + cross linear_kv
+                # per block): halves the transient prepared-tree HBM per
+                # eval; same prep the Predictor ships
+                from mcan_vqa_tpu.ops.serving import (
+                    prepare_production_params)
+                eval_params = prepare_production_params(
+                    state.params, cfg.layer, cfg.multi_head)
         elif self._jit_eval is None:
             self._jit_eval = shd.jit_eval_step(
                 make_eval_step(self.model, image_only=self.image_only),

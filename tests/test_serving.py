@@ -486,3 +486,65 @@ class TestSGAMegakernel:
                               group=3, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=3e-2, rtol=3e-2)
+
+
+class TestProductionBuilders:
+    """ops.serving.build_production_engine(+classifier twin) is the ONE
+    construction path shared by the Predictor, bench.py, the A/B tools
+    and the canary — these tests pin its semantics."""
+
+    def test_vqa_builder_matches_model(self):
+        from mcan_vqa_tpu.ops.serving import build_production_engine
+        cfg, model, params, img, ques = _setup()
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        for cal in (None, (img, ques)):
+            fwd, prepared = build_production_engine(
+                params, cfg.layer, cfg.multi_head, act_scale_inputs=cal,
+                interpret=True)
+            out = fwd(prepared, img, ques)
+            rel = float(jnp.max(jnp.abs(out - ref))
+                        / jnp.max(jnp.abs(ref)))
+            assert rel < 0.05, (cal is not None, rel)
+            assert (out.argmax(-1) == ref.argmax(-1)).all()
+            # production tree is pruned: only the megakernel layouts
+            # survive per block
+            assert set(prepared["backbone"]["enc_0"]) == {"_mk", "_qffn"}
+
+    def test_vqa_builder_calibrated_default_is_level3(self):
+        """qffn=None + a calibration batch implies int8 at every
+        projection (level 3: 4-/6-tuple scales with the proj sites)."""
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        from mcan_vqa_tpu.ops.serving import build_production_engine
+        cfg, model, params, img, ques = _setup()
+        _, prepared = build_production_engine(
+            params, cfg.layer, cfg.multi_head, act_scale_inputs=(img, ques),
+            interpret=True)
+        scales = calibrate_qffn_act_scales(prepared, img, ques,
+                                           cfg.layer, cfg.multi_head)
+        assert all(len(scales[f"enc_{i}"]) == 4 for i in range(cfg.layer))
+        assert all(len(scales[f"dec_{i}"]) == 6 for i in range(cfg.layer))
+
+    def test_classifier_builder_matches_model(self):
+        from mcan_vqa_tpu.models.net import ClassifierNet
+        from mcan_vqa_tpu.ops.serving import (
+            build_production_classifier_engine)
+        L, H = 2, 32
+        model = ClassifierNet(answer_size=9, hidden_size=H, num_layers=L,
+                              num_heads=4, ff_size=4 * H, img_feat_size=24,
+                              flat_mlp_size=16, flat_out_size=H)
+        img = np.random.default_rng(3).normal(size=(4, 10, 24)
+                                              ).astype(np.float32)
+        img[0, 7:] = 0.0
+        params = model.init({"params": jax.random.PRNGKey(1)},
+                            img)["params"]
+        ref = model.apply({"params": params}, img,
+                          deterministic=True)["logits"]
+        for cal in (None, img):
+            fwd, prepared = build_production_classifier_engine(
+                params, L, 4, act_scale_inputs=cal, interpret=True)
+            out = fwd(prepared, img)
+            pref = 1.0 / (1.0 + np.exp(-np.asarray(ref)))
+            pout = 1.0 / (1.0 + np.exp(-np.asarray(out)))
+            assert np.abs(pout - pref).max() < 0.03
+            assert set(prepared["backbone"]["enc_0"]) == {"_mk", "_qffn"}

@@ -50,8 +50,7 @@ def main() -> None:
         pass
 
     from mcan_vqa_tpu.models.net import ClassifierNet
-    from mcan_vqa_tpu.ops.serving import (make_classifier_serving_fn,
-                                          prepare_classifier_params)
+    from mcan_vqa_tpu.ops.serving import build_production_classifier_engine
 
     names = sys.argv[1:] or ["plain", "qffn"]
     B = int(os.environ.get("BENCH_BATCH", "64"))
@@ -75,6 +74,9 @@ def main() -> None:
                               img)["params"]
 
     def build(name):
+        """Every named config goes through
+        ops.serving.build_production_classifier_engine — the same
+        construction path the Trainer's classifier eval ships."""
         if name == "plain":
             fwd = lambda p, x: model.apply({"params": p}, x,
                                            deterministic=True)["logits"]
@@ -86,21 +88,14 @@ def main() -> None:
         elif name.startswith("qffn"):
             level = int(name[len("qffn"):])
         elif name == "qstatic":
-            level = 3  # matches the VQA calibrated default
+            level = None  # the builder's calibrated default (level 3)
         elif name.startswith("qstatic"):
             level = int(name[len("qstatic"):])
         else:
             raise SystemExit(f"unknown config {name!r}")
-        prepared = jax.jit(lambda p: prepare_classifier_params(
-            p, L, qffn=level))(raw)
-        act_scales = None
-        if name.startswith("qstatic"):
-            from mcan_vqa_tpu.ops.quant import calibrate_classifier_act_scales
-            act_scales = calibrate_classifier_act_scales(prepared, img, L, 8)
-        fwd = make_classifier_serving_fn(L, 8, bf16_stream=True,
-                                         qffn=bool(level),
-                                         qffn_act_scales=act_scales)
-        return fwd, prepared
+        return build_production_classifier_engine(
+            raw, L, 8, qffn=level,
+            act_scale_inputs=img if name.startswith("qstatic") else None)
 
     entries = []
     for name in names:
