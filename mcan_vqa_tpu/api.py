@@ -12,6 +12,8 @@ fixed-shape batching, and answer-string decoding.
 
 from __future__ import annotations
 
+import threading
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -29,7 +31,8 @@ class Predictor:
                  ix_to_ans: Optional[Dict[str, str]] = None,
                  max_batch: int = 64, engine: str = "auto",
                  latency_buckets: Optional[Sequence[int]] = None,
-                 mesh=None, act_calibration=None):
+                 mesh=None, act_calibration=None,
+                 auto_calibrate: int = 256):
         """max_batch: compiled batch shape; inputs are padded up to it
         (one compilation, any request size <= max_batch).
 
@@ -56,12 +59,36 @@ class Predictor:
         calibrates STATIC per-tensor activation scales for the int8
         quant sites (ops/quant.calibrate_qffn_act_scales) and bakes them
         into the engine — skips the per-row activation-max reductions,
-        measured +5% serving at MCAN-small same-session
-        (docs/PERFORMANCE.md). Accuracy is gated at the default path's
-        bar (tests/test_quant.py::TestStaticActScales); values beyond
-        the calibration max saturate gracefully, but the batch should
-        reflect production traffic. None (default) keeps dynamic
-        per-row quantization.
+        measured +13.9% serving at MCAN-small / +16% at MCAN-large
+        same-session (docs/PERFORMANCE.md). Accuracy is gated at the
+        default path's bar (tests/test_quant.py::TestStaticActScales);
+        values beyond the calibration max saturate gracefully, but the
+        batch should reflect production traffic. None (default) starts
+        on dynamic per-row quantization and self-calibrates from live
+        traffic (see auto_calibrate).
+
+        auto_calibrate: ONLINE calibration for the fused engine (the
+        production default — the static-scale engine is faster at every
+        width but needs representative activations, which offline
+        deployments rarely have on hand; live traffic IS the
+        representative sample). The predictor serves with dynamic
+        per-row quantization from the first request, buffers the first
+        ``auto_calibrate`` finite request samples on the host, then a
+        background thread calibrates static scales on them, builds the
+        calibrated (level-3) engine through the same
+        ``build_production_engine`` recipe, PRE-WARMS every latency
+        bucket (so live traffic never waits on the new engine's
+        compiles), and atomically swaps it in. Both engines are
+        accuracy-gated at the same bar (>=99.5% top-1 agreement,
+        |dAcc| <= 0.1pt, full-size torch-oracle bounds, on-chip canary —
+        docs/ACCURACY.md "Serving precision"). 0 disables; ignored when
+        act_calibration already supplies a sample or the engine is not
+        "fused". Non-finite request features are excluded from the
+        buffer; a calibration failure logs a warning and leaves the
+        dynamic engine serving. ``calibration`` reports progress;
+        ``wait_calibrated()`` blocks until the swap (tests/CI);
+        ``export_artifact`` after the swap freezes the calibrated
+        engine.
 
         mesh: optional pure-data-parallel ``jax.sharding.Mesh`` (every
         non-"data" axis size 1). Params are replicated, every request
@@ -93,7 +120,6 @@ class Predictor:
             # int8 quant sites — silently ignoring the sample would let a
             # deployer believe the calibrated (+12-18%) engine is active
             if requested_engine == "auto":
-                import warnings
                 warnings.warn(
                     f"act_calibration ignored: engine='auto' resolved to "
                     f"'{engine}' on this backend; calibration applies "
@@ -103,59 +129,11 @@ class Predictor:
                 raise ValueError(
                     f"act_calibration requires engine='fused' (or 'auto' "
                     f"on TPU), got engine='{engine}'")
-        if engine == "int8":
-            from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
-                                                quantize_params)
-            # On TPU, run the int8 SA/SGA block megakernels (weights
-            # VMEM-resident in int8): measured 14,250 pairs/s at
-            # MCAN-large vs 13,466 for the int8 XLA structure and 13,116
-            # for the bf16 megakernel (docs/PERFORMANCE.md). CPU keeps
-            # the XLA structure (interpret-mode kernels are test-only).
-            mk = jax.default_backend() == "tpu"
-            self.params = quantize_params(params, cfg.layer, megakernel=mk)
-            serve = make_quant_serving_fn(cfg.layer, cfg.multi_head,
-                                          megakernel=mk)
 
-            def forward(params, img, ques):
-                return jax.nn.sigmoid(
-                    serve(params, img, ques).astype(jnp.float32))
-        elif engine == "fused":
-            from mcan_vqa_tpu.ops.serving import build_production_engine
-            # ONE construction path, shared with bench.py and the
-            # A/B/canary tools: pruned mode-2 megakernel tree, bf16
-            # stream, dynamic int8-FFN (qffn) — or, with a calibration
-            # batch, static scales + int8 at every projection (level 3:
-            # decisive at D>=1024, batch-neutral at D=512, B=1 champion
-            # at both widths — docs/PERFORMANCE.md). Accuracy gated by
-            # tests/test_bf16_stream.py, test_quant.py (TestQffnAccuracy,
-            # TestStaticActScales) + the full-size torch-oracle bounds
-            # (test_full_size_parity.py), all zero top-1 flips.
-            act_inputs = None
-            if act_calibration is not None:
-                cal_q, cal_f = act_calibration
-                cques, cimg = self._prep_inputs(cal_q, cal_f)
-                act_inputs = (cimg, cques)
-            serve, self.params = build_production_engine(
-                params, cfg.layer, cfg.multi_head,
-                act_scale_inputs=act_inputs)
-
-            def forward(params, img, ques):
-                return jax.nn.sigmoid(
-                    serve(params, img, ques).astype(jnp.float32))
-        else:
-            model = build_mcan(cfg, token_size=len(token_to_ix),
-                               answer_size=len(ix_to_ans))
-            self.params = params
-
-            def forward(params, img, ques):
-                out = model.apply({"params": params}, img, ques,
-                                  deterministic=True)
-                return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
-
+        # mesh validation/shardings first: engine installs need them
         self.mesh = mesh
-        if mesh is None or mesh.devices.size == 1:
-            self._forward = jax.jit(forward)
-        else:
+        self._mesh_live = mesh is not None and mesh.devices.size > 1
+        if self._mesh_live:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
@@ -169,24 +147,253 @@ class Predictor:
             bad = [b for b in self._buckets if b % n]
             assert not bad, (f"every compiled bucket must divide over the "
                              f"{n}-device mesh: {bad}")
-            rep = NamedSharding(mesh, P())
-            dat = NamedSharding(mesh, P(DATA_AXIS))
-            self.params = jax.device_put(self.params, rep)
-            if self.engine == "plain":
-                # GSPMD partitions model.apply itself (batch sharded,
-                # params replicated — same scheme as the Trainer's eval).
-                self._forward = jax.jit(forward, in_shardings=(rep, dat, dat),
-                                        out_shardings=dat)
-            else:
-                # Pallas megakernels are single-device programs: run the
-                # engine per data shard (same wiring as Trainer.predict
-                # on dp>1 meshes, train/trainer.py).
-                from jax import shard_map
-                self._forward = jax.jit(shard_map(
-                    forward, mesh=mesh,
-                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-                    out_specs=P(DATA_AXIS), check_vma=False))
+            self._rep = NamedSharding(mesh, P())
+            self._dat = NamedSharding(mesh, P(DATA_AXIS))
 
+        if engine == "int8":
+            forward, prepared = self._build_int8(params)
+        elif engine == "fused":
+            act_inputs = None
+            if act_calibration is not None:
+                cal_q, cal_f = act_calibration
+                cques, cimg = self._prep_inputs(cal_q, cal_f)
+                act_inputs = (cimg, cques)
+            forward, prepared = self._build_fused(params, act_inputs)
+        else:
+            forward, prepared = self._build_plain(params)
+        self._install(forward, prepared)
+
+        # --- online calibration state -------------------------------
+        self._cal_error: Optional[BaseException] = None
+        self._cal_thread: Optional[threading.Thread] = None
+        self._cal_lock = threading.Lock()
+        self._cal_imgs: Optional[list] = []
+        self._cal_ques: Optional[list] = []
+        self._cal_n = 0
+        if engine == "fused" and act_calibration is None and auto_calibrate:
+            self._auto_cal = int(auto_calibrate)
+            self._raw_params = params          # needed for the rebuild
+            self._cal_state = "collecting"
+        else:
+            self._auto_cal = 0
+            self._raw_params = None
+            self._cal_state = ("calibrated" if act_calibration is not None
+                               else "off")
+
+    # ------------------------------------------------------------------
+    # engine construction (one path per engine; the fused path is ALSO
+    # the online-recalibration path, so it must stay a pure function of
+    # (raw params, calibration inputs))
+    def _build_int8(self, params):
+        from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
+                                            quantize_params)
+        # On TPU, run the int8 SA/SGA block megakernels (weights
+        # VMEM-resident in int8): measured 14,250 pairs/s at
+        # MCAN-large vs 13,466 for the int8 XLA structure and 13,116
+        # for the bf16 megakernel (docs/PERFORMANCE.md). CPU keeps
+        # the XLA structure (interpret-mode kernels are test-only).
+        mk = jax.default_backend() == "tpu"
+        prepared = quantize_params(params, self.cfg.layer, megakernel=mk)
+        serve = make_quant_serving_fn(self.cfg.layer, self.cfg.multi_head,
+                                      megakernel=mk)
+
+        def forward(params, img, ques):
+            return jax.nn.sigmoid(
+                serve(params, img, ques).astype(jnp.float32))
+
+        return forward, prepared
+
+    def _build_fused(self, params, act_inputs):
+        from mcan_vqa_tpu.ops.serving import build_production_engine
+        # ONE construction path, shared with bench.py and the
+        # A/B/canary tools: pruned mode-2 megakernel tree, bf16
+        # stream, dynamic int8-FFN (qffn) — or, with a calibration
+        # batch, static scales + int8 at every projection (level 3:
+        # decisive at D>=1024, batch-neutral at D=512, B=1 champion
+        # at both widths — docs/PERFORMANCE.md). Accuracy gated by
+        # tests/test_bf16_stream.py, test_quant.py (TestQffnAccuracy,
+        # TestStaticActScales) + the full-size torch-oracle bounds
+        # (test_full_size_parity.py), all zero top-1 flips.
+        serve, prepared = build_production_engine(
+            params, self.cfg.layer, self.cfg.multi_head,
+            act_scale_inputs=act_inputs)
+
+        def forward(params, img, ques):
+            return jax.nn.sigmoid(
+                serve(params, img, ques).astype(jnp.float32))
+
+        return forward, prepared
+
+    def _build_plain(self, params):
+        model = build_mcan(self.cfg, token_size=len(self.token_to_ix),
+                           answer_size=len(self.ix_to_ans))
+
+        def forward(params, img, ques):
+            out = model.apply({"params": params}, img, ques,
+                              deterministic=True)
+            return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+
+        return forward, params
+
+    def _wrap(self, forward, params):
+        """jit (+ mesh placement) -> (compiled_forward, placed_params)."""
+        if not self._mesh_live:
+            return jax.jit(forward), params
+        from jax.sharding import PartitionSpec as P
+
+        from mcan_vqa_tpu.parallel.mesh import DATA_AXIS
+        params = jax.device_put(params, self._rep)
+        if self.engine == "plain":
+            # GSPMD partitions model.apply itself (batch sharded,
+            # params replicated — same scheme as the Trainer's eval).
+            fwd = jax.jit(forward,
+                          in_shardings=(self._rep, self._dat, self._dat),
+                          out_shardings=self._dat)
+        else:
+            # Pallas megakernels are single-device programs: run the
+            # engine per data shard (same wiring as Trainer.predict
+            # on dp>1 meshes, train/trainer.py).
+            from jax import shard_map
+            fwd = jax.jit(shard_map(
+                forward, mesh=self.mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_vma=False))
+        return fwd, params
+
+    def _install(self, forward, params):
+        fwd, placed = self._wrap(forward, params)
+        self.params = placed
+        self._forward = fwd
+        # single atomic handle: predict reads forward+params together so
+        # an online-calibration swap can never pair the new engine with
+        # the old tree (or vice versa) under concurrent callers
+        self._live = (fwd, placed)
+
+    # ------------------------------------------------------------------
+    # online calibration
+    @property
+    def calibration(self) -> Dict[str, object]:
+        """Progress of the online static-scale calibration:
+        state in {"off", "collecting", "paused", "calibrating",
+        "calibrated", "failed"}, samples buffered so far, and the
+        trigger target."""
+        out = {"state": self._cal_state,
+               "samples": self._cal_n,
+               "target": self._auto_cal}
+        if self._cal_error is not None:
+            out["error"] = str(self._cal_error)
+        return out
+
+    def calibration_paused(self):
+        """Context manager suspending online-calibration sample
+        collection. For traffic that is not representative of
+        production — the serve CLI wraps its warmup forwards in this so
+        near-zero dummy batches never skew (or, all-zero, poison) the
+        static activation scales."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _pause():
+            with self._cal_lock:
+                resume = self._cal_state == "collecting"
+                if resume:
+                    self._cal_state = "paused"
+            try:
+                yield
+            finally:
+                if resume:
+                    with self._cal_lock:
+                        if self._cal_state == "paused":
+                            self._cal_state = "collecting"
+        return _pause()
+
+    def wait_calibrated(self, timeout: Optional[float] = None) -> bool:
+        """Block until a pending background calibration swap finishes
+        (True) or `timeout` seconds pass (False). Only meaningful once
+        enough samples have been buffered to start one."""
+        t = self._cal_thread
+        if t is not None:
+            t.join(timeout)
+            if t.is_alive():
+                return False
+        return self._cal_state in ("calibrated", "failed")
+
+    def calibrate_now(self) -> None:
+        """Force the online calibration swap from whatever samples are
+        buffered (>= 1 required), synchronously. For deployments whose
+        traffic won't reach ``auto_calibrate`` samples, and for
+        exporting a calibrated artifact right after warmup."""
+        with self._cal_lock:
+            if self._cal_state != "collecting":
+                raise RuntimeError(
+                    f"calibration is {self._cal_state!r}, not collecting")
+            if not self._cal_n:
+                raise RuntimeError("no calibration samples buffered yet")
+            img, ques = self._drain_buffer_locked()
+        self._recalibrate(img, ques, reraise=True)
+
+    def _drain_buffer_locked(self):
+        img = np.concatenate(self._cal_imgs)[:self._auto_cal]
+        ques = np.concatenate(self._cal_ques)[:self._auto_cal]
+        self._cal_imgs = self._cal_ques = None
+        self._cal_state = "calibrating"
+        return img, ques
+
+    def _collect_calibration(self, ques: np.ndarray, img: np.ndarray):
+        """Buffer the REAL (unpadded, finite) rows of a request; kick
+        off the background rebuild once the target is reached. A
+        non-finite feature row would bake NaN into every int8 site's
+        static scale (ops/quant._check_scales), so such samples are
+        excluded here rather than trusted to upstream validation."""
+        finite = np.isfinite(img).all(axis=tuple(range(1, img.ndim)))
+        if not finite.all():
+            ques, img = ques[finite], img[finite]
+        if not len(img):
+            return
+        with self._cal_lock:
+            if self._cal_state != "collecting":
+                return
+            self._cal_imgs.append(np.array(img))
+            self._cal_ques.append(np.array(ques))
+            self._cal_n += len(img)
+            if self._cal_n < self._auto_cal:
+                return
+            img_cal, ques_cal = self._drain_buffer_locked()
+        self._cal_thread = threading.Thread(
+            target=self._recalibrate, args=(img_cal, ques_cal),
+            name="predictor-calibration", daemon=True)
+        self._cal_thread.start()
+
+    def _recalibrate(self, img_cal: np.ndarray, ques_cal: np.ndarray,
+                     reraise: bool = False):
+        """Build the calibrated engine, pre-warm every compiled bucket,
+        then swap it live. Runs off the serving thread: traffic keeps
+        flowing through the dynamic-quant engine until the new one is
+        compiled and warm, so the swap adds zero request latency."""
+        try:
+            forward, prepared = self._build_fused(
+                self._raw_params, (img_cal, ques_cal))
+            fwd, placed = self._wrap(forward, prepared)
+            r = int(self.cfg.img_feat_pad_size)
+            f = int(self.cfg.img_feat_size)
+            t = int(self.cfg.max_token)
+            for b in self._buckets:
+                np.asarray(fwd(placed, np.zeros((b, r, f), np.float32),
+                               np.zeros((b, t), np.int32)))
+            self.params = placed
+            self._forward = fwd
+            self._live = (fwd, placed)
+            self._cal_state = "calibrated"
+            self._raw_params = None
+        except Exception as e:  # noqa: BLE001 — serving must survive
+            self._cal_error = e
+            self._cal_state = "failed"
+            if reraise:  # calibrate_now is synchronous: caller sees it
+                raise
+            warnings.warn(f"online calibration failed; serving stays on "
+                          f"the dynamic-quant engine: {e!r}")
+
+    # ------------------------------------------------------------------
     @property
     def img_feat_size(self) -> int:
         """Per-region feature width F a request row must have."""
@@ -211,7 +418,8 @@ class Predictor:
                         max_batch: int = 64,
                         engine: str = "auto",
                         latency_buckets: Optional[Sequence[int]] = None,
-                        mesh=None, act_calibration=None) -> "Predictor":
+                        mesh=None, act_calibration=None,
+                        auto_calibrate: int = 256) -> "Predictor":
         """path: a reference .pkl/.pt, or an orbax checkpoint directory."""
         from mcan_vqa_tpu.train import checkpoint as ckpt_mod
 
@@ -224,7 +432,8 @@ class Predictor:
             params = restored["params"] if "params" in restored else restored
         return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine,
                    latency_buckets=latency_buckets, mesh=mesh,
-                   act_calibration=act_calibration)
+                   act_calibration=act_calibration,
+                   auto_calibrate=auto_calibrate)
 
     # ------------------------------------------------------------------
     def predict_probs(self, questions: Sequence[str],
@@ -248,7 +457,10 @@ class Predictor:
         assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
 
+        fwd, params = self._live
         ques, img = self._prep_inputs(questions, image_features)
+        if self._cal_state == "collecting":
+            self._collect_calibration(ques, img)
 
         target = next(b for b in self._buckets if b >= n)
         if n < target:
@@ -257,14 +469,17 @@ class Predictor:
                                                 np.float32)])
             ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
                                                   np.int32)])
-        return self._forward(self.params, img, ques), n
+        return fwd(params, img, ques), n
 
     def export_artifact(self, path: str,
                         platforms: Optional[Sequence[str]] = None) -> None:
         """Freeze this predictor to an AOT serving artifact directory
         (StableHLO via jax.export + params + vocab; see
         mcan_vqa_tpu.artifact). Load with artifact.load_artifact(path) —
-        no model code or flax needed on the serving host."""
+        no model code or flax needed on the serving host. The CURRENT
+        engine is what freezes: export after the online calibration swap
+        (``wait_calibrated()`` / ``calibrate_now()``) to ship the
+        calibrated engine."""
         from mcan_vqa_tpu.artifact import save_artifact
         save_artifact(self, path, platforms=platforms)
 

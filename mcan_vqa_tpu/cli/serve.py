@@ -43,6 +43,14 @@ activation scales into the fused engine (``Predictor(act_calibration=
 (docs/PERFORMANCE.md "static calibrated activation scales"). Not
 applicable to ``--artifact`` (already frozen).
 
+Without an offline sample, the fused engine self-calibrates from live
+traffic by default (``--auto_calibrate N``, default 256; 0 disables):
+the first N finite request samples are buffered, a background thread
+bakes static scales + the level-3 int8 engine, pre-warms every latency
+bucket, and swaps it in — zero added request latency, same accuracy
+gates. ``/stats`` reports the calibration state. Warmup forwards are
+excluded from the buffer (they are not representative traffic).
+
 Example::
 
     python -m mcan_vqa_tpu.cli.serve --synthetic --port 8080
@@ -175,6 +183,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "img_feat_size": getattr(
                     self.predictor, "img_feat_size", None),
                 "engine": getattr(self.predictor, "engine", "artifact"),
+                "calibration": getattr(self.predictor, "calibration",
+                                       {"state": "off"}),
             })
         else:
             self._send_json(404, {"error": f"no route {self.path}"})
@@ -345,7 +355,8 @@ def build_predictor(args):
                             img, ques)["params"]
         return Predictor(cfg, params, tok, None, max_batch=args.max_batch,
                          engine=args.engine, latency_buckets=buckets,
-                         act_calibration=cal)
+                         act_calibration=cal,
+                         auto_calibrate=args.auto_calibrate)
 
     if not args.ckpt_path:
         raise SystemExit("one of --artifact / --ckpt_path / --synthetic "
@@ -357,7 +368,7 @@ def build_predictor(args):
     return Predictor.from_checkpoint(
         args.ckpt_path, cfg, token_to_ix, max_batch=args.max_batch,
         engine=args.engine, latency_buckets=buckets,
-        act_calibration=cal)
+        act_calibration=cal, auto_calibrate=args.auto_calibrate)
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -377,6 +388,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "scales into the fused engine (+8-16% measured; "
                         "docs/PERFORMANCE.md). Fused/auto engines only; "
                         "not applicable to --artifact")
+    p.add_argument("--auto_calibrate", type=int, default=256,
+                   help="without --calibrate, self-calibrate the fused "
+                        "engine's static int8 scales from the first N "
+                        "finite live request samples (background build + "
+                        "bucket pre-warm, then an atomic swap; "
+                        "+14-16%% measured, docs/PERFORMANCE.md). "
+                        "0 disables; ignored for --artifact")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=64)
@@ -422,12 +440,17 @@ def warmup(predictor) -> None:
     feat = np.zeros((R, F), np.float32)
     feat[0, 0] = 1.0
     buckets = getattr(predictor, "_buckets", None) or (1,)
-    for b in buckets:
-        t0 = time.perf_counter()
-        predictor.predict_probs(["warmup"] * int(b),
-                                [feat] * int(b))
-        print(f"warmup: bucket {b} compiled+ran in "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+    # warmup batches are near-zero dummies, not representative traffic:
+    # keep them out of the online-calibration buffer
+    import contextlib
+    pause = getattr(predictor, "calibration_paused", None)
+    with (pause() if pause is not None else contextlib.nullcontext()):
+        for b in buckets:
+            t0 = time.perf_counter()
+            predictor.predict_probs(["warmup"] * int(b),
+                                    [feat] * int(b))
+            print(f"warmup: bucket {b} compiled+ran in "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
 def main(argv=None) -> None:

@@ -317,3 +317,129 @@ def test_latency_bucket_equal_to_max_batch_is_tolerated():
     with pytest.raises(AssertionError):
         Predictor(cfg, params, tok, {"0": "0"}, max_batch=8,
                   engine="plain", latency_buckets=(16,))
+
+
+class TestAutoCalibration:
+    """Online static-scale calibration (Predictor(auto_calibrate=N)):
+    the fused engine serves dynamic-quant from request one, buffers the
+    first N finite request samples, calibrates in the background, and
+    swaps in the level-3 static-scale engine (the production default —
+    docs/PERFORMANCE.md measured it +13.9%/+16% over dynamic quant)."""
+
+    def _qs_feats(self, n, seed=11):
+        rng = np.random.default_rng(seed)
+        feats = rng.normal(size=(n, 8, 16)).astype(np.float32)
+        qs = (["what color is the cat", "is the dog red",
+               "what is blue", "is the cat 2"] * ((n + 3) // 4))[:n]
+        return qs, feats
+
+    def test_swap_matches_explicit_calibration(self, setup):
+        """After N served samples the auto-calibrated predictor must be
+        running EXACTLY the engine an explicit act_calibration on those
+        same samples builds (same scales, same level — same program)."""
+        cfg, tok, i2a, params = setup
+        qs, feats = self._qs_feats(4)
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      auto_calibrate=4)
+        assert p.calibration["state"] == "collecting"
+        p.predict_probs(qs[:2], feats[:2])
+        assert p.calibration == {"state": "collecting", "samples": 2,
+                                 "target": 4}
+        p.predict_probs(qs[2:], feats[2:])
+        assert p.wait_calibrated(timeout=300.0)
+        assert p.calibration["state"] == "calibrated"
+
+        ref = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                        act_calibration=(qs, feats))
+        check_qs, check_feats = self._qs_feats(3, seed=12)
+        got = p.predict_probs(check_qs, check_feats)
+        want = ref.predict_probs(check_qs, check_feats)
+        np.testing.assert_array_equal(got, want)
+
+    def test_pre_swap_serves_dynamic_engine(self, setup):
+        """Until the buffer fills, requests run the dynamic-quant engine
+        bit-for-bit (auto-calibration must not perturb cold traffic)."""
+        cfg, tok, i2a, params = setup
+        qs, feats = self._qs_feats(2)
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      auto_calibrate=100)
+        dyn = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                        auto_calibrate=0)
+        np.testing.assert_array_equal(p.predict_probs(qs, feats),
+                                      dyn.predict_probs(qs, feats))
+        assert p.calibration["state"] == "collecting"
+        assert dyn.calibration["state"] == "off"
+
+    def test_non_finite_samples_excluded(self, setup):
+        """A NaN/Inf request must not enter the calibration buffer (it
+        would bake NaN scales into every int8 site); finite traffic
+        still fills the buffer and the swap succeeds."""
+        cfg, tok, i2a, params = setup
+        qs, feats = self._qs_feats(2)
+        bad = feats.copy()
+        bad[0, 0, 0] = np.inf
+        bad[1, 2, 3] = np.nan
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      auto_calibrate=2)
+        p.predict_probs(qs, bad)  # serves fine, buffers nothing
+        assert p.calibration["samples"] == 0
+        p.predict_probs(qs, feats)
+        assert p.wait_calibrated(timeout=300.0)
+        assert p.calibration["state"] == "calibrated"
+
+    def test_calibration_failure_keeps_serving(self, setup):
+        """A calibration failure must leave the dynamic engine serving
+        (warn + state='failed'), never take the predictor down."""
+        cfg, tok, i2a, params = setup
+        qs, feats = self._qs_feats(2)
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      auto_calibrate=50)
+        before = p.predict_probs(qs, feats)
+
+        def boom(params, act_inputs):
+            raise RuntimeError("synthetic calibration failure")
+
+        p._build_fused = boom
+        # calibrate_now is synchronous: surface the error to the caller
+        with pytest.raises(RuntimeError, match="synthetic"):
+            p.calibrate_now()
+        assert p.calibration["state"] == "failed"
+        assert "synthetic" in p.calibration["error"]
+        np.testing.assert_array_equal(p.predict_probs(qs, feats), before)
+
+    def test_calibrate_now_forces_early_swap(self, setup):
+        """calibrate_now() swaps synchronously from a partial buffer —
+        for low-traffic deployments and pre-export freezing."""
+        cfg, tok, i2a, params = setup
+        qs, feats = self._qs_feats(3)
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      auto_calibrate=1000)
+        with pytest.raises(RuntimeError, match="no calibration samples"):
+            p.calibrate_now()
+        p.predict_probs(qs, feats)
+        p.calibrate_now()
+        assert p.calibration["state"] == "calibrated"
+        ref = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                        act_calibration=(qs, feats))
+        np.testing.assert_array_equal(p.predict_probs(qs, feats),
+                                      ref.predict_probs(qs, feats))
+        with pytest.raises(RuntimeError, match="calibrated"):
+            p.calibrate_now()
+
+    def test_auto_calibrate_on_mesh(self, setup):
+        """The online swap re-places the calibrated tree on the serving
+        mesh; post-swap results match the single-device calibrated
+        predictor."""
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        qs, feats = self._qs_feats(8)
+        mesh = make_mesh({"data": 8, "model": 1})
+        pm = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       mesh=mesh, auto_calibrate=8)
+        pm.predict_probs(qs, feats)
+        assert pm.wait_calibrated(timeout=600.0)
+        assert pm.calibration["state"] == "calibrated"
+        p1 = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       act_calibration=(qs, feats))
+        np.testing.assert_allclose(pm.predict_probs(qs, feats),
+                                   p1.predict_probs(qs, feats), atol=2e-2)

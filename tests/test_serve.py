@@ -74,6 +74,8 @@ class TestRoutes:
         assert status == 200
         assert out["max_batch"] == predictor.max_batch
         assert out["img_feat_size"] == 16
+        # plain engine (CPU 'auto'): online calibration is off
+        assert out["calibration"]["state"] == "off"
 
 
 class TestAnswer:
@@ -381,3 +383,80 @@ class TestCLI:
         serve_mod.warmup(p)           # compiles both buckets, no raise
         probs = p.predict_probs(["cat"], [np.ones((8, 16), np.float32)])
         assert probs.shape[0] == 1
+
+
+class TestAutoCalibrationServing:
+    """Online calibration through the full HTTP stack: warmup traffic is
+    excluded from the buffer, live requests fill it, the engine swaps in
+    the background, and requests keep answering across the swap."""
+
+    def _fused_predictor(self, auto_calibrate):
+        cfg = Config(hidden_size=32, layer=1, multi_head=4,
+                     img_feat_size=16, img_feat_pad_size=8, max_token=6,
+                     flat_out_size=32, flat_mlp_size=16,
+                     compute_dtype="float32", use_glove=False).finalize()
+        tok, _ = text_mod.build_vocab(
+            ["what color is the cat dog red blue"])
+        i2a = {str(i): a for i, a in
+               enumerate(["yes", "no", "red", "blue", "2"])}
+        model = build_mcan(cfg, token_size=len(tok), answer_size=5)
+        img = np.zeros((1, 8, 16), np.float32)
+        ques = np.zeros((1, 6), np.int32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, img,
+                            ques)["params"]
+        return Predictor(cfg, params, tok, i2a, max_batch=4,
+                         engine="fused", auto_calibrate=auto_calibrate)
+
+    def test_warmup_excluded_then_live_traffic_swaps(self):
+        p = self._fused_predictor(auto_calibrate=3)
+        serve_mod.warmup(p)
+        # warmup forwards (near-zero dummies) must not enter the buffer
+        assert p.calibration == {"state": "collecting", "samples": 0,
+                                 "target": 3}
+
+        srv, frontend = serve_mod.make_server(p, port=0, max_wait_ms=5.0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            addr = srv.server_address[:2]
+            rng = np.random.default_rng(7)
+            answers = []
+            for i in range(5):
+                feat = rng.normal(size=(6, 16)).astype(np.float32)
+                status, out = _request(addr, "POST", "/v1/answer", {
+                    "question": "what color is the cat",
+                    "image_feature": feat.tolist()})
+                assert status == 200, out
+                answers.append(out["answer"])
+                if i == 2:  # buffer full after the 3rd live request
+                    assert p.wait_calibrated(timeout=300.0)
+                    assert p.calibration["state"] == "calibrated"
+            assert all(a in ("yes", "no", "red", "blue", "2")
+                       for a in answers)
+            _, stats = _request(addr, "GET", "/stats")
+            assert stats["calibration"]["state"] == "calibrated"
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            frontend.close()
+            t.join(timeout=10)
+
+    def test_auto_calibrate_flag_plumbed(self):
+        args = serve_mod.parse_args(
+            ["--synthetic", "--engine", "fused", "--max_batch", "2",
+             "--latency_buckets", "", "--auto_calibrate", "7",
+             "--hidden_size", "32", "--layer", "1", "--multi_head", "4",
+             "--img_feat_size", "16", "--img_feat_pad_size", "8",
+             "--max_token", "6", "--flat_out_size", "32",
+             "--flat_mlp_size", "16", "--compute_dtype", "float32"])
+        p = serve_mod.build_predictor(args)
+        assert p.calibration == {"state": "collecting", "samples": 0,
+                                 "target": 7}
+        off = serve_mod.build_predictor(serve_mod.parse_args(
+            ["--synthetic", "--engine", "fused", "--max_batch", "2",
+             "--latency_buckets", "", "--auto_calibrate", "0",
+             "--hidden_size", "32", "--layer", "1", "--multi_head", "4",
+             "--img_feat_size", "16", "--img_feat_pad_size", "8",
+             "--max_token", "6", "--flat_out_size", "32",
+             "--flat_mlp_size", "16", "--compute_dtype", "float32"]))
+        assert off.calibration["state"] == "off"
