@@ -113,14 +113,19 @@ def main() -> None:
         # restores the all-bf16 megakernels.
         # BENCH_QFFN=2 additionally quantizes the self-attention qkv
         # projections (experimental; measured in docs/PERFORMANCE.md).
-        # BENCH_QSTATIC=1 defaults qffn to level 3 (every projection
-        # int8), mirroring Predictor(act_calibration=...): static scales
-        # remove the per-row quant overhead that made those projections
-        # a loss (same-run A/Bs in docs/PERFORMANCE.md: decisive at
-        # large 19,762 vs 18,126, batch-neutral at small 47,586 vs
-        # 47,878, B=1 champion at both widths — 0.0969 ms at small).
-        # Explicit BENCH_QFFN still overrides.
-        qstatic = os.environ.get("BENCH_QSTATIC", "0") == "1"
+        # BENCH_QSTATIC (DEFAULT 1 since r4): qffn level 3 (every
+        # projection int8) with static activation scales self-calibrated
+        # on the bench's own on-device input distribution — the same
+        # engine Predictor.from_checkpoint ships by default now that the
+        # Trainer stores calibration scales next to the final checkpoint
+        # (train/checkpoint.save_act_scales). Measured champion at every
+        # width/batch (same-run A/Bs in docs/PERFORMANCE.md: small B=64
+        # 47,861 vs 42,005 dynamic, large 19,762 vs 17,027, B=1 0.097 ms
+        # vs 0.122). Accuracy gated at the default path's bar
+        # (tests/test_quant.py::TestStaticActScales + the on-chip
+        # canary). BENCH_QSTATIC=0 restores the dynamic-quant engine;
+        # explicit BENCH_QFFN still overrides the level.
+        qstatic = os.environ.get("BENCH_QSTATIC", "1") == "1"
         auto_level = "3" if qstatic else "1"
         use_qffn = int(os.environ.get("BENCH_QFFN", auto_level))
         # alllayer only for the mode-3/4/5 experiments: the shipped config
@@ -175,17 +180,24 @@ def main() -> None:
     float(bench_loop(params, img_d, ques_d, 1))
     float(bench_loop(params, img_d, ques_d, n_iters + 1))
 
-    t0 = time.perf_counter()
-    float(bench_loop(params, img_d, ques_d, 1))
-    overhead = time.perf_counter() - t0
+    # median-of-K timed scans of the ALREADY-COMPILED program in one
+    # process (BENCH_REPEATS, default 7): the builder measured a ±12%
+    # cross-process variance band on single shots (docs/STATUS_r3.md
+    # session 7); the median makes the driver-recorded round-over-round
+    # trend reflect engineering, not relay noise. The 1-iteration
+    # dispatch+fetch overhead is measured the same way and subtracted.
+    repeats = max(int(os.environ.get("BENCH_REPEATS", "7")), 1)
 
-    best = float("inf")
-    for _ in range(3):
+    def timed(n):
         t0 = time.perf_counter()
-        float(bench_loop(params, img_d, ques_d, n_iters + 1))
-        best = min(best, time.perf_counter() - t0)
+        float(bench_loop(params, img_d, ques_d, n))
+        return time.perf_counter() - t0
 
-    per_iter = max((best - overhead) / n_iters, 1e-9)
+    overhead = float(np.median([timed(1) for _ in range(repeats)]))
+    runs = sorted(timed(n_iters + 1) for _ in range(repeats))
+    med = float(np.median(runs))
+
+    per_iter = max((med - overhead) / n_iters, 1e-9)
     qps = B / per_iter
 
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

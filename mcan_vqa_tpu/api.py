@@ -31,7 +31,7 @@ class Predictor:
                  ix_to_ans: Optional[Dict[str, str]] = None,
                  max_batch: int = 64, engine: str = "auto",
                  latency_buckets: Optional[Sequence[int]] = None,
-                 mesh=None, act_calibration=None,
+                 mesh=None, act_calibration=None, act_scales=None,
                  auto_calibrate: int = 256):
         """max_batch: compiled batch shape; inputs are padded up to it
         (one compilation, any request size <= max_batch).
@@ -66,6 +66,15 @@ class Predictor:
         batch should reflect production traffic. None (default) starts
         on dynamic per-row quantization and self-calibrates from live
         traffic (see auto_calibrate).
+
+        act_scales: optional PRECOMPUTED static activation scales
+        ({"enc_i"/"dec_i": (aqkv, a1, a2)} python floats — what the
+        Trainer's end-of-train calibration stores next to the final
+        checkpoint, train/checkpoint.save_act_scales). Builds the
+        calibrated level-3 engine directly, no calibration replay.
+        ``from_checkpoint`` auto-loads the side file when present, so
+        deployments of a trained checkpoint get the calibrated engine
+        by default. Mutually exclusive with act_calibration.
 
         auto_calibrate: ONLINE calibration for the fused engine (the
         production default — the static-scale engine is faster at every
@@ -111,23 +120,34 @@ class Predictor:
         self._buckets = tuple(b for b in buckets if b < max_batch) \
             + (max_batch,)
 
+        if auto_calibrate < 0:
+            # a negative target passes the truthiness check and
+            # `_cal_n < negative` is immediately false — the first
+            # request would trigger a calibration from only its own rows
+            raise ValueError(
+                f"auto_calibrate must be >= 0, got {auto_calibrate}")
+        assert act_calibration is None or act_scales is None, \
+            "pass a calibration batch OR precomputed scales, not both"
         requested_engine = engine
         if engine == "auto":
             engine = "fused" if jax.default_backend() == "tpu" else "plain"
         self.engine = engine
-        if act_calibration is not None and engine != "fused":
+        if (act_calibration is not None or act_scales is not None) \
+                and engine != "fused":
             # static activation scales only exist in the fused engine's
             # int8 quant sites — silently ignoring the sample would let a
             # deployer believe the calibrated (+12-18%) engine is active
+            what = ("act_calibration" if act_calibration is not None
+                    else "act_scales")
             if requested_engine == "auto":
                 warnings.warn(
-                    f"act_calibration ignored: engine='auto' resolved to "
+                    f"{what} ignored: engine='auto' resolved to "
                     f"'{engine}' on this backend; calibration applies "
                     f"only to the fused engine")
-                act_calibration = None
+                act_calibration = act_scales = None
             else:
                 raise ValueError(
-                    f"act_calibration requires engine='fused' (or 'auto' "
+                    f"{what} requires engine='fused' (or 'auto' "
                     f"on TPU), got engine='{engine}'")
 
         # mesh validation/shardings first: engine installs need them
@@ -158,7 +178,8 @@ class Predictor:
                 cal_q, cal_f = act_calibration
                 cques, cimg = self._prep_inputs(cal_q, cal_f)
                 act_inputs = (cimg, cques)
-            forward, prepared = self._build_fused(params, act_inputs)
+            forward, prepared = self._build_fused(params, act_inputs,
+                                                  act_scales=act_scales)
         else:
             forward, prepared = self._build_plain(params)
         self._install(forward, prepared)
@@ -170,15 +191,16 @@ class Predictor:
         self._cal_imgs: Optional[list] = []
         self._cal_ques: Optional[list] = []
         self._cal_n = 0
-        if engine == "fused" and act_calibration is None and auto_calibrate:
+        pre_calibrated = (act_calibration is not None
+                          or act_scales is not None)
+        if engine == "fused" and not pre_calibrated and auto_calibrate:
             self._auto_cal = int(auto_calibrate)
             self._raw_params = params          # needed for the rebuild
             self._cal_state = "collecting"
         else:
             self._auto_cal = 0
             self._raw_params = None
-            self._cal_state = ("calibrated" if act_calibration is not None
-                               else "off")
+            self._cal_state = "calibrated" if pre_calibrated else "off"
 
     # ------------------------------------------------------------------
     # engine construction (one path per engine; the fused path is ALSO
@@ -203,12 +225,13 @@ class Predictor:
 
         return forward, prepared
 
-    def _build_fused(self, params, act_inputs):
+    def _build_fused(self, params, act_inputs, act_scales=None):
         from mcan_vqa_tpu.ops.serving import build_production_engine
         # ONE construction path, shared with bench.py and the
         # A/B/canary tools: pruned mode-2 megakernel tree, bf16
         # stream, dynamic int8-FFN (qffn) — or, with a calibration
-        # batch, static scales + int8 at every projection (level 3:
+        # batch or precomputed scales, static scales + int8 at every
+        # projection (level 3:
         # decisive at D>=1024, batch-neutral at D=512, B=1 champion
         # at both widths — docs/PERFORMANCE.md). Accuracy gated by
         # tests/test_bf16_stream.py, test_quant.py (TestQffnAccuracy,
@@ -216,7 +239,7 @@ class Predictor:
         # (test_full_size_parity.py), all zero top-1 flips.
         serve, prepared = build_production_engine(
             params, self.cfg.layer, self.cfg.multi_head,
-            act_scale_inputs=act_inputs)
+            act_scale_inputs=act_inputs, act_scales=act_scales)
 
         def forward(params, img, ques):
             return jax.nn.sigmoid(
@@ -359,9 +382,13 @@ class Predictor:
             if self._cal_n < self._auto_cal:
                 return
             img_cal, ques_cal = self._drain_buffer_locked()
-        self._cal_thread = threading.Thread(
-            target=self._recalibrate, args=(img_cal, ques_cal),
-            name="predictor-calibration", daemon=True)
+            # assigned under the SAME lock as the 'calibrating' state
+            # flip: a concurrent wait_calibrated must never observe
+            # state='calibrating' with _cal_thread still None (it would
+            # return immediately instead of blocking on the swap)
+            self._cal_thread = threading.Thread(
+                target=self._recalibrate, args=(img_cal, ques_cal),
+                name="predictor-calibration", daemon=True)
         self._cal_thread.start()
 
     def _recalibrate(self, img_cal: np.ndarray, ques_cal: np.ndarray,
@@ -384,14 +411,26 @@ class Predictor:
             self._forward = fwd
             self._live = (fwd, placed)
             self._cal_state = "calibrated"
+            self._cal_error = None   # a retried-then-successful run
             self._raw_params = None
         except Exception as e:  # noqa: BLE001 — serving must survive
-            self._cal_error = e
-            self._cal_state = "failed"
+            # NOT terminal: the drained samples go back in the buffer and
+            # the state returns to 'collecting' so a later calibrate_now
+            # (or more traffic) can retry. The auto-trigger target doubles
+            # each failure — a persistent fault backs off instead of
+            # re-failing on every request that crosses the threshold.
+            with self._cal_lock:
+                self._cal_error = e
+                self._cal_imgs = [img_cal]
+                self._cal_ques = [ques_cal]
+                self._cal_n = len(img_cal)
+                self._auto_cal = max(self._auto_cal * 2, self._cal_n + 1)
+                self._cal_state = "collecting"
             if reraise:  # calibrate_now is synchronous: caller sees it
                 raise
             warnings.warn(f"online calibration failed; serving stays on "
-                          f"the dynamic-quant engine: {e!r}")
+                          f"the dynamic-quant engine (will retry at "
+                          f"{self._auto_cal} samples): {e!r}")
 
     # ------------------------------------------------------------------
     @property
@@ -419,8 +458,16 @@ class Predictor:
                         engine: str = "auto",
                         latency_buckets: Optional[Sequence[int]] = None,
                         mesh=None, act_calibration=None,
+                        act_scales=None,
                         auto_calibrate: int = 256) -> "Predictor":
-        """path: a reference .pkl/.pt, or an orbax checkpoint directory."""
+        """path: a reference .pkl/.pt, or an orbax checkpoint directory.
+
+        act_scales: None (default) AUTO-LOADS the static activation
+        scales the Trainer calibrated at end-of-train and stored next to
+        the orbax checkpoint (``<path>.act_scales.json`` —
+        checkpoint.save_act_scales), shipping the calibrated level-3
+        engine with zero ritual; False disables the auto-load; a dict is
+        used as-is."""
         from mcan_vqa_tpu.train import checkpoint as ckpt_mod
 
         if path.endswith((".pkl", ".pt", ".pth")):
@@ -430,9 +477,15 @@ class Predictor:
             with ocp.PyTreeCheckpointer() as ckptr:
                 restored = ckptr.restore(path)
             params = restored["params"] if "params" in restored else restored
+            if act_scales is None and act_calibration is None:
+                on_tpu = jax.default_backend() == "tpu"
+                if engine == "fused" or (engine == "auto" and on_tpu):
+                    act_scales = ckpt_mod.load_act_scales(path)
+        if act_scales is False:
+            act_scales = None
         return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine,
                    latency_buckets=latency_buckets, mesh=mesh,
-                   act_calibration=act_calibration,
+                   act_calibration=act_calibration, act_scales=act_scales,
                    auto_calibrate=auto_calibrate)
 
     # ------------------------------------------------------------------

@@ -95,12 +95,18 @@ def save_artifact(predictor, path: str,
         disabled = (jax_export.DisabledSafetyCheck.custom_call(
             "tpu_custom_call"),)
 
-    leaves, treedef = jax.tree_util.tree_flatten(predictor.params)
+    # snapshot the atomic (forward, params) pair ONCE: an online
+    # calibration swap mid-export must not pair the old tree's leaf
+    # specs with the new engine's different prepared tree (extra
+    # static-scale leaves) — that traces garbage or tears a
+    # multi-bucket artifact across two engines
+    fwd, params = predictor._live
+    leaves, treedef = jax.tree_util.tree_flatten(params)
     leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
 
     def forward(flat_params, img, ques):
         params = jax.tree_util.tree_unflatten(treedef, flat_params)
-        return predictor._forward(params, img, ques)
+        return fwd(params, img, ques)
 
     cfg = predictor.cfg
     os.makedirs(path, exist_ok=True)

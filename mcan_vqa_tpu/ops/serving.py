@@ -318,31 +318,43 @@ def prepare_production_classifier_params(params: Dict[str, Any],
 def build_production_classifier_engine(params: Dict[str, Any],
                                        num_layers: int, num_heads: int, *,
                                        qffn=None, act_scale_inputs=None,
+                                       act_scales=None,
                                        interpret=None, **serving_kwargs):
     """Classifier twin of ``build_production_engine`` — the ONE
     construction path for the image-only SA-megakernel serving engine
     (Trainer classifier eval, tools/bench_classifier_serve.py).
     act_scale_inputs: optional img_feat array for static scales.
-    -> (forward, prepared_params)."""
+    act_scales: optional PRECOMPUTED scales ({"enc_i": (aqkv, a1, a2)}
+    python floats — calibrate_classifier_act_scales output / the
+    Trainer's checkpoint side file); mutually exclusive with
+    act_scale_inputs. -> (forward, prepared_params)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert act_scale_inputs is None or act_scales is None, \
+        "pass a calibration batch OR precomputed scales, not both"
     if qffn is None:
-        qffn = 3 if act_scale_inputs is not None else True
+        qffn = 3 if (act_scale_inputs is not None
+                     or act_scales is not None) else True
     prepared = prepare_production_classifier_params(params, num_layers,
                                                     qffn=qffn)
-    act_scales = None
-    if act_scale_inputs is not None and qffn:
-        bb = prepared["backbone"]
-        if "_mk" not in bb["enc_0"]:
-            import warnings
-            warnings.warn(
-                "act_scale_inputs ignored: classifier dims are outside "
-                "the megakernel VMEM envelope (no int8 quant sites)")
-        else:
-            from mcan_vqa_tpu.ops.quant import (
-                calibrate_classifier_act_scales)
-            act_scales = calibrate_classifier_act_scales(
-                prepared, act_scale_inputs, num_layers, num_heads)
+    if (act_scale_inputs is not None or act_scales is not None) and qffn \
+            and "_mk" not in prepared["backbone"]["enc_0"]:
+        import warnings
+        warnings.warn(
+            "activation-scale calibration ignored: classifier dims are "
+            "outside the megakernel VMEM envelope (no int8 quant sites)")
+        act_scale_inputs = act_scales = None
+    if act_scales is not None and qffn:
+        from mcan_vqa_tpu.ops.quant import _check_scales
+        act_scales = _check_scales(
+            {k: tuple(float(x) for x in v) for k, v in act_scales.items()})
+    elif act_scale_inputs is not None and qffn:
+        from mcan_vqa_tpu.ops.quant import (
+            calibrate_classifier_act_scales)
+        act_scales = calibrate_classifier_act_scales(
+            prepared, act_scale_inputs, num_layers, num_heads)
+    else:
+        act_scales = None
     forward = make_classifier_serving_fn(num_layers, num_heads,
                                          bf16_stream=True, qffn=bool(qffn),
                                          qffn_act_scales=act_scales,
@@ -513,7 +525,8 @@ def prepare_production_params(params: Dict[str, Any], num_layers: int,
 
 def build_production_engine(params: Dict[str, Any], num_layers: int,
                             num_heads: int, *, qffn=None,
-                            act_scale_inputs=None, interpret=None,
+                            act_scale_inputs=None, act_scales=None,
+                            interpret=None,
                             prune: bool = True, sga_mode: int = 2,
                             alllayer: bool = False,
                             bf16_stream: bool = True,
@@ -529,35 +542,49 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
 
     params: the raw MCANet tree. qffn: None picks the production
     default — dynamic int8-FFN (level 1/width-auto via ``True``), or
-    level 3 (int8 at every projection) when a calibration batch is
-    given; an int forces a level, 0 the all-bf16 kernels.
+    level 3 (int8 at every projection) when a calibration batch or
+    precomputed scales are given; an int forces a level, 0 the all-bf16
+    kernels.
     act_scale_inputs: optional (img_feat, ques_ix) arrays — bakes static
-    activation scales (ops.quant.calibrate_qffn_act_scales). interpret:
-    None = off-TPU autodetect. serving_kwargs pass through to
-    ``make_serving_fn`` (experiment knobs: sga_group, use_pallas_attflat,
-    ...).
+    activation scales (ops.quant.calibrate_qffn_act_scales).
+    act_scales: optional PRECOMPUTED scales dict ({"enc_i"/"dec_i":
+    (aqkv, a1, a2)} python floats — what calibrate_qffn_act_scales
+    returns and the Trainer stores next to its final checkpoint); skips
+    the calibration replay entirely. Mutually exclusive with
+    act_scale_inputs. interpret: None = off-TPU autodetect.
+    serving_kwargs pass through to ``make_serving_fn`` (experiment
+    knobs: sga_group, use_pallas_attflat, ...).
 
     -> (forward, prepared_params)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert act_scale_inputs is None or act_scales is None, \
+        "pass a calibration batch OR precomputed scales, not both"
     if qffn is None:
-        qffn = 3 if act_scale_inputs is not None else True
+        qffn = 3 if (act_scale_inputs is not None
+                     or act_scales is not None) else True
     prepared = prepare_production_params(params, num_layers, num_heads,
                                          qffn=qffn, alllayer=alllayer,
                                          sga_mode=sga_mode, prune=prune)
-    act_scales = None
-    if act_scale_inputs is not None and qffn:
-        if "_mk" not in prepared["backbone"]["enc_0"]:
-            import warnings
-            warnings.warn(
-                "act_scale_inputs ignored: model dims are outside the "
-                "megakernel VMEM envelope, the engine falls back to the "
-                "per-sub-op path (no int8 quant sites)")
-        else:
-            from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
-            img, ques = act_scale_inputs
-            act_scales = calibrate_qffn_act_scales(
-                prepared, img, ques, num_layers, num_heads)
+    if (act_scale_inputs is not None or act_scales is not None) and qffn \
+            and "_mk" not in prepared["backbone"]["enc_0"]:
+        import warnings
+        warnings.warn(
+            "activation-scale calibration ignored: model dims are outside "
+            "the megakernel VMEM envelope, the engine falls back to the "
+            "per-sub-op path (no int8 quant sites)")
+        act_scale_inputs = act_scales = None
+    if act_scales is not None and qffn:
+        from mcan_vqa_tpu.ops.quant import _check_scales
+        act_scales = _check_scales(
+            {k: tuple(float(x) for x in v) for k, v in act_scales.items()})
+    elif act_scale_inputs is not None and qffn:
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        img, ques = act_scale_inputs
+        act_scales = calibrate_qffn_act_scales(
+            prepared, img, ques, num_layers, num_heads)
+    else:
+        act_scales = None
     serving_kwargs.setdefault("use_pallas", False)
     forward = make_serving_fn(num_layers, num_heads,
                               use_pallas_ffn=use_pallas_ffn,

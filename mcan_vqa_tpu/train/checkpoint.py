@@ -140,6 +140,42 @@ class AsyncCheckpointSaver:
                 self._q.task_done()
 
 
+def act_scales_path(ckpt_dir: str) -> str:
+    """Side-file path for the static activation scales calibrated at the
+    end of training (Trainer) — stored NEXT to the orbax epoch directory
+    (orbax validates its directory contents, so nothing foreign may live
+    inside it): ``.../epoch<N>`` -> ``.../epoch<N>.act_scales.json``."""
+    return os.path.abspath(ckpt_dir).rstrip("/") + ".act_scales.json"
+
+
+def save_act_scales(ckpt_dir: str, scales: Dict[str, tuple]) -> str:
+    """Persist calibrated static activation scales next to a checkpoint.
+
+    scales: {"enc_i"/"dec_i": (aqkv, a1, a2)} python floats, exactly what
+    ops.quant.calibrate_qffn_act_scales returns. The Predictor's
+    ``from_checkpoint`` auto-loads this file so deployments get the
+    calibrated (level-3 int8) engine without a per-process calibration
+    ritual — the Trainer has real batches at end-of-train, which is when
+    this is written."""
+    import json
+    path = act_scales_path(ckpt_dir)
+    with open(path, "w") as f:
+        json.dump({k: list(v) for k, v in scales.items()}, f, indent=1)
+    return path
+
+
+def load_act_scales(ckpt_dir: str) -> Optional[Dict[str, tuple]]:
+    """Load calibrated activation scales stored next to a checkpoint
+    directory, or None when the side file does not exist."""
+    import json
+    path = act_scales_path(ckpt_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        raw = json.load(f)
+    return {k: tuple(float(x) for x in v) for k, v in raw.items()}
+
+
 def restore_checkpoint(ckpts_dir: str, version: str, epoch: int,
                        template: Optional[Any] = None) -> Dict[str, Any]:
     return restore_checkpoint_path(_ckpt_dir(ckpts_dir, version, epoch),
@@ -182,6 +218,9 @@ def prune_checkpoints(ckpts_dir: str, version: str, keep_last: int) -> int:
     removed = 0
     for e in epochs[:-keep_last]:
         shutil.rmtree(os.path.join(d, f"epoch{e}"), ignore_errors=True)
+        scales = act_scales_path(os.path.join(d, f"epoch{e}"))
+        if os.path.exists(scales):
+            os.remove(scales)
         removed += 1
     return removed
 

@@ -389,23 +389,37 @@ class TestAutoCalibration:
 
     def test_calibration_failure_keeps_serving(self, setup):
         """A calibration failure must leave the dynamic engine serving
-        (warn + state='failed'), never take the predictor down."""
+        and is NOT terminal: the drained samples return to the buffer,
+        the state returns to 'collecting' (with the error recorded and
+        the auto-trigger target backed off), and a later calibrate_now
+        retry can still succeed (ADVICE r3: no leaked _raw_params, no
+        dead-end state)."""
         cfg, tok, i2a, params = setup
         qs, feats = self._qs_feats(2)
         p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
                       auto_calibrate=50)
         before = p.predict_probs(qs, feats)
 
-        def boom(params, act_inputs):
+        real_build = p._build_fused
+
+        def boom(params, act_inputs, act_scales=None):
             raise RuntimeError("synthetic calibration failure")
 
         p._build_fused = boom
         # calibrate_now is synchronous: surface the error to the caller
         with pytest.raises(RuntimeError, match="synthetic"):
             p.calibrate_now()
-        assert p.calibration["state"] == "failed"
-        assert "synthetic" in p.calibration["error"]
+        cal = p.calibration
+        assert cal["state"] == "collecting"      # retryable, not terminal
+        assert "synthetic" in cal["error"]
+        assert cal["samples"] == 2               # buffer restored
+        assert cal["target"] > 50                # auto-retry backed off
         np.testing.assert_array_equal(p.predict_probs(qs, feats), before)
+        # retry with the real builder succeeds from the restored buffer
+        p._build_fused = real_build
+        p.calibrate_now()
+        assert p.calibration["state"] == "calibrated"
+        assert "error" not in p.calibration
 
     def test_calibrate_now_forces_early_swap(self, setup):
         """calibrate_now() swaps synchronously from a partial buffer —
@@ -425,6 +439,73 @@ class TestAutoCalibration:
                                       ref.predict_probs(qs, feats))
         with pytest.raises(RuntimeError, match="calibrated"):
             p.calibrate_now()
+
+    def test_negative_auto_calibrate_rejected(self, setup):
+        """auto_calibrate=-1 would pass the truthiness check and trigger
+        a calibration from the very first request's own rows (ADVICE
+        r3) — reject it at construction."""
+        cfg, tok, i2a, params = setup
+        with pytest.raises(ValueError, match="auto_calibrate"):
+            Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      auto_calibrate=-1)
+
+    def test_precomputed_act_scales_match_calibration_batch(self, setup):
+        """Predictor(act_scales=<precomputed dict>) must build EXACTLY the
+        engine act_calibration on the originating batch builds (the
+        Trainer's checkpoint side file is just these floats persisted)."""
+        cfg, tok, i2a, params = setup
+        qs, feats = self._qs_feats(4)
+        ref = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                        act_calibration=(qs, feats))
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        from mcan_vqa_tpu.ops.serving import prepare_production_params
+        prepared = prepare_production_params(params, cfg.layer,
+                                             cfg.multi_head, qffn=3)
+        cques, cimg = ref._prep_inputs(qs, feats)
+        scales = calibrate_qffn_act_scales(prepared, cimg, cques,
+                                           cfg.layer, cfg.multi_head)
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      act_scales=scales)
+        assert p.calibration["state"] == "calibrated"
+        check_qs, check_feats = self._qs_feats(3, seed=12)
+        np.testing.assert_array_equal(p.predict_probs(check_qs, check_feats),
+                                      ref.predict_probs(check_qs,
+                                                        check_feats))
+
+    def test_from_checkpoint_autoloads_side_file(self, setup, tmp_path):
+        """from_checkpoint on an orbax dir with a Trainer-written
+        ``.act_scales.json`` side file ships the calibrated engine with
+        zero ritual; act_scales=False opts out (dynamic + collecting)."""
+        from mcan_vqa_tpu.train.optim import make_optimizer
+        from mcan_vqa_tpu.train.train_state import TrainState
+        cfg, tok, i2a, params = setup
+        tx = make_optimizer(cfg, data_size=64)
+        state = TrainState.create(params, tx, seed=0, step=1)
+        path = ckpt_mod.save_checkpoint(state, str(tmp_path), "v", epoch=1)
+
+        qs, feats = self._qs_feats(4)
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        from mcan_vqa_tpu.ops.serving import prepare_production_params
+        prepared = prepare_production_params(params, cfg.layer,
+                                             cfg.multi_head, qffn=3)
+        ques, img = text_mod.encode_questions(qs, tok, cfg.max_token), feats
+        scales = calibrate_qffn_act_scales(prepared, img, ques,
+                                           cfg.layer, cfg.multi_head)
+        ckpt_mod.save_act_scales(path, scales)
+
+        p = Predictor.from_checkpoint(path, cfg, tok, i2a, max_batch=4,
+                                      engine="fused")
+        assert p.calibration["state"] == "calibrated"
+        ref = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                        act_scales=scales)
+        check_qs, check_feats = self._qs_feats(3, seed=12)
+        np.testing.assert_array_equal(
+            p.predict_probs(check_qs, check_feats),
+            ref.predict_probs(check_qs, check_feats))
+
+        popt = Predictor.from_checkpoint(path, cfg, tok, i2a, max_batch=4,
+                                         engine="fused", act_scales=False)
+        assert popt.calibration["state"] == "collecting"
 
     def test_auto_calibrate_on_mesh(self, setup):
         """The online swap re-places the calibrated tree on the serving

@@ -241,6 +241,41 @@ class TestOrbaxRoundtrip:
         assert ckpt.latest_epoch(str(tmp_path), "test") == 3
 
 
+class TestActScalesSideFile:
+    """The end-of-train serving calibration artifact (VERDICT r3 #1):
+    static int8 activation scales stored NEXT to the orbax epoch dir
+    (orbax validates its directory contents) as
+    ``epoch<N>.act_scales.json``; Predictor.from_checkpoint auto-loads
+    it so deployments ship the calibrated level-3 engine by default."""
+
+    SCALES = {"enc_0": (0.5, 1.25, 2.0), "dec_0": (0.75, 0.1, 3.5)}
+
+    def test_roundtrip(self, tmp_path):
+        d = str(tmp_path / "ckpt_v" / "epoch3")
+        import os
+        os.makedirs(d)
+        path = ckpt.save_act_scales(d, self.SCALES)
+        assert path == str(tmp_path / "ckpt_v" / "epoch3.act_scales.json")
+        assert ckpt.load_act_scales(d) == self.SCALES
+
+    def test_missing_returns_none(self, tmp_path):
+        assert ckpt.load_act_scales(str(tmp_path / "epoch9")) is None
+
+    def test_pruned_with_its_checkpoint(self, tmp_path):
+        """prune_checkpoints removes the side file together with its
+        epoch directory (no orphaned scale files from stale epochs)."""
+        import os
+        d = tmp_path / "ckpt_vx"
+        for e in (1, 2, 3):
+            os.makedirs(d / f"epoch{e}")
+            ckpt.save_act_scales(str(d / f"epoch{e}"), self.SCALES)
+        removed = ckpt.prune_checkpoints(str(tmp_path), "vx", keep_last=1)
+        assert removed == 2
+        for e in (1, 2):
+            assert not os.path.exists(d / f"epoch{e}.act_scales.json")
+        assert ckpt.load_act_scales(str(d / "epoch3")) == self.SCALES
+
+
 class TestAsyncCheckpointSaver:
     def _state(self, cfg, seed=0, step=7):
         model = build_mcan(cfg, token_size=30, answer_size=10)

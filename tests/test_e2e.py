@@ -77,6 +77,17 @@ class TestTrainerE2E:
             assert os.path.isdir(os.path.join(cfg.ckpts_dir,
                                               f"ckpt_{cfg.version}",
                                               f"epoch{e}"))
+        # end-of-train serving calibration wrote the act-scales side file
+        # next to the FINAL checkpoint (Predictor.from_checkpoint
+        # auto-loads it -> calibrated level-3 serving engine by default)
+        from mcan_vqa_tpu.train import checkpoint as ckpt_mod
+        final = os.path.join(cfg.ckpts_dir, f"ckpt_{cfg.version}", "epoch2")
+        scales = ckpt_mod.load_act_scales(final)
+        assert scales is not None
+        assert set(scales) == {"enc_0", "dec_0"}
+        for tup in scales.values():
+            # level-3 sites: enc (aqkv, a1, a2, am), dec adds q2/m2
+            assert len(tup) >= 3 and all(s > 0 for s in tup)
         # log file with config dump + epoch lines
         log = open(os.path.join(cfg.log_path,
                                 f"log_run_{cfg.version}.txt")).read()
