@@ -42,6 +42,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--img_feat_size", type=int)
     p.add_argument("--warm_start", type=str,
                    help="VQA checkpoint to warm-start from")
+    p.add_argument("--train_eval_every", type=int, default=2,
+                   help="ROC-eval the TRAIN split every N epochs during "
+                        "training (reference: core/exec.py:664-679 scores "
+                        "the train split on even epochs, the test split "
+                        "every epoch); 0 disables the train-split eval")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=256)
     # architecture / env overrides (YAML tier normally sets these)
@@ -69,7 +74,7 @@ def main(argv=None) -> int:
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k not in
                  ("model", "synthetic", "synthetic_size", "warm_start",
-                  "compile_cache")}
+                  "compile_cache", "train_eval_every")}
     # MIMIC features are 1024-d (reference: core/data/load_data.py:168)
     overrides.setdefault("img_feat_size", 1024)
     cfg = Config.from_yaml(yaml_path, overrides)
@@ -96,9 +101,17 @@ def main(argv=None) -> int:
         test_ds = MIMICDataset(cfg, "test")
 
     if cfg.run_mode == "train":
+        eval_datasets = {"val": val_ds, "test": test_ds}
+        eval_cadence = {}
+        if args.train_eval_every > 0:
+            # reference cadence (core/exec.py:664-679): train-split ROC
+            # on epochs 0, N, 2N... alongside the every-epoch test eval
+            eval_datasets = {"train": train_ds, **eval_datasets}
+            eval_cadence["train"] = args.train_eval_every
         trainer = Trainer(cfg, train_dataset=train_ds,
-                          eval_datasets={"val": val_ds, "test": test_ds}
-                          if cfg.eval_every_epoch else {})
+                          eval_datasets=eval_datasets
+                          if cfg.eval_every_epoch else {},
+                          eval_cadence=eval_cadence)
         if args.warm_start:
             trainer.warm_start(args.warm_start)
         trainer.train()

@@ -66,6 +66,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="persistent XLA compilation cache dir (default "
                         "~/.cache/mcan_vqa_tpu/xla; 'off' disables) — "
                         "restarted runs skip the minutes-long TPU compile")
+    p.add_argument("--images_dir", type=str, default=None,
+                   help="--run=visualize: directory with the original COCO "
+                        "photos (flat or train2014/val2014/test2015 "
+                        "subdirs); renders the attended-box mask over the "
+                        "real image (reference core/exec.py:1082-1106) "
+                        "instead of the white-canvas fallback")
     return p.parse_args(argv)
 
 
@@ -74,7 +80,7 @@ def build_config(args: argparse.Namespace) -> Config:
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k not in
                  ("model", "synthetic", "synthetic_size", "use_pallas", "gpu",
-                  "compile_cache")}
+                  "compile_cache", "images_dir")}
     return Config.from_yaml(yaml_path, overrides)
 
 
@@ -132,7 +138,8 @@ def main(argv=None) -> int:
                           use_pallas=args.use_pallas)
         trainer.ensure_state(resume=True)
         out_dir = os.path.join(cfg.result_path, "val_imgs")
-        n = run_visualization(trainer, ds, out_dir, limit=8)
+        n = run_visualization(trainer, ds, out_dir, limit=8,
+                              images_dir=args.images_dir)
         print(f"wrote {n} visualizations to {out_dir}")
     return 0
 

@@ -164,6 +164,13 @@ class VQADataset:
             rec = self.qid_to_ques[str(rec["question_id"])]
         return text_mod.clean_question(rec["question"])
 
+    def image_id(self, idx: int):
+        """COCO image id for example ``idx`` (visualization resolves the
+        original photograph from it — reference: core/exec.py:323)."""
+        rec = (self.ans_list[idx] if self.run_mode == "train"
+               else self.ques_list[idx])
+        return rec["image_id"]
+
     def batch_examples(self, indices,
                        feat_dtype=None) -> Dict[str, np.ndarray]:
         """Whole-batch assembly. When every image is served by one packed
@@ -247,6 +254,9 @@ class SyntheticVQADataset:
             target[int(ques[0]) % self.ans_size] = 1.0
             out["target"] = target
         return out
+
+    def image_id(self, idx: int):
+        return idx
 
     def __len__(self) -> int:
         return self.data_size

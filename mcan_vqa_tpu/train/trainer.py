@@ -35,9 +35,16 @@ from mcan_vqa_tpu.utils.profiling import StepTimer, trace
 
 class Trainer:
     def __init__(self, cfg, train_dataset=None, eval_datasets: Optional[Dict] = None,
-                 use_pallas: bool = False, task: str = "vqa"):
+                 use_pallas: bool = False, task: str = "vqa",
+                 eval_cadence: Optional[Dict[str, int]] = None):
         """task: "vqa" (MCANet, img+ques) or "classify" (ClassifierNet,
-        image-only multi-label; reference: core/exec.py:757-1066)."""
+        image-only multi-label; reference: core/exec.py:757-1066).
+
+        eval_cadence: optional {eval_datasets name: every N epochs} —
+        datasets absent from the map evaluate every epoch. Reproduces the
+        reference's MIMIC loop, which scores the TRAIN split only every
+        2nd epoch while the test split runs each epoch
+        (core/exec.py:664-679: ``if epoch % 2 == 0``)."""
         self.cfg = cfg
         self.task = task
         self.image_only = task == "classify"
@@ -47,6 +54,7 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         self.train_dataset = train_dataset
         self.eval_datasets = eval_datasets or {}
+        self.eval_cadence = dict(eval_cadence or {})
 
         ref = train_dataset or next(iter(self.eval_datasets.values()))
         self.token_size = getattr(ref, "token_size", 2)
@@ -360,6 +368,10 @@ class Trainer:
                         break
                     if cfg.eval_every_epoch:
                         for name, ds in self.eval_datasets.items():
+                            every = max(int(self.eval_cadence.get(name, 1)),
+                                        1)
+                            if epoch % every:   # reference cadence phase:
+                                continue        # epochs 0, N, 2N, ...
                             res = self.evaluate(ds)
                             for k, v in res.items():
                                 if isinstance(v, float):

@@ -93,6 +93,43 @@ def calc_mats(out: dict, index: int, top_k: int = 7) -> Dict[str, np.ndarray]:
 # rendering
 # ---------------------------------------------------------------------------
 
+def find_image_file(images_dir: str, image_id) -> Optional[str]:
+    """Resolve the COCO photograph for ``image_id`` under ``images_dir``.
+
+    The reference hardcodes ``datasets/{split}2014/COCO_{split}2014_
+    000000{iid}.jpg`` and silently skips absent files (core/exec.py:323-324);
+    here every conventional COCO naming variant is tried, both directly in
+    ``images_dir`` and in the standard split subdirectories. Returns None
+    when no file exists (the renderer then falls back to the white canvas).
+    """
+    try:
+        iid = int(image_id)
+    except (TypeError, ValueError):
+        return None
+    names = [f"COCO_{s}_{iid:012d}.jpg"
+             for s in ("train2014", "val2014", "test2015")]
+    names += [f"{iid}.jpg", f"{iid}.png", f"{iid:012d}.jpg"]
+    for sub in ("", "train2014", "val2014", "test2015"):
+        for n in names:
+            p = os.path.join(images_dir, sub, n)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def load_image(path: str) -> np.ndarray:
+    """Photo -> float RGB in [0, 1] (reference: core/exec.py:1082 —
+    ``plt.imread(im_file) / 255``; imread already returns floats for PNG,
+    so only uint8-range data is rescaled here)."""
+    import matplotlib.pyplot as plt
+    im = np.asarray(plt.imread(path), np.float32)
+    if im.max() > 1.5:
+        im = im / 255.0
+    if im.ndim == 2:
+        im = np.repeat(im[..., None], 3, axis=-1)
+    return im[..., :3]   # drop any alpha channel
+
+
 def _canvas_and_boxes(image: Optional[np.ndarray], bboxes: np.ndarray,
                       size=(480, 640)):
     """Image (or white canvas) + pixel-space xyxy boxes. Normalized (0..1)
@@ -312,10 +349,17 @@ def visualize_example(
 
 
 def run_visualization(trainer, dataset, out_dir: str, limit: int = 8,
-                      top_k_preds: int = 4) -> int:
+                      top_k_preds: int = 4,
+                      images_dir: Optional[str] = None) -> int:
     """Drive the model over the first ``limit`` examples and render both the
     summary sheet and the reference six-figure sheet per example
-    (reference flow: core/exec.py:256-350)."""
+    (reference flow: core/exec.py:256-350).
+
+    images_dir: directory holding the original COCO photographs (flat or
+    with train2014/val2014/test2015 subdirs). When a photo resolves, the
+    reference's signature artifact renders — the attended-box mask
+    multiplied over the actual image (core/exec.py:1082,1106); otherwise
+    the white-canvas fallback keeps the overlay geometry visible."""
     import jax
 
     state = trainer.ensure_state()
@@ -342,9 +386,15 @@ def run_visualization(trainer, dataset, out_dir: str, limit: int = 8,
         ans_list = getattr(dataset, "ans_list", None)
         if ans_list and i < len(ans_list):
             gt = [a["answer"] for a in ans_list[i].get("answers", [])][:4]
+        image = None
+        if images_dir and hasattr(dataset, "image_id"):
+            f = find_image_file(images_dir, dataset.image_id(i))
+            if f is not None:
+                image = load_image(f)
         visualize_example(out, i, os.path.join(out_dir, f"example_{i}.png"),
                           question_tokens=toks, answer=ans, bboxes=bboxes)
         render_reference_panels(
             out, i, os.path.join(out_dir, f"example_{i}_mats.png"),
-            question_tokens=toks, preds=preds, answers=gt, bboxes=bboxes)
+            question_tokens=toks, preds=preds, answers=gt, bboxes=bboxes,
+            image=image)
     return n

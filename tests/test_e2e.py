@@ -231,6 +231,40 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "val:" in out and "test:" in out
 
+    def test_run_mimic_train_split_eval_cadence(self, tmp_path, capsys):
+        """The reference's MIMIC loop ROC-scores the TRAIN split only on
+        even epochs while test runs every epoch (core/exec.py:664-679);
+        --train_eval_every reproduces that cadence, and the train->val->
+        test output sequence is preserved."""
+        from mcan_vqa_tpu.cli.run_mimic import main
+        rc = main([
+            "--run=train", "--model=small", "--synthetic",
+            "--synthetic_size=32", "--batch_size=16", "--max_epoch=3",
+            "--layer=1", "--hidden_size=32", "--multi_head=4",
+            "--img_feat_size=16", "--img_feat_pad_size=8", "--max_token=6",
+            "--flat_out_size=32", "--flat_mlp_size=16",
+            "--compute_dtype=float32", "--verbose=False",
+            "--train_eval_every=2", "--version=cad",
+            f"--ckpts_dir={tmp_path}/ckpts", f"--log_path={tmp_path}/log",
+            f"--result_path={tmp_path}/results",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "val:" in out and "test:" in out
+        log = open(os.path.join(str(tmp_path), "log",
+                                "log_run_cad.txt")).read()
+        epochs = {}
+        for line in log.splitlines():
+            if line.startswith("epoch ") and "loss=" in line:
+                e = int(line.split()[1].rstrip(":"))
+                epochs[e] = line
+        # test split every epoch; train split on epochs 0 and 2 only
+        for e in (0, 1, 2):
+            assert "test/roc_micro" in epochs[e]
+        assert "train/roc_micro" in epochs[0]
+        assert "train/roc_micro" not in epochs[1]
+        assert "train/roc_micro" in epochs[2]
+
 
 class TestVisualization:
     def test_renders_png(self, tmp_path):
