@@ -253,6 +253,8 @@ def main() -> None:
         **({"kernel_dropout": True} if kernel_dropout else {}),
         **({"fused_sa": fused_sa_raw} if fused_block and fused_sa else {}),
         **({"flat_opt": True} if flat_opt else {}),
+        **({"diag_softmax": True}
+           if os.environ.get("MCAN_DIAG_SOFTMAX", "1") == "1" else {}),
     }))
 
 

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from mcan_vqa_tpu.models.layers import make_mask
+from mcan_vqa_tpu.ops.diag_attn import diag_pad_add, diag_sdpa, use_diag
 from mcan_vqa_tpu.ops.masked_attention import masked_attention_xla
 from mcan_vqa_tpu.ops.serving import _lstm, _std_layer_norm
 
@@ -326,14 +327,18 @@ def _qsga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
 
-    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
-              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    diag = use_diag(G, Lv)
     vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
               != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
-    self_mask = (vv_off.astype(jnp.float32)
-                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
     cross_mask = (vq_off.astype(jnp.float32)
                   + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    if diag:
+        pad_add = diag_pad_add(vpad_ref[0].astype(jnp.float32), G, Lv)
+    else:
+        vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+                  != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+        self_mask = (vv_off.astype(jnp.float32)
+                     + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     def sdpa(qh, kh, vh, mask_add):
         s = jax.lax.dot_general(
@@ -353,7 +358,8 @@ def _qsga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh]
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
-        ohs.append(sdpa(qh, kh, vh, self_mask))
+        ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lv, scale) if diag
+                   else sdpa(qh, kh, vh, self_mask))
     atted = jnp.concatenate(ohs, axis=1)
     y = _qdot(atted, wm1_ref, sm1_ref, 0.0)
     v1 = _kln(x + y + bm1_ref[:], ln1s_ref[:], ln1b_ref[:])
@@ -390,10 +396,14 @@ def _qsa_kernel(x_ref, pad_ref,
     M = G * Lq
 
     x = x_ref[:].reshape(M, D).astype(jnp.float32)
-    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
-           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
-    mask_add = (off.astype(jnp.float32)
-                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+    diag = use_diag(G, Lq)   # off for 14-token questions, on for the
+    if diag:                 # classifier's packed L=100 image streams
+        pad_add = diag_pad_add(pad_ref[0].astype(jnp.float32), G, Lq)
+    else:
+        off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+               != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+        mask_add = (off.astype(jnp.float32)
+                    + pad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     qkv = _qdot(x, wqkv_ref, sqkv_ref, bqkv_ref[:])
     ohs = []
@@ -401,6 +411,9 @@ def _qsa_kernel(x_ref, pad_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh].astype(BF16)
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
+        if diag:
+            ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lq, scale))
+            continue
         s = jax.lax.dot_general(
             qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + mask_add
@@ -840,14 +853,18 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
 
-    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
-              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    diag = use_diag(G, Lv)
     vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
               != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
-    self_mask = (vv_off.astype(jnp.float32)
-                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
     cross_mask = (vq_off.astype(jnp.float32)
                   + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    if diag:
+        pad_add = diag_pad_add(vpad_ref[0].astype(jnp.float32), G, Lv)
+    else:
+        vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+                  != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+        self_mask = (vv_off.astype(jnp.float32)
+                     + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     def sdpa(qh, kh, vh, mask_add):
         s = jax.lax.dot_general(
@@ -875,7 +892,8 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh]
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
-        ohs.append(sdpa(qh, kh, vh, self_mask))
+        ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lv, scale) if diag
+                   else sdpa(qh, kh, vh, self_mask))
     atted = jnp.concatenate(ohs, axis=1)
     if proj8:
         y = _qdot_static(atted, act_scales[3], wm1_ref, sm1_ref, 0.0)
@@ -932,10 +950,14 @@ def _sa_kernel_qffn(x_ref, pad_ref,
     M = G * Lq
 
     x = x_ref[:].reshape(M, D).astype(jnp.float32)
-    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
-           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
-    mask_add = (off.astype(jnp.float32)
-                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+    diag = use_diag(G, Lq)   # off for 14-token questions, on for the
+    if diag:                 # classifier's packed L=100 image streams
+        pad_add = diag_pad_add(pad_ref[0].astype(jnp.float32), G, Lq)
+    else:
+        off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+               != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+        mask_add = (off.astype(jnp.float32)
+                    + pad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     if qkv_int8:
         if act_scales is not None:
@@ -951,6 +973,9 @@ def _sa_kernel_qffn(x_ref, pad_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh].astype(BF16)
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(BF16)
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(BF16)
+        if diag:
+            ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lq, scale))
+            continue
         s = jax.lax.dot_general(
             qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + mask_add

@@ -78,6 +78,9 @@ class _PrngMasksSA:
         self.inv = inv_keep
 
     def _d(self, x, site):
+        from mcan_vqa_tpu.ops.sga_train import _ABLATE
+        if "dropout" in _ABLATE:   # timing-only stub (wrong math)
+            return x
         from jax.experimental.pallas import tpu as pltpu
         pltpu.prng_seed(self.seed, (site << 19) | self.pid)
         bits = jax.lax.bitcast_convert_type(

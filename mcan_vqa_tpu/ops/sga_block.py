@@ -36,6 +36,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+from mcan_vqa_tpu.ops.diag_attn import diag_pad_add, diag_sdpa, use_diag
+
 _NEG_INF = -1e9
 
 
@@ -152,19 +154,25 @@ def _sga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
 
     # block-diagonal sample masks (rows: image regions; cols: keys)
-    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
-              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    diag = use_diag(G, Lv)
     vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
               != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
     vpad = vpad_ref[0].astype(jnp.float32)          # [1, M]
     qpad = qpad_ref[0].astype(jnp.float32)          # [1, N]
-    self_mask = (vv_off.astype(jnp.float32) + vpad) * _NEG_INF
     cross_mask = (vq_off.astype(jnp.float32) + qpad) * _NEG_INF
+    if diag:
+        pad_add = diag_pad_add(vpad, G, Lv)
+    else:
+        vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+                  != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+        self_mask = (vv_off.astype(jnp.float32) + vpad) * _NEG_INF
 
     def attend(xq, h, wq, bq, kh, vh, mask_add):
         """One head: project queries from xq, attend to (kh, vh)."""
         qh = jnp.dot(xq, wq[h].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32) + bq[h]
+        if mask_add is None:        # block-diagonal self-attention
+            return diag_sdpa(qh, kh, vh, pad_add, G, Lv, scale)
         s = jax.lax.dot_general(
             qh.astype(jnp.bfloat16), kh,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -188,7 +196,7 @@ def _sga_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         vh = (jnp.dot(xb, wv1[h].astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
               + bv1[h]).astype(jnp.bfloat16)
-        oh = attend(xb, h, wq1, bq1, kh, vh, self_mask)
+        oh = attend(xb, h, wq1, bq1, kh, vh, None if diag else self_mask)
         y += jnp.dot(oh.astype(jnp.bfloat16), wm1[h].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
     v1 = _ln(x + y + bm1_ref[:], ln1s_ref[:], ln1b_ref[:])
@@ -237,14 +245,18 @@ def _sga_kernel_fusedproj(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     # the stream block may arrive bf16 (half the DMA); math stays f32
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
 
-    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
-              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    diag = use_diag(G, Lv)
     vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
               != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
-    self_mask = (vv_off.astype(jnp.float32)
-                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
     cross_mask = (vq_off.astype(jnp.float32)
                   + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    if diag:
+        pad_add = diag_pad_add(vpad_ref[0].astype(jnp.float32), G, Lv)
+    else:
+        vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+                  != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+        self_mask = (vv_off.astype(jnp.float32)
+                     + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     def sdpa(qh, kh, vh, mask_add):
         s = jax.lax.dot_general(
@@ -265,7 +277,8 @@ def _sga_kernel_fusedproj(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh]
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
-        ohs.append(sdpa(qh, kh, vh, self_mask))
+        ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lv, scale)
+                   if diag else sdpa(qh, kh, vh, self_mask))
     atted = jnp.concatenate(ohs, axis=1)
     y = jnp.dot(atted.astype(jnp.bfloat16), wm1_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
@@ -479,14 +492,18 @@ def _sga_decoder_kernel(v_ref, q_ref, vpad_ref, qpad_ref,
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
     qx = q_ref[:].reshape(N, D).astype(jnp.bfloat16)
 
-    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
-              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    diag = use_diag(G, Lv)
     vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
               != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
-    self_mask = (vv_off.astype(jnp.float32)
-                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
     cross_mask = (vq_off.astype(jnp.float32)
                   + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    if diag:
+        pad_add = diag_pad_add(vpad_ref[0].astype(jnp.float32), G, Lv)
+    else:
+        vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+                  != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+        self_mask = (vv_off.astype(jnp.float32)
+                     + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     def sdpa(qh, kh, vh, mask_add):
         s = jax.lax.dot_general(
@@ -510,7 +527,8 @@ def _sga_decoder_kernel(v_ref, q_ref, vpad_ref, qpad_ref,
             kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
             vh = qkv[:, 2 * D + h * Dh:
                      2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
-            ohs.append(sdpa(qh, kh, vh, self_mask))
+            ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lv, scale)
+                       if diag else sdpa(qh, kh, vh, self_mask))
         atted = jnp.concatenate(ohs, axis=1)
         y = jnp.dot(atted.astype(jnp.bfloat16),
                     wm1_ref[l].astype(jnp.bfloat16),
@@ -641,14 +659,18 @@ def _sga_decoder_kernel_extkv(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 
     x = v_ref[:].reshape(M, D).astype(jnp.float32)
 
-    vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
-              != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+    diag = use_diag(G, Lv)
     vq_off = (jax.lax.broadcasted_iota(jnp.int32, (M, N), 0) // Lv
               != jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) // Lq)
-    self_mask = (vv_off.astype(jnp.float32)
-                 + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
     cross_mask = (vq_off.astype(jnp.float32)
                   + qpad_ref[0].astype(jnp.float32)) * _NEG_INF
+    if diag:
+        pad_add = diag_pad_add(vpad_ref[0].astype(jnp.float32), G, Lv)
+    else:
+        vv_off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lv
+                  != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lv)
+        self_mask = (vv_off.astype(jnp.float32)
+                     + vpad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     def sdpa(qh, kh, vh, mask_add):
         s = jax.lax.dot_general(
@@ -672,7 +694,8 @@ def _sga_decoder_kernel_extkv(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
             kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
             vh = qkv[:, 2 * D + h * Dh:
                      2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
-            ohs.append(sdpa(qh, kh, vh, self_mask))
+            ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lv, scale)
+                       if diag else sdpa(qh, kh, vh, self_mask))
         atted = jnp.concatenate(ohs, axis=1)
         y = jnp.dot(atted.astype(jnp.bfloat16),
                     wm1_ref[l].astype(jnp.bfloat16),
@@ -835,10 +858,14 @@ def _sa_encoder_kernel(x_ref, pad_ref,
 
     x = x_ref[:].reshape(M, D).astype(jnp.float32)
 
-    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
-           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
-    mask_add = (off.astype(jnp.float32)
-                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+    diag = use_diag(G, Lq)   # off for 14-token questions, on for the
+    if diag:                 # classifier's packed L=100 image streams
+        pad_add = diag_pad_add(pad_ref[0].astype(jnp.float32), G, Lq)
+    else:
+        off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+               != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+        mask_add = (off.astype(jnp.float32)
+                    + pad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     for l in range(layers):
         qkv = jnp.dot(x.astype(jnp.bfloat16),
@@ -850,6 +877,9 @@ def _sa_encoder_kernel(x_ref, pad_ref,
             kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
             vh = qkv[:, 2 * D + h * Dh:
                      2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
+            if diag:
+                ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lq, scale))
+                continue
             s = jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + mask_add
@@ -944,10 +974,14 @@ def _sa_kernel(x_ref, pad_ref, wqkv_ref, bqkv_ref, wm_ref, bm_ref,
 
     x = x_ref[:].reshape(M, D).astype(jnp.float32)
 
-    off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
-           != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
-    mask_add = (off.astype(jnp.float32)
-                + pad_ref[0].astype(jnp.float32)) * _NEG_INF
+    diag = use_diag(G, Lq)   # off for 14-token questions, on for the
+    if diag:                 # classifier's packed L=100 image streams
+        pad_add = diag_pad_add(pad_ref[0].astype(jnp.float32), G, Lq)
+    else:
+        off = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // Lq
+               != jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // Lq)
+        mask_add = (off.astype(jnp.float32)
+                    + pad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     qkv = jnp.dot(x.astype(jnp.bfloat16), wqkv_ref[:].astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32) + bqkv_ref[:]
@@ -956,6 +990,9 @@ def _sa_kernel(x_ref, pad_ref, wqkv_ref, bqkv_ref, wm_ref, bm_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh].astype(jnp.bfloat16)
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh].astype(jnp.bfloat16)
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh].astype(jnp.bfloat16)
+        if diag:
+            ohs.append(diag_sdpa(qh, kh, vh, pad_add, G, Lq, scale))
+            continue
         s = jax.lax.dot_general(
             qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + mask_add

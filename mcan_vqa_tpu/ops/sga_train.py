@@ -37,11 +37,19 @@ step, block-diagonal sample masks folded into the softmax.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# TIMING-ONLY ablation knobs (WRONG MATH — never set in production):
+# MCAN_KERNEL_ABLATE=softmax,ln,dropout stubs the named VPU stages inside
+# the train kernels so their cost can be attributed on-chip
+# (tools/attribute_train_step.py campaign). Read once at import.
+_ABLATE = frozenset(
+    filter(None, os.environ.get("MCAN_KERNEL_ABLATE", "").split(",")))
 
 _NEG_INF = -1e9
 BF16 = jnp.bfloat16
@@ -92,11 +100,16 @@ def prepare_sga_train_params(p: Dict[str, Any]) -> Dict[str, Any]:
 def _ln_fwd(r, scale, bias, eps=1e-6):
     """Reference std-LayerNorm: scale * (r - mean)/(std + eps) + bias,
     Bessel-corrected std (models/layers.py StdLayerNorm)."""
+    if "ln" in _ABLATE:            # timing-only stub (wrong math)
+        return scale * r + bias
     d = r.shape[-1]
     mean = jnp.mean(r, axis=-1, keepdims=True)
     c = r - mean
     var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
-    return scale * c / (jnp.sqrt(var) + eps) + bias
+    # reciprocal-multiply: one [rows,1] divide instead of a [rows,D]-wide
+    # one (VPU divides are multi-cycle; ~1 ulp vs the direct divide)
+    inv = 1.0 / (jnp.sqrt(var) + eps)
+    return scale * (c * inv) + bias
 
 
 def _ln_bwd(g, r, scale, eps=1e-6):
@@ -112,16 +125,21 @@ def _ln_bwd_u(g, r, scale, eps=1e-6):
     u is what the LN scale gradient needs (d ln_s = sum(g * u)); computing
     it here from the residual is exact — no (v - bias)/scale
     reconstruction, no zero-scale singularity."""
+    if "ln" in _ABLATE:            # timing-only stub (wrong math)
+        return g * scale, r
     d = r.shape[-1]
     mean = jnp.mean(r, axis=-1, keepdims=True)
     c = r - mean
     var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
     std = jnp.sqrt(var)
-    denom = std + eps
+    inv = 1.0 / (std + eps)
     sg = scale * g
-    dstd = -jnp.sum(sg * c, axis=-1, keepdims=True) / (denom * denom)
-    dc = sg / denom + dstd * c / ((d - 1) * std)
-    return dc - jnp.mean(dc, axis=-1, keepdims=True), c / denom
+    # all divides on [rows, 1] scalars-per-row; the [rows, D]-wide work
+    # is multiplies only (dc = sg/denom + dstd*c/((d-1)*std) refactored)
+    dstd = -jnp.sum(sg * c, axis=-1, keepdims=True) * (inv * inv)
+    k = dstd / ((d - 1) * std)
+    dc = sg * inv + c * k
+    return dc - jnp.mean(dc, axis=-1, keepdims=True), c * inv
 
 
 def _drop(x, m_u8, inv_keep):
@@ -142,15 +160,24 @@ _SITE_Y3 = 0x304
 
 
 class _ExtMasks:
-    """Dropout via externally generated uint8 masks (testable on CPU)."""
+    """Dropout via externally generated uint8 masks (testable on CPU).
 
-    def __init__(self, m1, m2, my1, my2, mh, my3, inv_keep):
+    diag1: (G, L) when the self-attention softmax runs on the diagonal
+    blocks only — att1 then receives [G*L, L] tensors and the matching
+    diagonal of the packed [M, M] mask is used (off-diagonal mask entries
+    are irrelevant: those probabilities are exactly 0)."""
+
+    def __init__(self, m1, m2, my1, my2, mh, my3, inv_keep, diag1=None):
         self.m1, self.m2 = m1, m2
         self.my1, self.my2, self.mh, self.my3 = my1, my2, mh, my3
         self.inv = inv_keep
+        self.diag1 = diag1
 
     def att1(self, x, h):
-        return _drop(x, self.m1[0, h], self.inv)
+        m = self.m1[0, h]
+        if self.diag1 is not None:
+            m = _diag_blocks(m, *self.diag1)
+        return _drop(x, m, self.inv)
 
     def att2(self, x, h):
         return _drop(x, self.m2[0, h], self.inv)
@@ -182,6 +209,8 @@ class _PrngMasks:
         self.inv = inv_keep
 
     def _d(self, x, site):
+        if "dropout" in _ABLATE:   # timing-only stub (wrong math)
+            return x
         from jax.experimental.pallas import tpu as pltpu
         # Mosaic accepts at most 2 seed values: pack (site, program_id)
         # into one int32 — site < 2^12, grid size < 2^19.
@@ -210,12 +239,17 @@ class _PrngMasks:
 
 
 def _softmax_fwd(s):
+    if "softmax" in _ABLATE:       # timing-only stub (wrong math)
+        return s * 0.001
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+    # reciprocal-multiply: one [rows,1] divide, row-wide multiplies
+    return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
 
 
 def _softmax_bwd(p, dp):
+    if "softmax" in _ABLATE:       # timing-only stub (wrong math)
+        return dp * 0.001
     return p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
 
 
@@ -227,6 +261,77 @@ def _block_masks(M, N, Lv, Lq, vpad, qpad):
     self_mask = (vv_off.astype(F32) + vpad) * _NEG_INF
     cross_mask = (vq_off.astype(F32) + qpad) * _NEG_INF
     return self_mask, cross_mask
+
+
+# ---------------------------------------------------------------------------
+# block-diagonal self-attention softmax
+#
+# The packed layout computes self-attention scores as one [M, M] matmul
+# (M = G*Lv) whose off-diagonal sample-cross blocks are masked to -1e9 —
+# MXU-cheap, but the softmax/dropout VPU passes then run over G× more
+# columns than carry information. Since the off-diagonal probabilities are
+# exactly 0 (every off-diag score is <= diag_max - 1e9, so exp underflows
+# to +0 in f32 and the row max/sum come from the diagonal block alone),
+# the mask+softmax+dropout pipeline can run on just the [M, Lv] diagonal
+# blocks and scatter the result back for the P@V matmul — bitwise the
+# same p values, ~G× less VPU work per row. MCAN_DIAG_SOFTMAX=0 restores
+# the full-width softmax (A/B knob; the module default ships the winner).
+# ---------------------------------------------------------------------------
+
+_DIAG_ATT = os.environ.get("MCAN_DIAG_SOFTMAX", "1") == "1"
+
+
+def _diag_blocks(s, G, L):
+    """[G*L, G*L] -> [G*L, L]: stack each sample's diagonal block."""
+    if G == 1:
+        return s
+    return jnp.concatenate(
+        [s[g * L:(g + 1) * L, g * L:(g + 1) * L] for g in range(G)], axis=0)
+
+
+def _scatter_diag(p, G, L, fill=0.0):
+    """[G*L, L] -> [G*L, G*L]: place row-blocks on the diagonal, `fill`
+    elsewhere (0 for probabilities/gradients, 1 for keep-masks)."""
+    if G == 1:
+        return p
+    rows = []
+    for g in range(G):
+        parts = []
+        if g:
+            parts.append(jnp.full((L, g * L), fill, p.dtype))
+        parts.append(p[g * L:(g + 1) * L])
+        if G - 1 - g:
+            parts.append(jnp.full((L, (G - 1 - g) * L), fill, p.dtype))
+        rows.append(parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _diag_pad_add(pad, G, L):
+    """pad [1, G*L] f32 (1 at padded key positions) -> additive [G*L, L]
+    mask for the block-diagonal softmax (sample g's rows see only sample
+    g's key padding)."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(pad[:, g * L:(g + 1) * L], (L, L))
+         for g in range(G)], axis=0) * _NEG_INF
+
+
+def _diag_attn_fwd(qh, kh, vh, pad_add, drop_fn, h, G, L, scale):
+    """One head of block-diagonal self-attention: per-sample score
+    matmuls, [G*L, L] softmax+dropout, per-sample PV. Returns (p, pd, o).
+
+    vs the full-width path this is bitwise-identical p/o values (the
+    off-diagonal probabilities there are exactly +0.0) at ~G x less
+    padded MXU work and ~G x fewer softmax/dropout VPU elements."""
+    s = jnp.concatenate(
+        [_mm_bt(qh[g * L:(g + 1) * L], kh[g * L:(g + 1) * L])
+         for g in range(G)], axis=0)
+    p = _softmax_fwd(s * scale + pad_add)
+    pd = drop_fn(p, h)
+    o = jnp.concatenate(
+        [_mm(pd[g * L:(g + 1) * L], vh[g * L:(g + 1) * L])
+         for g in range(G)], axis=0)
+    return p, pd, o
 
 
 def _mm(a, b):
@@ -281,7 +386,7 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
               wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
               w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref, ln3b_ref,
               v3_ref, v1_ref, v2_ref, r3_ref=None, h1d_ref=None,
-              *, heads: int, group: int, scale: float):
+              *, heads: int, group: int, scale: float, diag: bool = False):
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
     Lq = kq_ref.shape[2]
@@ -289,8 +394,13 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     M, N = G * Lv, G * Lq
 
     x = v_ref[:].reshape(M, D).astype(F32)
-    self_mask, cross_mask = _block_masks(
-        M, N, Lv, Lq, vpad_ref[0].astype(F32), qpad_ref[0].astype(F32))
+    if diag:
+        pad_add = _diag_pad_add(vpad_ref[0].astype(F32), G, Lv)
+        _, cross_mask = _block_masks(
+            M, N, Lv, Lq, vpad_ref[0].astype(F32), qpad_ref[0].astype(F32))
+    else:
+        self_mask, cross_mask = _block_masks(
+            M, N, Lv, Lq, vpad_ref[0].astype(F32), qpad_ref[0].astype(F32))
 
     # ---- self-attention (one qkv matmul, lane-sliced heads) ----
     qkv = _mm(x, wqkv_ref[:]) + bqkv_ref[:]
@@ -299,9 +409,13 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh]
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh]
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
-        p = _softmax_fwd(_mm_bt(qh, kh) * scale + self_mask)
-        pd = drop.att1(p, h)
-        ohs.append(_mm(pd, vh))
+        if diag:
+            _, _, o = _diag_attn_fwd(qh, kh, vh, pad_add, drop.att1, h,
+                                     G, Lv, scale)
+        else:
+            p = _softmax_fwd(_mm_bt(qh, kh) * scale + self_mask)
+            o = _mm(drop.att1(p, h), vh)
+        ohs.append(o)
     atted1 = jnp.concatenate(ohs, axis=1)
     y1 = _mm(atted1, wm1_ref[:]) + bm1_ref[:]
     r1 = x + drop.y1(y1)
@@ -342,20 +456,21 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
 def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                 m1_ref, m2_ref, my1_ref, my2_ref, mh_ref, my3_ref,
                 *rest, heads: int, group: int, scale: float,
-                inv_keep: float):
+                inv_keep: float, diag: bool = False):
+    G, Lv = v_ref.shape[0], v_ref.shape[1]
     drop = _ExtMasks(m1_ref, m2_ref, my1_ref, my2_ref, mh_ref, my3_ref,
-                     inv_keep)
+                     inv_keep, diag1=(G, Lv) if diag else None)
     _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref, *rest,
-              heads=heads, group=group, scale=scale)
+              heads=heads, group=group, scale=scale, diag=diag)
 
 
 def _fwd_kernel_prng(seed_ref, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                      *rest, heads: int, group: int, scale: float,
-                     keep_thresh: int, inv_keep: float):
+                     keep_thresh: int, inv_keep: float, diag: bool = False):
     from jax.experimental import pallas as pl
     drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, inv_keep)
     _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref, *rest,
-              heads=heads, group=group, scale=scale)
+              heads=heads, group=group, scale=scale, diag=diag)
 
 
 # ---------------------------------------------------------------------------
@@ -482,7 +597,8 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                   dln1s_ref, dln1b_ref,
                   dwq2_ref, dbq2_ref, dwm2_ref, dbm2_ref,
                   dln2s_ref, dln2b_ref,
-                  *, heads: int, group: int, scale: float):
+                  *, heads: int, group: int, scale: float,
+                  diag: bool = False):
     G = group
     Lv, D = x_ref.shape[1], x_ref.shape[2]
     Lq = kq_ref.shape[2]
@@ -492,8 +608,13 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     x = x_ref[:].reshape(M, D).astype(F32)
     v1 = v1_ref[:].reshape(M, D).astype(F32)
     gv2 = gv2_ref[:].reshape(M, D).astype(F32)
-    self_mask, cross_mask = _block_masks(
-        M, N, Lv, Lq, vpad_ref[0].astype(F32), qpad_ref[0].astype(F32))
+    if diag:
+        pad_add = _diag_pad_add(vpad_ref[0].astype(F32), G, Lv)
+        _, cross_mask = _block_masks(
+            M, N, Lv, Lq, vpad_ref[0].astype(F32), qpad_ref[0].astype(F32))
+    else:
+        self_mask, cross_mask = _block_masks(
+            M, N, Lv, Lq, vpad_ref[0].astype(F32), qpad_ref[0].astype(F32))
 
     # ---- recompute cross-attention from v1, then backprop it ----
     qx = _mm(v1, wq2_ref[:]) + bq2_ref[:]
@@ -540,11 +661,16 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
         qh = qkv[:, h * Dh:(h + 1) * Dh]
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh]
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
-        p1 = _softmax_fwd(_mm_bt(qh, kh) * scale + self_mask)
-        p1d = drop.att1(p1, h)
+        if diag:
+            p1, p1d, o1 = _diag_attn_fwd(qh, kh, vh, pad_add, drop.att1,
+                                         h, G, Lv, scale)
+        else:
+            p1 = _softmax_fwd(_mm_bt(qh, kh) * scale + self_mask)
+            p1d = drop.att1(p1, h)
+            o1 = _mm(p1d, vh)
         p1s.append(p1)
         p1ds.append(p1d)
-        o1s.append(_mm(p1d, vh))
+        o1s.append(o1)
     atted1 = jnp.concatenate(o1s, axis=1)
     y1 = _mm(atted1, wm1_ref[:]) + bm1_ref[:]
     r1 = x + drop.y1(y1)
@@ -553,11 +679,28 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     dy1 = drop.y1(gr1)
     datted1 = _mm_bt(dy1, wm1_ref[:])
     dq_hs, dk_hs, dv_hs = [], [], []
+    sl = lambda t, g: t[g * Lv:(g + 1) * Lv]
     for h in range(heads):
         qh = qkv[:, h * Dh:(h + 1) * Dh]
         kh = qkv[:, D + h * Dh:D + (h + 1) * Dh]
         vh = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
         do1 = datted1[:, h * Dh:(h + 1) * Dh]
+        if diag:
+            # every [M, M] intermediate shrinks to its [M, Lv] diagonal
+            # blocks (the only nonzero part: p1/p1d/ds1 are block-diag)
+            dp1d = jnp.concatenate(
+                [_mm_bt(sl(do1, g), sl(vh, g)) for g in range(G)], axis=0)
+            dv_hs.append(jnp.concatenate(
+                [_mm_tn(sl(p1ds[h], g), sl(do1, g)) for g in range(G)],
+                axis=0))
+            ds1 = _softmax_bwd(p1s[h], drop.att1(dp1d, h))
+            dq_hs.append(jnp.concatenate(
+                [_mm(sl(ds1, g), sl(kh, g)) for g in range(G)],
+                axis=0) * scale)
+            dk_hs.append(jnp.concatenate(
+                [_mm_tn(sl(ds1, g), sl(qh, g)) for g in range(G)],
+                axis=0) * scale)
+            continue
         dp1d = _mm_bt(do1, vh)                            # [M, M]
         dv_hs.append(jax.lax.dot_general(                 # p1d^T @ do1
             p1ds[h].astype(BF16), do1.astype(BF16),
@@ -597,24 +740,28 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
 def _bwd_att_kernel(x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                     vpad_ref, qpad_ref,
                     m1_ref, m2_ref, my1_ref, my2_ref, *rest,
-                    heads: int, group: int, scale: float, inv_keep: float):
+                    heads: int, group: int, scale: float, inv_keep: float,
+                    diag: bool = False):
     from jax.experimental import pallas as pl
-    drop = _ExtMasks(m1_ref, m2_ref, my1_ref, my2_ref, None, None, inv_keep)
+    G, Lv = x_ref.shape[0], x_ref.shape[1]
+    drop = _ExtMasks(m1_ref, m2_ref, my1_ref, my2_ref, None, None, inv_keep,
+                     diag1=(G, Lv) if diag else None)
     _bwd_att_body(drop, pl.program_id(0), x_ref, v1_ref, kq_ref, vq_ref,
                   gv2_ref, vpad_ref, qpad_ref, *rest,
-                  heads=heads, group=group, scale=scale)
+                  heads=heads, group=group, scale=scale, diag=diag)
 
 
 def _bwd_att_kernel_prng(seed_ref, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                          vpad_ref, qpad_ref, *rest,
                          heads: int, group: int, scale: float,
-                         keep_thresh: int, inv_keep: float):
+                         keep_thresh: int, inv_keep: float,
+                         diag: bool = False):
     from jax.experimental import pallas as pl
     pid = pl.program_id(0)
     drop = _PrngMasks(seed_ref[0], pid, keep_thresh, inv_keep)
     _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                   vpad_ref, qpad_ref, *rest,
-                  heads=heads, group=group, scale=scale)
+                  heads=heads, group=group, scale=scale, diag=diag)
 
 
 # ---------------------------------------------------------------------------
@@ -699,11 +846,13 @@ def _seed_spec():
 
 
 def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
-              inv_keep, prng=None, save_acts=False, save_dtype=F32):
+              inv_keep, prng=None, save_acts=False, save_dtype=F32,
+              diag=False):
     """prng: None for external uint8 masks, else (seed_arr[1] int32,
     keep_thresh) — masks regenerated by the TPU hardware PRNG in-kernel.
     save_acts: additionally emit r3 (f32) and h1d (bf16) so the FFN
-    backward skips its recompute matmuls."""
+    backward skips its recompute matmuls. diag: block-diagonal
+    self-attention (see _diag_attn_fwd)."""
     from jax.experimental import pallas as pl
 
     B, Lv, D = x.shape
@@ -718,7 +867,8 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
     blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, F, H, Dh)
     if prng is None:
         kernel = functools.partial(_fwd_kernel, heads=H, group=G,
-                                   scale=scale, inv_keep=inv_keep)
+                                   scale=scale, inv_keep=inv_keep,
+                                   diag=diag)
         head_specs = [
             per_g(Lv, D),                                   # x
             per_g(H, Lq, Dh), per_g(H, Lq, Dh),             # kq, vq
@@ -733,7 +883,7 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
         seed, keep_thresh = prng
         kernel = functools.partial(_fwd_kernel_prng, heads=H, group=G,
                                    scale=scale, keep_thresh=keep_thresh,
-                                   inv_keep=inv_keep)
+                                   inv_keep=inv_keep, diag=diag)
         head_specs = [
             _seed_spec(),
             per_g(Lv, D),
@@ -874,7 +1024,7 @@ def _bwd_ffn_call_sav(r3, g, h1d, v2, masks, w, *, group, interpret,
 
 
 def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
-                  heads, group, interpret, inv_keep, prng=None):
+                  heads, group, interpret, inv_keep, prng=None, diag=False):
     from jax.experimental import pallas as pl
 
     B, Lv, D = x.shape
@@ -887,7 +1037,8 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
     blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, 1, H, Dh)
     if prng is None:
         kernel = functools.partial(_bwd_att_kernel, heads=H, group=G,
-                                   scale=scale, inv_keep=inv_keep)
+                                   scale=scale, inv_keep=inv_keep,
+                                   diag=diag)
         head_specs = [
             per_g(Lv, D), per_g(Lv, D),                     # x, v1
             per_g(H, Lq, Dh), per_g(H, Lq, Dh),             # kq, vq
@@ -905,7 +1056,7 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
         seed, keep_thresh = prng
         kernel = functools.partial(_bwd_att_kernel_prng, heads=H, group=G,
                                    scale=scale, keep_thresh=keep_thresh,
-                                   inv_keep=inv_keep)
+                                   inv_keep=inv_keep, diag=diag)
         head_specs = [
             _seed_spec(),
             per_g(Lv, D), per_g(Lv, D),
@@ -963,10 +1114,19 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
 # the custom-VJP op
 # ---------------------------------------------------------------------------
 
+def _resolve_diag(diag_att, group):
+    """None -> module default (MCAN_DIAG_SOFTMAX env, on unless 0); G=1
+    has no off-diagonal blocks so the full path IS the diag path."""
+    if group <= 1:
+        return False
+    return _DIAG_ATT if diag_att is None else bool(diag_att)
+
+
 def make_sga_block_train(num_heads: int, group: int = 2,
                          interpret: bool = False, inv_keep: float = 1.0,
                          save_acts: bool = True,
-                         bf16_saves: bool = False):
+                         bf16_saves: bool = False,
+                         diag_att: bool = None):
     """Build the differentiable fused-block op for a fixed config.
 
     Returns f(x, kq, vq, vpad, qpad, masks, w) -> v3 where
@@ -982,10 +1142,13 @@ def make_sga_block_train(num_heads: int, group: int = 2,
     bf16_saves: emit the backward-only saves v1/v2/r3 and the
     inter-kernel gradient gv2 in bf16 (half their HBM traffic; the block
     output v3 and the dx/dkq/dvq cotangents stay f32).
+    diag_att: block-diagonal self-attention softmax/matmuls
+    (bitwise-identical math, ~G x less work; None = MCAN_DIAG_SOFTMAX
+    env default).
     """
     save_dtype = BF16 if bf16_saves else F32
     kw = dict(heads=num_heads, group=group, interpret=interpret,
-              inv_keep=inv_keep)
+              inv_keep=inv_keep, diag=_resolve_diag(diag_att, group))
 
     @jax.custom_vjp
     def f(x, kq, vq, vpad, qpad, masks, w):
@@ -1044,7 +1207,8 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
                           inv_keep: float = 1.0,
                           interpret: bool = False,
                           save_acts: bool = True,
-                          bf16_saves: bool = False):
+                          bf16_saves: bool = False,
+                          diag_att: bool = None):
     """Convenience wrapper: takes the standard bool [B,1,1,L] pad masks.
 
     w from prepare_sga_train_params (weights may be pre-cast to bf16 by the
@@ -1058,7 +1222,8 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
     vpad = _flat_pad(v_mask, B, G, Lv)
     qpad = _flat_pad(q_mask, B, G, Lq)
     f = make_sga_block_train(num_heads, G, interpret, inv_keep,
-                             save_acts=save_acts, bf16_saves=bf16_saves)
+                             save_acts=save_acts, bf16_saves=bf16_saves,
+                             diag_att=diag_att)
     return f(x, kq, vq, vpad, qpad, masks, w)
 
 
@@ -1080,7 +1245,8 @@ def prng_keep_params(rate: float):
 
 def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
                               save_acts: bool = True,
-                              bf16_saves: bool = False):
+                              bf16_saves: bool = False,
+                              diag_att: bool = None):
     """PRNG-dropout fused block: f(x, kq, vq, vpad, qpad, seed, w) -> v3.
 
     seed is an int32 [1] array; each dropout site reseeds the hardware
@@ -1088,12 +1254,15 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
     regenerate the exact forward masks — zero mask bytes cross HBM.
     TPU-only (the Mosaic PRNG has no interpret-mode lowering); the
     external-mask path (make_sga_block_train) stays the CPU-testable
-    reference. save_acts as in make_sga_block_train.
+    reference. save_acts / diag_att as in make_sga_block_train. NOTE:
+    under diag_att the att1 PRNG bits are drawn on the [M, Lv] diagonal
+    layout, so a given seed yields a different (equally valid) dropout
+    draw than the full-width path — dump_prng_masks(diag=...) matches.
     """
     keep_thresh, inv_keep = prng_keep_params(rate)
     save_dtype = BF16 if bf16_saves else F32
     kw = dict(heads=num_heads, group=group, interpret=False,
-              inv_keep=inv_keep)
+              inv_keep=inv_keep, diag=_resolve_diag(diag_att, group))
 
     @jax.custom_vjp
     def f(x, kq, vq, vpad, qpad, seed, w):
@@ -1133,8 +1302,14 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
 
 
 def _mask_dump_kernel(seed_ref, att1_ref, att2_ref, y1_ref, y2_ref,
-                      h1_ref, y3_ref, *, heads: int, keep_thresh: int):
-    """Write the exact masks the PRNG kernels generate (validation aid)."""
+                      h1_ref, y3_ref, *, heads: int, keep_thresh: int,
+                      diag: bool = False, group: int = 1):
+    """Write the exact masks the PRNG kernels generate (validation aid).
+
+    diag: the att1 bits are drawn on the [M, Lv] diagonal layout (what
+    the diag kernels consume) and scattered onto the [M, M] output's
+    diagonal blocks with 1s elsewhere — the off-diagonal entries are
+    never consumed (those attention probabilities are exactly 0)."""
     from jax.experimental import pallas as pl
     drop = _PrngMasks(seed_ref[0], pl.program_id(0), keep_thresh, 1.0)
 
@@ -1147,8 +1322,14 @@ def _mask_dump_kernel(seed_ref, att1_ref, att2_ref, y1_ref, y2_ref,
 
     M = y1_ref.shape[1]
     N = att2_ref.shape[3]
+    L = M // group
     for h in range(heads):
-        att1_ref[0, h] = keep(_SITE_ATT1 + h, (M, M))
+        if diag:
+            att1_ref[0, h] = _scatter_diag(
+                keep(_SITE_ATT1 + h, (M, L)).astype(F32), group, L,
+                fill=1.0).astype(jnp.int8)
+        else:
+            att1_ref[0, h] = keep(_SITE_ATT1 + h, (M, M))
         att2_ref[0, h] = keep(_SITE_ATT2 + h, (M, N))
     y1_ref[0] = keep(_SITE_Y1, y1_ref.shape[1:])
     y2_ref[0] = keep(_SITE_Y2, y2_ref.shape[1:])
@@ -1156,10 +1337,11 @@ def _mask_dump_kernel(seed_ref, att1_ref, att2_ref, y1_ref, y2_ref,
     y3_ref[0] = keep(_SITE_Y3, y3_ref.shape[1:])
 
 
-def dump_prng_masks(seed, rate, B, Lv, Lq, D, F, H, group):
+def dump_prng_masks(seed, rate, B, Lv, Lq, D, F, H, group, diag_att=None):
     """The masks the PRNG-dropout kernels will generate for this seed, in
     make_dropout_masks packed layout (int8). TPU-only; used to validate
-    the in-kernel PRNG path against the external-mask path."""
+    the in-kernel PRNG path against the external-mask path. diag_att must
+    match the kernel build being validated (None = module default)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1172,7 +1354,8 @@ def dump_prng_masks(seed, rate, B, Lv, Lq, D, F, H, group):
         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_mask_dump_kernel, heads=H,
-                          keep_thresh=keep_thresh),
+                          keep_thresh=keep_thresh,
+                          diag=_resolve_diag(diag_att, G), group=G),
         grid=(nb,),
         in_specs=[_seed_spec()],
         out_specs=[blk((H, M, M)), blk((H, M, N)), blk((M, D)),
@@ -1194,7 +1377,8 @@ def dump_prng_masks(seed, rate, B, Lv, Lq, D, F, H, group):
 def fused_sga_block_train_prng(x, kq, vq, v_mask, q_mask, seed, w, *,
                                num_heads: int, group: int = 2,
                                rate: float = 0.1,
-                               bf16_saves: bool = False):
+                               bf16_saves: bool = False,
+                               diag_att: bool = None):
     """fused_sga_block_train with in-kernel PRNG dropout (TPU only).
 
     seed: int32 [1] array, distinct per (step, layer)."""
@@ -1206,5 +1390,6 @@ def fused_sga_block_train_prng(x, kq, vq, v_mask, q_mask, seed, w, *,
     vpad = _flat_pad(v_mask, B, G, Lv)
     qpad = _flat_pad(q_mask, B, G, Lq)
     f = make_sga_block_train_prng(num_heads, G, rate,
-                                  bf16_saves=bf16_saves)
+                                  bf16_saves=bf16_saves,
+                                  diag_att=diag_att)
     return f(x, kq, vq, vpad, qpad, seed, w)

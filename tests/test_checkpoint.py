@@ -409,7 +409,11 @@ class TestAsyncCheckpointSaver:
                                  run_mode="train")
         state = Trainer(cfg, train_dataset=ds).train()
         root = tmp_path / "ckpts" / f"ckpt_{cfg.version}"
-        assert sorted(p.name for p in root.iterdir()) == ["epoch1", "epoch2"]
+        # epoch dirs plus the end-of-train calibration sidecar
+        # (epoch<last>.act_scales.json — Trainer._save_act_scales)
+        names = sorted(p.name for p in root.iterdir())
+        assert [n for n in names if not n.endswith(".act_scales.json")] \
+            == ["epoch1", "epoch2"]
         restored = ckpt.restore_checkpoint(str(tmp_path / "ckpts"),
                                            cfg.version, 2)
         assert int(restored["step"]) == int(state.step)

@@ -114,8 +114,12 @@ class TestReferenceRecipe:
         # ---- per-epoch checkpoints exist (reference README promises them,
         # README.md:122-126, though its code saved only the last) ----
         ckdir = os.path.join(cfg.ckpts_dir, f"ckpt_{cfg.version}")
-        saved = sorted(os.listdir(ckdir))
+        saved = sorted(n for n in os.listdir(ckdir)
+                       if not n.endswith(".act_scales.json"))
         assert len(saved) == 13, saved
+        # the end-of-train serving-calibration sidecar rides the last epoch
+        assert os.path.exists(os.path.join(ckdir,
+                                           "epoch13.act_scales.json"))
 
         # persist the curve so humans (and the judge) can inspect it
         out = os.path.join(cfg.result_path, "accuracy_vs_epoch.json")

@@ -112,26 +112,52 @@ def _reference_block(x, kq, vq, v_mask, q_mask, masks, w, inv_keep):
 
 
 def _fused(x, kq, vq, v_mask, q_mask, masks, w, inv_keep,
-           save_acts=True, bf16_saves=False):
+           save_acts=True, bf16_saves=False, diag_att=None):
     return st.fused_sga_block_train(
         x, kq, vq, v_mask, q_mask, masks, w,
         num_heads=H, group=G, inv_keep=inv_keep, interpret=True,
-        save_acts=save_acts, bf16_saves=bf16_saves)
+        save_acts=save_acts, bf16_saves=bf16_saves, diag_att=diag_att)
 
 
+@pytest.mark.parametrize("diag", [False, True])
 @pytest.mark.parametrize("rate", [0.0, 0.25])
-def test_forward_matches_reference(rate):
+def test_forward_matches_reference(rate, diag):
     x, kq, vq, vm, qm, masks, w, inv = _make_inputs(0, rate)
-    got = _fused(x, kq, vq, vm, qm, masks, w, inv)
+    got = _fused(x, kq, vq, vm, qm, masks, w, inv, diag_att=diag)
     want = _reference_block(x, kq, vq, vm, qm, masks, w, inv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=2e-4)
 
 
-@pytest.mark.parametrize("rate,save_acts,bf16_saves",
-                         [(0.0, True, False), (0.25, True, False),
-                          (0.25, False, False), (0.25, True, True)])
-def test_gradients_match_reference(rate, save_acts, bf16_saves):
+def test_diag_softmax_bitwise_equals_full_width():
+    """The block-diagonal self-attention path is EXACTLY the full-width
+    packed path (off-diagonal probabilities underflow to +0.0), forward
+    and gradients, for the same external masks."""
+    x, kq, vq, vm, qm, masks, w, inv = _make_inputs(3, 0.25)
+    probe = jax.random.normal(jax.random.PRNGKey(7), (B, Lv, D))
+
+    def loss(diag):
+        def f(x, kq, vq, w):
+            return jnp.sum(_fused(x, kq, vq, vm, qm, masks, w, inv,
+                                  diag_att=diag) * probe)
+        return f
+
+    out_d = _fused(x, kq, vq, vm, qm, masks, w, inv, diag_att=True)
+    out_f = _fused(x, kq, vq, vm, qm, masks, w, inv, diag_att=False)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_f))
+    gd = jax.grad(loss(True), argnums=(0, 1, 2, 3))(x, kq, vq, w)
+    gf = jax.grad(loss(False), argnums=(0, 1, 2, 3))(x, kq, vq, w)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("rate,save_acts,bf16_saves,diag",
+                         [(0.0, True, False, False),
+                          (0.25, True, False, False),
+                          (0.25, True, False, True),
+                          (0.25, False, False, True),
+                          (0.25, True, True, True)])
+def test_gradients_match_reference(rate, save_acts, bf16_saves, diag):
     # bf16_saves quantizes the backward-only saves (v1/v2/r3) and gv2 to
     # bf16 — a ~0.4% relative perturbation well inside the 3e-2 gate the
     # bf16-matmul kernels already need.
@@ -141,7 +167,8 @@ def test_gradients_match_reference(rate, save_acts, bf16_saves):
     def loss_fused(x, kq, vq, w):
         return jnp.sum(_fused(x, kq, vq, vm, qm, masks, w, inv,
                               save_acts=save_acts,
-                              bf16_saves=bf16_saves) * probe)
+                              bf16_saves=bf16_saves,
+                              diag_att=diag) * probe)
 
     def loss_ref(x, kq, vq, w):
         return jnp.sum(
