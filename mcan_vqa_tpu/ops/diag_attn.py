@@ -52,10 +52,25 @@ def use_diag(G: int, L: int, enabled: bool = None) -> bool:
 def diag_pad_add(pad, G: int, L: int):
     """pad [1, G*L] f32 (1 at padded key positions) -> additive [G*L, L]
     mask for the block-diagonal softmax (sample g's rows see only sample
-    g's key padding)."""
-    return jnp.concatenate(
-        [jnp.broadcast_to(pad[:, g * L:(g + 1) * L], (L, L))
-         for g in range(G)], axis=0) * _NEG_INF
+    g's key padding).
+
+    Mosaic-safe: sample g's pad lanes sit at offset g*L, and unaligned
+    lane slices fail the real TPU compiler ("Invalid input layout" —
+    tools/probe_mosaic_diag.py), so they are gathered with an iota-built
+    one-hot f32 matmul (exact: each output element sums exactly one
+    x*1.0 product) and broadcast from the offset-0 [1, L] result."""
+    if G == 1:
+        return jnp.broadcast_to(pad, (L, L)) * _NEG_INF
+    M = G * L
+    k = jax.lax.broadcasted_iota(jnp.int32, (M, L), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (M, L), 1)
+    rows = []
+    for g in range(G):
+        sel = (k == j + g * L).astype(jnp.float32)       # [M, L] one-hot
+        pg = jax.lax.dot_general(pad, sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rows.append(jnp.broadcast_to(pg, (L, L)))
+    return jnp.concatenate(rows, axis=0) * _NEG_INF
 
 
 def diag_sdpa(qh, kh, vh, pad_add, G: int, L: int, scale: float,

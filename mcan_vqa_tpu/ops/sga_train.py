@@ -282,11 +282,28 @@ _DIAG_ATT = os.environ.get("MCAN_DIAG_SOFTMAX", "1") == "1"
 
 
 def _diag_blocks(s, G, L):
-    """[G*L, G*L] -> [G*L, L]: stack each sample's diagonal block."""
+    """[G*L, G*L] -> [G*L, L]: stack each sample's diagonal block.
+
+    Mosaic-safe: unaligned LANE slices (offset g*L, L=100 not a multiple
+    of 128) fail to compile ("Invalid input layout",
+    tools/probe_mosaic_diag.py), so columns are extracted with an
+    iota-built one-hot f32 matmul — exact (each output element sums
+    exactly one x*1.0 product; 1.0 has no bf16 low part, so the MXU's
+    split-f32 passes reconstruct x bit-exactly). Sublane (row) slices at
+    unaligned offsets DO compile and stay plain slices."""
     if G == 1:
         return s
-    return jnp.concatenate(
-        [s[g * L:(g + 1) * L, g * L:(g + 1) * L] for g in range(G)], axis=0)
+    M = G * L
+    k = jax.lax.broadcasted_iota(jnp.int32, (M, L), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (M, L), 1)
+    out = []
+    for g in range(G):
+        sel = (k == j + g * L).astype(jnp.float32)       # [M, L] one-hot
+        out.append(jax.lax.dot_general(
+            s[g * L:(g + 1) * L, :].astype(jnp.float32), sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(s.dtype))
+    return jnp.concatenate(out, axis=0)
 
 
 def _scatter_diag(p, G, L, fill=0.0):
@@ -310,10 +327,24 @@ def _scatter_diag(p, G, L, fill=0.0):
 def _diag_pad_add(pad, G, L):
     """pad [1, G*L] f32 (1 at padded key positions) -> additive [G*L, L]
     mask for the block-diagonal softmax (sample g's rows see only sample
-    g's key padding)."""
-    return jnp.concatenate(
-        [jnp.broadcast_to(pad[:, g * L:(g + 1) * L], (L, L))
-         for g in range(G)], axis=0) * _NEG_INF
+    g's key padding).
+
+    Mosaic-safe: sample g's pad lanes sit at offset g*L, and unaligned
+    lane slices don't compile (tools/probe_mosaic_diag.py) — gather them
+    with an iota-built one-hot matmul (exact: one x*1.0 product per
+    output element), then broadcast from the offset-0 [1, L] result."""
+    if G == 1:
+        return jnp.broadcast_to(pad, (L, L)) * _NEG_INF
+    M = G * L
+    k = jax.lax.broadcasted_iota(jnp.int32, (M, L), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (M, L), 1)
+    rows = []
+    for g in range(G):
+        sel = (k == j + g * L).astype(jnp.float32)       # [M, L] one-hot
+        pg = jax.lax.dot_general(pad, sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rows.append(jnp.broadcast_to(pg, (L, L)))
+    return jnp.concatenate(rows, axis=0) * _NEG_INF
 
 
 def _diag_attn_fwd(qh, kh, vh, pad_add, drop_fn, h, G, L, scale):
