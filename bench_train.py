@@ -62,6 +62,9 @@ def main() -> None:
     # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
     kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"
     bf16_saves = os.environ.get("BENCH_BF16_SAVES", "0") == "1"
+    # decoder attention backward from saved qkv/qx/r1/r2 instead of the
+    # 6*D^2 per-token projection recompute (ops/sga_train att_saves)
+    att_saves = os.environ.get("BENCH_ATT_SAVES", "0") == "1"
     # encoder SA stack through the fused custom-VJP blocks. r2 (emission
     # kernels): slightly slower than XLA (44.1 vs 43.4 ms). r3 (in-kernel
     # dW): WINS — same-session 6,781 (XLA) / 7,001 (G=8) / 7,129 (G=16)
@@ -153,7 +156,8 @@ def main() -> None:
                 cfg.layer, cfg.multi_head, dropout_rate=cfg.dropout_rate,
                 dropout_bits=dropout_bits, group=fused_block,
                 in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa,
-                encoder_group=enc_group, bf16_saves=bf16_saves)
+                encoder_group=enc_group, bf16_saves=bf16_saves,
+                att_saves=att_saves)
 
         def loss_fn(params, batch, rng):
             logits = fwd(params, batch["img"], batch.get("ques"), rng)
@@ -252,6 +256,8 @@ def main() -> None:
         **({"fused_block": fused_block} if fused_block else {}),
         **({"kernel_dropout": True} if kernel_dropout else {}),
         **({"fused_sa": fused_sa_raw} if fused_block and fused_sa else {}),
+        **({"att_saves": True} if att_saves else {}),
+        **({"bf16_saves": True} if bf16_saves else {}),
         **({"flat_opt": True} if flat_opt else {}),
         **({"diag_softmax": True}
            if os.environ.get("MCAN_DIAG_SOFTMAX", "1") == "1" else {}),

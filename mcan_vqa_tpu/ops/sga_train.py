@@ -417,6 +417,7 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
               wq2_ref, bq2_ref, wm2_ref, bm2_ref, ln2s_ref, ln2b_ref,
               w1_ref, b1_ref, w2_ref, b2_ref, ln3s_ref, ln3b_ref,
               v3_ref, v1_ref, v2_ref, r3_ref=None, h1d_ref=None,
+              qkv_ref=None, qx_ref=None, r1_ref=None, r2_ref=None,
               *, heads: int, group: int, scale: float, diag: bool = False):
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
@@ -482,6 +483,14 @@ def _fwd_body(drop, v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         # matmuls (a1 and y3) — see _bwd_ffn_body_sav
         r3_ref[:] = r3.reshape(G, Lv, D).astype(r3_ref.dtype)
         h1d_ref[:] = h1d.reshape(G, Lv, -1).astype(h1d_ref.dtype)
+    if qkv_ref is not None:
+        # att-saves mode: the attention backward then skips its 6*D^2
+        # per-token projection recompute (qkv, both merges, cross-q) —
+        # see _bwd_att_body with sav_refs
+        qkv_ref[:] = qkv.reshape(G, Lv, 3 * D).astype(qkv_ref.dtype)
+        qx_ref[:] = qx.reshape(G, Lv, D).astype(qx_ref.dtype)
+        r1_ref[:] = r1.reshape(G, Lv, D).astype(r1_ref.dtype)
+        r2_ref[:] = r2.reshape(G, Lv, D).astype(r2_ref.dtype)
 
 
 def _fwd_kernel(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
@@ -629,7 +638,7 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
                   dwq2_ref, dbq2_ref, dwm2_ref, dbm2_ref,
                   dln2s_ref, dln2b_ref,
                   *, heads: int, group: int, scale: float,
-                  diag: bool = False):
+                  diag: bool = False, sav_refs=None):
     G = group
     Lv, D = x_ref.shape[1], x_ref.shape[2]
     Lq = kq_ref.shape[2]
@@ -639,6 +648,12 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     x = x_ref[:].reshape(M, D).astype(F32)
     v1 = v1_ref[:].reshape(M, D).astype(F32)
     gv2 = gv2_ref[:].reshape(M, D).astype(F32)
+    if sav_refs is not None:
+        # att-saves mode: qkv/qx/r1/r2 were saved by the forward — the
+        # 6*D^2 per-token projection recompute below is skipped; only
+        # the cheap score/softmax/PV recompute remains (needed for the
+        # attention-probability cotangents and the dW inputs).
+        qkv_s, qx_s, r1_s, r2_s = sav_refs
     if diag:
         pad_add = _diag_pad_add(vpad_ref[0].astype(F32), G, Lv)
         _, cross_mask = _block_masks(
@@ -648,7 +663,10 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
             M, N, Lv, Lq, vpad_ref[0].astype(F32), qpad_ref[0].astype(F32))
 
     # ---- recompute cross-attention from v1, then backprop it ----
-    qx = _mm(v1, wq2_ref[:]) + bq2_ref[:]
+    if sav_refs is None:
+        qx = _mm(v1, wq2_ref[:]) + bq2_ref[:]
+    else:
+        qx = qx_s[:].reshape(M, D).astype(F32)
     p2ds, o2s = [], []
     p2s = []
     for h in range(heads):
@@ -660,8 +678,11 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
         p2ds.append(p2d)
         o2s.append(_mm(p2d, vq_ref[:, h].reshape(N, Dh)))
     atted2 = jnp.concatenate(o2s, axis=1)
-    y2 = _mm(atted2, wm2_ref[:]) + bm2_ref[:]
-    r2 = v1 + drop.y2(y2)
+    if sav_refs is None:
+        y2 = _mm(atted2, wm2_ref[:]) + bm2_ref[:]
+        r2 = v1 + drop.y2(y2)
+    else:
+        r2 = r2_s[:].reshape(M, D).astype(F32)
 
     gr2, u2 = _ln_bwd_u(gv2, r2, ln2s_ref[:])
     dy2 = drop.y2(gr2)
@@ -686,7 +707,10 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
     gv1 = gr2 + _mm_bt(dqx, wq2_ref[:])
 
     # ---- recompute self-attention from x, then backprop it ----
-    qkv = _mm(x, wqkv_ref[:]) + bqkv_ref[:]
+    if sav_refs is None:
+        qkv = _mm(x, wqkv_ref[:]) + bqkv_ref[:]
+    else:
+        qkv = qkv_s[:].reshape(M, 3 * D).astype(F32)
     p1s, p1ds, o1s = [], [], []
     for h in range(heads):
         qh = qkv[:, h * Dh:(h + 1) * Dh]
@@ -703,8 +727,11 @@ def _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
         p1ds.append(p1d)
         o1s.append(o1)
     atted1 = jnp.concatenate(o1s, axis=1)
-    y1 = _mm(atted1, wm1_ref[:]) + bm1_ref[:]
-    r1 = x + drop.y1(y1)
+    if sav_refs is None:
+        y1 = _mm(atted1, wm1_ref[:]) + bm1_ref[:]
+        r1 = x + drop.y1(y1)
+    else:
+        r1 = r1_s[:].reshape(M, D).astype(F32)
 
     gr1, u1 = _ln_bwd_u(gv1, r1, ln1s_ref[:])
     dy1 = drop.y1(gr1)
@@ -878,12 +905,16 @@ def _seed_spec():
 
 def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
               inv_keep, prng=None, save_acts=False, save_dtype=F32,
-              diag=False):
+              diag=False, att_saves=False):
     """prng: None for external uint8 masks, else (seed_arr[1] int32,
     keep_thresh) — masks regenerated by the TPU hardware PRNG in-kernel.
     save_acts: additionally emit r3 (f32) and h1d (bf16) so the FFN
-    backward skips its recompute matmuls. diag: block-diagonal
-    self-attention (see _diag_attn_fwd)."""
+    backward skips its recompute matmuls. att_saves (requires save_acts):
+    additionally emit qkv/qx/r1/r2 so the attention backward skips its
+    projection recompute matmuls. diag: block-diagonal self-attention
+    (see _diag_attn_fwd)."""
+    if att_saves and not save_acts:
+        raise ValueError("att_saves requires save_acts (output ordering)")
     from jax.experimental import pallas as pl
 
     B, Lv, D = x.shape
@@ -935,6 +966,12 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
         out_specs += [per_g(Lv, D), per_g(Lv, F)]
         out_shape += [jax.ShapeDtypeStruct((B, Lv, D), save_dtype),  # r3
                       jax.ShapeDtypeStruct((B, Lv, F), BF16)]        # h1d
+    if att_saves:
+        out_specs += [per_g(Lv, 3 * D)] + [per_g(Lv, D)] * 3
+        out_shape += [jax.ShapeDtypeStruct((B, Lv, 3 * D), save_dtype),
+                      jax.ShapeDtypeStruct((B, Lv, D), save_dtype),  # qx
+                      jax.ShapeDtypeStruct((B, Lv, D), save_dtype),  # r1
+                      jax.ShapeDtypeStruct((B, Lv, D), save_dtype)]  # r2
     out = pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -1141,6 +1178,138 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
     return outs  # (dx, dkq, dvq, + 12 weight-grad pieces)
 
 
+def _bwd_att_kernel_sav(x_ref, v1_ref, qkv_ref, qx_ref, r1_ref, r2_ref,
+                        kq_ref, vq_ref, gv2_ref, vpad_ref, qpad_ref,
+                        m1_ref, m2_ref, my1_ref, my2_ref,
+                        wqkv_ref, wm1_ref, ln1s_ref,
+                        wq2_ref, wm2_ref, ln2s_ref, *outs,
+                        heads: int, group: int, scale: float,
+                        inv_keep: float, diag: bool = False):
+    from jax.experimental import pallas as pl
+    G, Lv = x_ref.shape[0], x_ref.shape[1]
+    drop = _ExtMasks(m1_ref, m2_ref, my1_ref, my2_ref, None, None, inv_keep,
+                     diag1=(G, Lv) if diag else None)
+    _bwd_att_body(drop, pl.program_id(0), x_ref, v1_ref, kq_ref, vq_ref,
+                  gv2_ref, vpad_ref, qpad_ref,
+                  wqkv_ref, None, wm1_ref, None, ln1s_ref,
+                  wq2_ref, None, wm2_ref, None, ln2s_ref, *outs,
+                  heads=heads, group=group, scale=scale, diag=diag,
+                  sav_refs=(qkv_ref, qx_ref, r1_ref, r2_ref))
+
+
+def _bwd_att_kernel_sav_prng(seed_ref, x_ref, v1_ref, qkv_ref, qx_ref,
+                             r1_ref, r2_ref, kq_ref, vq_ref, gv2_ref,
+                             vpad_ref, qpad_ref, *rest,
+                             heads: int, group: int, scale: float,
+                             keep_thresh: int, inv_keep: float,
+                             diag: bool = False):
+    from jax.experimental import pallas as pl
+    pid = pl.program_id(0)
+    drop = _PrngMasks(seed_ref[0], pid, keep_thresh, inv_keep)
+    wqkv_ref, wm1_ref, ln1s_ref, wq2_ref, wm2_ref, ln2s_ref = rest[:6]
+    _bwd_att_body(drop, pid, x_ref, v1_ref, kq_ref, vq_ref,
+                  gv2_ref, vpad_ref, qpad_ref,
+                  wqkv_ref, None, wm1_ref, None, ln1s_ref,
+                  wq2_ref, None, wm2_ref, None, ln2s_ref, *rest[6:],
+                  heads=heads, group=group, scale=scale, diag=diag,
+                  sav_refs=(qkv_ref, qx_ref, r1_ref, r2_ref))
+
+
+def _bwd_att_call_sav(x, v1, qkv, qx, r1, r2, kq, vq, gv2, vpad, qpad,
+                      masks, w, *, heads, group, interpret, inv_keep,
+                      prng=None, diag=False):
+    """Attention backward from SAVED qkv/qx/r1/r2 (no projection
+    recompute matmuls; biases not needed). x and v1 remain inputs as the
+    dwqkv / dwq2 matmul operands."""
+    from jax.experimental import pallas as pl
+
+    B, Lv, D = x.shape
+    Lq = kq.shape[2]
+    Dh = D // heads
+    H = heads
+    G = group
+    M, N = G * Lv, G * Lq
+    scale = 1.0 / (Dh ** 0.5)
+    blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, 1, H, Dh)
+    sav_specs = [per_g(Lv, 3 * D), per_g(Lv, D),
+                 per_g(Lv, D), per_g(Lv, D)]          # qkv, qx, r1, r2
+    if prng is None:
+        kernel = functools.partial(_bwd_att_kernel_sav, heads=H, group=G,
+                                   scale=scale, inv_keep=inv_keep,
+                                   diag=diag)
+        head_specs = [
+            per_g(Lv, D), per_g(Lv, D),                     # x, v1
+            *sav_specs,
+            per_g(H, Lq, Dh), per_g(H, Lq, Dh),             # kq, vq
+            per_g(Lv, D),                                   # gv2
+            blk((1, 1, M), lambda b: (b, 0, 0)),            # vpad
+            blk((1, 1, N), lambda b: (b, 0, 0)),            # qpad
+            blk((1, H, M, M), lambda b: (b, 0, 0, 0)),      # att1
+            blk((1, H, M, N), lambda b: (b, 0, 0, 0)),      # att2
+            blk((1, M, D), lambda b: (b, 0, 0)),            # y1
+            blk((1, M, D), lambda b: (b, 0, 0)),            # y2
+        ]
+        head_ops = (x, v1, qkv, qx, r1, r2, kq, vq, gv2, vpad, qpad,
+                    masks["att1"], masks["att2"], masks["y1"], masks["y2"])
+    else:
+        seed, keep_thresh = prng
+        kernel = functools.partial(_bwd_att_kernel_sav_prng, heads=H,
+                                   group=G, scale=scale,
+                                   keep_thresh=keep_thresh,
+                                   inv_keep=inv_keep, diag=diag)
+        head_specs = [
+            _seed_spec(),
+            per_g(Lv, D), per_g(Lv, D),
+            *sav_specs,
+            per_g(H, Lq, Dh), per_g(H, Lq, Dh),
+            per_g(Lv, D),
+            blk((1, 1, M), lambda b: (b, 0, 0)),
+            blk((1, 1, N), lambda b: (b, 0, 0)),
+        ]
+        head_ops = (seed, x, v1, qkv, qx, r1, r2, kq, vq, gv2, vpad, qpad)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=head_specs + [
+            rep((D, 3 * D)),                                # wqkv
+            rep((D, D)), rep((D,)),                         # wm1, ln1_s
+            rep((D, D)),                                    # wq2
+            rep((D, D)), rep((D,)),                         # wm2, ln2_s
+        ],
+        out_specs=[
+            per_g(Lv, D),                                   # dx
+            per_g(H, Lq, Dh), per_g(H, Lq, Dh),             # dkq, dvq
+            rep((D, 3 * D)), rep((1, 3 * D)),               # dwqkv, dbqkv
+            rep((D, D)), rep((1, D)),                       # dwm1, dbm1
+            rep((1, D)), rep((1, D)),                       # dln1s, dln1b
+            rep((D, D)), rep((1, D)),                       # dwq2, dbq2
+            rep((D, D)), rep((1, D)),                       # dwm2, dbm2
+            rep((1, D)), rep((1, D)),                       # dln2s, dln2b
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lv, D), F32),
+            jax.ShapeDtypeStruct((B, H, Lq, Dh), F32),
+            jax.ShapeDtypeStruct((B, H, Lq, Dh), F32),
+            jax.ShapeDtypeStruct((D, 3 * D), F32),
+            jax.ShapeDtypeStruct((1, 3 * D), F32),
+            jax.ShapeDtypeStruct((D, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((D, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((D, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+            jax.ShapeDtypeStruct((1, D), F32),
+        ],
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(*head_ops,
+      w["wqkv"], w["wm1"], w["ln1_s"], w["wq2"], w["wm2"], w["ln2_s"])
+    return outs  # (dx, dkq, dvq, + 12 weight-grad pieces)
+
+
 # ---------------------------------------------------------------------------
 # the custom-VJP op
 # ---------------------------------------------------------------------------
@@ -1157,7 +1326,8 @@ def make_sga_block_train(num_heads: int, group: int = 2,
                          interpret: bool = False, inv_keep: float = 1.0,
                          save_acts: bool = True,
                          bf16_saves: bool = False,
-                         diag_att: bool = None):
+                         diag_att: bool = None,
+                         att_saves: bool = False):
     """Build the differentiable fused-block op for a fixed config.
 
     Returns f(x, kq, vq, vpad, qpad, masks, w) -> v3 where
@@ -1170,6 +1340,10 @@ def make_sga_block_train(num_heads: int, group: int = 2,
     save_acts: the forward additionally saves r3/h1d so the FFN backward
     skips its recompute matmuls (trades ~1 ms HBM for ~4 ms MXU at
     MCAN-small B=256); False restores the pure-recompute backward.
+    att_saves (requires save_acts): the forward additionally saves
+    qkv/qx/r1/r2 so the attention backward skips its 6*D^2 per-token
+    projection recompute (only the cheap score/softmax/PV recompute
+    remains).
     bf16_saves: emit the backward-only saves v1/v2/r3 and the
     inter-kernel gradient gv2 in bf16 (half their HBM traffic; the block
     output v3 and the dx/dkq/dvq cotangents stay f32).
@@ -1188,13 +1362,16 @@ def make_sga_block_train(num_heads: int, group: int = 2,
 
     def f_fwd(x, kq, vq, vpad, qpad, masks, w):
         outs = _fwd_call(x, kq, vq, vpad, qpad, masks, w,
-                         save_acts=save_acts, save_dtype=save_dtype, **kw)
+                         save_acts=save_acts, save_dtype=save_dtype,
+                         att_saves=att_saves, **kw)
         v3, v1, v2 = outs[:3]
         r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
-        return v3, (x, kq, vq, vpad, qpad, masks, w, v1, v2, r3, h1d)
+        att_sav = tuple(outs[5:9]) if att_saves else None
+        return v3, (x, kq, vq, vpad, qpad, masks, w, v1, v2, r3, h1d,
+                    att_sav)
 
     def f_bwd(res, g):
-        x, kq, vq, vpad, qpad, masks, w, v1, v2, r3, h1d = res
+        x, kq, vq, vpad, qpad, masks, w, v1, v2, r3, h1d, att_sav = res
         if save_acts:
             gv2, *ffn_dw = _bwd_ffn_call_sav(
                 r3, g, h1d, v2, masks, w, group=group, interpret=interpret,
@@ -1203,8 +1380,14 @@ def make_sga_block_train(num_heads: int, group: int = 2,
             gv2, *ffn_dw = _bwd_ffn_call(
                 v2, g, masks, w, group=group, interpret=interpret,
                 inv_keep=inv_keep, save_dtype=save_dtype)
-        dx, dkq, dvq, *att_dw = _bwd_att_call(
-            x, v1, kq, vq, gv2, vpad, qpad, masks, w, **kw)
+        if att_saves:
+            qkv, qx, r1, r2 = att_sav
+            dx, dkq, dvq, *att_dw = _bwd_att_call_sav(
+                x, v1, qkv, qx, r1, r2, kq, vq, gv2, vpad, qpad, masks, w,
+                **kw)
+        else:
+            dx, dkq, dvq, *att_dw = _bwd_att_call(
+                x, v1, kq, vq, gv2, vpad, qpad, masks, w, **kw)
         dw = _assemble_dw(att_dw, ffn_dw)
         f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)
         return (dx, dkq, dvq, f0(vpad), f0(qpad),
@@ -1239,7 +1422,8 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
                           interpret: bool = False,
                           save_acts: bool = True,
                           bf16_saves: bool = False,
-                          diag_att: bool = None):
+                          diag_att: bool = None,
+                          att_saves: bool = False):
     """Convenience wrapper: takes the standard bool [B,1,1,L] pad masks.
 
     w from prepare_sga_train_params (weights may be pre-cast to bf16 by the
@@ -1254,7 +1438,7 @@ def fused_sga_block_train(x, kq, vq, v_mask, q_mask, masks, w, *,
     qpad = _flat_pad(q_mask, B, G, Lq)
     f = make_sga_block_train(num_heads, G, interpret, inv_keep,
                              save_acts=save_acts, bf16_saves=bf16_saves,
-                             diag_att=diag_att)
+                             diag_att=diag_att, att_saves=att_saves)
     return f(x, kq, vq, vpad, qpad, masks, w)
 
 
@@ -1277,7 +1461,8 @@ def prng_keep_params(rate: float):
 def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
                               save_acts: bool = True,
                               bf16_saves: bool = False,
-                              diag_att: bool = None):
+                              diag_att: bool = None,
+                              att_saves: bool = False):
     """PRNG-dropout fused block: f(x, kq, vq, vpad, qpad, seed, w) -> v3.
 
     seed is an int32 [1] array; each dropout site reseeds the hardware
@@ -1304,13 +1489,15 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
     def f_fwd(x, kq, vq, vpad, qpad, seed, w):
         outs = _fwd_call(x, kq, vq, vpad, qpad, None, w,
                          prng=(seed, keep_thresh), save_acts=save_acts,
-                         save_dtype=save_dtype, **kw)
+                         save_dtype=save_dtype, att_saves=att_saves, **kw)
         v3, v1, v2 = outs[:3]
         r3, h1d = (outs[3], outs[4]) if save_acts else (None, None)
-        return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, r3, h1d)
+        att_sav = tuple(outs[5:9]) if att_saves else None
+        return v3, (x, kq, vq, vpad, qpad, seed, w, v1, v2, r3, h1d,
+                    att_sav)
 
     def f_bwd(res, g):
-        x, kq, vq, vpad, qpad, seed, w, v1, v2, r3, h1d = res
+        x, kq, vq, vpad, qpad, seed, w, v1, v2, r3, h1d, att_sav = res
         if save_acts:
             gv2, *ffn_dw = _bwd_ffn_call_sav(
                 r3, g, h1d, v2, None, w, group=group, interpret=False,
@@ -1321,9 +1508,15 @@ def make_sga_block_train_prng(num_heads: int, group: int, rate: float,
                 v2, g, None, w, group=group, interpret=False,
                 inv_keep=inv_keep, prng=(seed, keep_thresh),
                 save_dtype=save_dtype)
-        dx, dkq, dvq, *att_dw = _bwd_att_call(
-            x, v1, kq, vq, gv2, vpad, qpad, None, w,
-            prng=(seed, keep_thresh), **kw)
+        if att_saves:
+            qkv, qx, r1, r2 = att_sav
+            dx, dkq, dvq, *att_dw = _bwd_att_call_sav(
+                x, v1, qkv, qx, r1, r2, kq, vq, gv2, vpad, qpad, None, w,
+                prng=(seed, keep_thresh), **kw)
+        else:
+            dx, dkq, dvq, *att_dw = _bwd_att_call(
+                x, v1, kq, vq, gv2, vpad, qpad, None, w,
+                prng=(seed, keep_thresh), **kw)
         dw = _assemble_dw(att_dw, ffn_dw)
         f0 = lambda t: np.zeros(t.shape, jax.dtypes.float0)
         return (dx, dkq, dvq, f0(vpad), f0(qpad), f0(seed), dw)
@@ -1409,7 +1602,8 @@ def fused_sga_block_train_prng(x, kq, vq, v_mask, q_mask, seed, w, *,
                                num_heads: int, group: int = 2,
                                rate: float = 0.1,
                                bf16_saves: bool = False,
-                               diag_att: bool = None):
+                               diag_att: bool = None,
+                               att_saves: bool = False):
     """fused_sga_block_train with in-kernel PRNG dropout (TPU only).
 
     seed: int32 [1] array, distinct per (step, layer)."""
@@ -1422,5 +1616,6 @@ def fused_sga_block_train_prng(x, kq, vq, v_mask, q_mask, seed, w, *,
     qpad = _flat_pad(q_mask, B, G, Lq)
     f = make_sga_block_train_prng(num_heads, G, rate,
                                   bf16_saves=bf16_saves,
-                                  diag_att=diag_att)
+                                  diag_att=diag_att,
+                                  att_saves=att_saves)
     return f(x, kq, vq, vpad, qpad, seed, w)

@@ -86,7 +86,8 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                              in_kernel_dropout: bool = False,
                              fused_encoder: bool = False,
                              encoder_group: int = 0,
-                             bf16_saves: bool = False):
+                             bf16_saves: bool = False,
+                             att_saves: bool = False):
     """Build forward(params, img_feat, ques_ix, rng) -> logits [B, A].
 
     Differentiable w.r.t. params (standard MCANet tree). rng drives every
@@ -201,7 +202,7 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                 v = fused_sga_block_train_prng(
                     v, kq, vq, v_mask, q_mask, seed, w,
                     num_heads=num_heads, group=g_eff, rate=rate,
-                    bf16_saves=bf16_saves)
+                    bf16_saves=bf16_saves, att_saves=att_saves)
             else:
                 masks, inv_keep = make_dropout_masks(
                     dec_keys[i], rate, B, Lv, Lq, D, F, num_heads, g_eff,
@@ -209,7 +210,8 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                 v = fused_sga_block_train(
                     v, kq, vq, v_mask, q_mask, masks, w,
                     num_heads=num_heads, group=g_eff, inv_keep=inv_keep,
-                    interpret=interpret, bf16_saves=bf16_saves)
+                    interpret=interpret, bf16_saves=bf16_saves,
+                    att_saves=att_saves)
 
         lang_flat = _attflat_train(params["attflat_lang"], q, q_mask, rate,
                                    flat_keys[0], dropout_bits)

@@ -112,11 +112,13 @@ def _reference_block(x, kq, vq, v_mask, q_mask, masks, w, inv_keep):
 
 
 def _fused(x, kq, vq, v_mask, q_mask, masks, w, inv_keep,
-           save_acts=True, bf16_saves=False, diag_att=None):
+           save_acts=True, bf16_saves=False, diag_att=None,
+           att_saves=False):
     return st.fused_sga_block_train(
         x, kq, vq, v_mask, q_mask, masks, w,
         num_heads=H, group=G, inv_keep=inv_keep, interpret=True,
-        save_acts=save_acts, bf16_saves=bf16_saves, diag_att=diag_att)
+        save_acts=save_acts, bf16_saves=bf16_saves, diag_att=diag_att,
+        att_saves=att_saves)
 
 
 @pytest.mark.parametrize("diag", [False, True])
@@ -151,16 +153,44 @@ def test_diag_softmax_bitwise_equals_full_width():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("rate,save_acts,bf16_saves,diag",
-                         [(0.0, True, False, False),
-                          (0.25, True, False, False),
-                          (0.25, True, False, True),
-                          (0.25, False, False, True),
-                          (0.25, True, True, True)])
-def test_gradients_match_reference(rate, save_acts, bf16_saves, diag):
-    # bf16_saves quantizes the backward-only saves (v1/v2/r3) and gv2 to
-    # bf16 — a ~0.4% relative perturbation well inside the 3e-2 gate the
-    # bf16-matmul kernels already need.
+def test_att_saves_matches_recompute():
+    """The att-saves backward (qkv/qx/r1/r2 saved f32 by the forward)
+    reads the very values the recompute path rebuilds — gradients agree
+    to f32 rounding (the two programs are compiled separately, so FMA
+    contraction/reassociation differs by ~1 ulp; anything beyond ~1e-5
+    would be a real math divergence)."""
+    x, kq, vq, vm, qm, masks, w, inv = _make_inputs(4, 0.25)
+    probe = jax.random.normal(jax.random.PRNGKey(9), (B, Lv, D))
+
+    def loss(att_saves):
+        def f(x, kq, vq, w):
+            return jnp.sum(_fused(x, kq, vq, vm, qm, masks, w, inv,
+                                  diag_att=True, att_saves=att_saves)
+                           * probe)
+        return f
+
+    ga = jax.grad(loss(True), argnums=(0, 1, 2, 3))(x, kq, vq, w)
+    gr = jax.grad(loss(False), argnums=(0, 1, 2, 3))(x, kq, vq, w)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gr)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("rate,save_acts,bf16_saves,diag,att_saves",
+                         [(0.0, True, False, False, False),
+                          (0.25, True, False, False, False),
+                          (0.25, True, False, True, False),
+                          (0.25, False, False, True, False),
+                          (0.25, True, True, True, False),
+                          (0.25, True, True, True, True)])
+def test_gradients_match_reference(rate, save_acts, bf16_saves, diag,
+                                   att_saves):
+    # bf16_saves quantizes the backward-only saves (v1/v2/r3, and
+    # qkv/qx/r1/r2 under att_saves) and gv2 to bf16 — a ~0.4% relative
+    # perturbation well inside the 3e-2 gate the bf16-matmul kernels
+    # already need.
     x, kq, vq, vm, qm, masks, w, inv = _make_inputs(1, rate)
     probe = jax.random.normal(jax.random.PRNGKey(5), (B, Lv, D))
 
@@ -168,7 +198,8 @@ def test_gradients_match_reference(rate, save_acts, bf16_saves, diag):
         return jnp.sum(_fused(x, kq, vq, vm, qm, masks, w, inv,
                               save_acts=save_acts,
                               bf16_saves=bf16_saves,
-                              diag_att=diag) * probe)
+                              diag_att=diag,
+                              att_saves=att_saves) * probe)
 
     def loss_ref(x, kq, vq, w):
         return jnp.sum(
