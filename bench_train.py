@@ -61,10 +61,17 @@ def main() -> None:
     # in-kernel TPU-PRNG dropout for the fused blocks (no mask generation
     # or HBM mask traffic; measured 42.8 vs 45.9 ms). Default on.
     kernel_dropout = os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1"
-    bf16_saves = os.environ.get("BENCH_BF16_SAVES", "0") == "1"
     # decoder attention backward from saved qkv/qx/r1/r2 instead of the
-    # 6*D^2 per-token projection recompute (ops/sga_train att_saves)
-    att_saves = os.environ.get("BENCH_ATT_SAVES", "0") == "1"
+    # 6*D^2 per-token projection recompute (ops/sga_train att_saves).
+    # Measured r4 session 6: D=512 neutral-to-negative (6,899/6,925 vs
+    # 6,946 — the saves' HBM traffic buys back exactly the MXU saved),
+    # D=1024 +3.6% with bf16 saves (1,944 vs 1,876 — recompute scales as
+    # D^2, save traffic as D). Defaults follow the measured winner.
+    wide = hidden > 512
+    bf16_saves = os.environ.get("BENCH_BF16_SAVES",
+                                "1" if wide else "0") == "1"
+    att_saves = os.environ.get("BENCH_ATT_SAVES",
+                               "1" if wide else "0") == "1"
     # encoder SA stack through the fused custom-VJP blocks. r2 (emission
     # kernels): slightly slower than XLA (44.1 vs 43.4 ms). r3 (in-kernel
     # dW): WINS — same-session 6,781 (XLA) / 7,001 (G=8) / 7,129 (G=16)

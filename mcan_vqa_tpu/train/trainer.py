@@ -243,6 +243,14 @@ class Trainer:
                     # encoder 6,781 / fused G=8 7,001 / fused G=16 7,129
                     # samples/s — the r2 "slightly slower" verdict was an
                     # artifact of the old emission-heavy kernels).
+                    # att_saves/bf16_saves at hidden>512 only: the
+                    # attention backward's 6*D^2 projection recompute
+                    # scales as D^2 while the saved-activation HBM
+                    # traffic scales as D — measured r4 session 6
+                    # (tools/validate_att_saves.py gates the grads):
+                    # D=1024 1,944 vs 1,876 samples/s (+3.6%); at D=512
+                    # the same trade is neutral-to-negative.
+                    wide = cfg.hidden_size > 512
                     forward_fn = make_fused_train_forward(
                         cfg.layer, cfg.multi_head,
                         dropout_rate=cfg.dropout_rate,
@@ -250,6 +258,7 @@ class Trainer:
                         group=4 if cfg.hidden_size <= 512 else 2,
                         fused_encoder=cfg.hidden_size <= 512,
                         encoder_group=16,
+                        att_saves=wide, bf16_saves=wide,
                         interpret=not on_tpu, in_kernel_dropout=on_tpu)
                     self.logger.write("train engine: fused SGA blocks + "
                                       f"fused SA encoder "
