@@ -124,7 +124,11 @@ def main() -> None:
         # vs 0.122). Accuracy gated at the default path's bar
         # (tests/test_quant.py::TestStaticActScales + the on-chip
         # canary). BENCH_QSTATIC=0 restores the dynamic-quant engine;
-        # explicit BENCH_QFFN still overrides the level.
+        # explicit BENCH_QFFN still overrides the level. BENCH_QFFN=4/5
+        # are the int4 weight-streaming latency levels (level 3 +
+        # nibble-packed int4 FFN / FFN+qkv weights; requires
+        # BENCH_QSTATIC=1 for the calibration batch) — the B=1 regime's
+        # engine, Predictor(engine="int4") is level 5.
         qstatic = os.environ.get("BENCH_QSTATIC", "1") == "1"
         auto_level = "3" if qstatic else "1"
         use_qffn = int(os.environ.get("BENCH_QFFN", auto_level))

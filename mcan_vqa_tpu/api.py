@@ -52,7 +52,14 @@ class Predictor:
         dynamic per-row activation quant; opt-in, gate documented in
         tests/test_quant.py: top-1 agreement >= 99%, |d_acc| <= 0.5pt);
         "auto" picks fused on TPU, plain elsewhere (the Pallas kernels
-        only compile for TPU).
+        only compile for TPU); "int4" is the weight-streaming LATENCY
+        engine — the fused engine with FFN+qkv weights nibble-packed to
+        int4 with grouped scales (qffn level 5, ops/quant._quant_w4),
+        halving those sites' HBM bytes (what bounds B=1 latency). int4
+        requires calibration: it serves the dynamic fused engine until
+        act_calibration/act_scales or online auto-calibration provides
+        static scales (gate: tests/test_quant.py::TestInt4LatencyEngine,
+        top-1 agreement >= 99%, |d_acc| <= 0.5pt).
 
         act_calibration: optional ``(questions, image_features)`` batch
         (same formats as ``predict_probs``) for the "fused" engine:
@@ -132,6 +139,21 @@ class Predictor:
         if engine == "auto":
             engine = "fused" if jax.default_backend() == "tpu" else "plain"
         self.engine = engine
+        # "int4" = the weight-streaming latency engine: the fused engine
+        # with the FFN+qkv weights nibble-packed to int4 (qffn level 5,
+        # ops/quant._quant_w4) once calibrated — halves those sites' HBM
+        # bytes, which bounds B=1 latency. Serves the dynamic fused
+        # engine until calibration (sample, stored scales, or online
+        # auto-calibration) provides the required static scales.
+        self._qffn_level = 5 if engine == "int4" else None
+        if engine == "int4":
+            engine = "fused"
+            self.engine = "int4"
+            if (act_calibration is None and act_scales is None
+                    and not auto_calibrate):
+                raise ValueError(
+                    'engine="int4" needs calibration: pass '
+                    "act_calibration/act_scales or leave auto_calibrate on")
         if (act_calibration is not None or act_scales is not None) \
                 and engine != "fused":
             # static activation scales only exist in the fused engine's
@@ -237,9 +259,15 @@ class Predictor:
         # tests/test_bf16_stream.py, test_quant.py (TestQffnAccuracy,
         # TestStaticActScales) + the full-size torch-oracle bounds
         # (test_full_size_parity.py), all zero top-1 flips.
+        # engine="int4": once calibration inputs/scales exist, build the
+        # weight-streaming latency level instead of the default level 3
+        qffn = (self._qffn_level
+                if (getattr(self, "_qffn_level", None) is not None
+                    and (act_inputs is not None or act_scales is not None))
+                else None)
         serve, prepared = build_production_engine(
             params, self.cfg.layer, self.cfg.multi_head,
-            act_scale_inputs=act_inputs, act_scales=act_scales)
+            qffn=qffn, act_scale_inputs=act_inputs, act_scales=act_scales)
 
         def forward(params, img, ques):
             return jax.nn.sigmoid(

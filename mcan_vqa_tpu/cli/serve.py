@@ -334,7 +334,7 @@ def build_predictor(args):
     buckets = (tuple(int(b) for b in args.latency_buckets.split(","))
                if args.latency_buckets else None)
     cal = _load_calibration(args.calibrate) if args.calibrate else None
-    if cal is not None and args.engine not in ("auto", "fused"):
+    if cal is not None and args.engine not in ("auto", "fused", "int4"):
         print(f"[serve] note: --calibrate only affects the fused engine "
               f"(--engine {args.engine} ignores it)", file=sys.stderr)
         cal = None  # Predictor rejects calibration on non-fused engines
@@ -380,7 +380,7 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="random-init model (smoke test, no files)")
     p.add_argument("--model", default="small", choices=["small", "large"])
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "fused", "plain", "int8"])
+                   choices=["auto", "fused", "plain", "int8", "int4"])
     p.add_argument("--calibrate", metavar="NPZ",
                    help="traffic sample ('questions' strings + 'features' "
                         "[N, R, F] float32, or an object array of ragged "

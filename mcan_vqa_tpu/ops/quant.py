@@ -50,6 +50,41 @@ def _quant_w(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"w_q": wq, "w_scale": s}
 
 
+W4_GROUP = 128  # K-rows per int4 scale group (per out-channel)
+
+
+def _quant_w4(kernel: jnp.ndarray, group: int = W4_GROUP
+              ) -> Dict[str, jnp.ndarray]:
+    """[in, out] kernel -> nibble-packed int4 weight + grouped scales.
+
+    Symmetric int4 per (K-group, out-channel): q = round(w/s) in
+    [-7, 7] with s = max|w| over each ``group``-row slab / 7
+    ([K/group, out] f32 — finer than ``_quant_w``'s per-channel scale
+    to hold accuracy at 4 bits). Rows j and j + K/2 pack into one byte
+    ((q_lo+8) | (q_hi+8)<<4, [K/2, out] int8) so ``_unpack_w4``'s
+    concat([lo, hi], axis=0) restores the ORIGINAL row order with no
+    runtime interleave. Used by the weight-streaming latency engine
+    (serving qffn levels 4/5): HALVES the int8 sites' HBM bytes, which
+    is what bounds B=1 latency (docs/PERFORMANCE.md)."""
+    w32 = kernel.astype(jnp.float32)
+    K = w32.shape[0]
+    g = min(group, K)
+    assert K % 2 == 0 and K % g == 0, (K, g)
+    s = jnp.max(jnp.abs(w32).reshape(K // g, g, -1), axis=1) / 7.0
+    s = jnp.where(s == 0.0, 1.0, s)                        # [K/g, out]
+    q = jnp.clip(jnp.round(w32 / jnp.repeat(s, g, axis=0)), -7, 7)
+    n = (q + 8).astype(jnp.int32)                          # [1, 15]
+    packed = (n[:K // 2] | (n[K // 2:] << 4)).astype(jnp.int8)
+    return {"w_p": packed, "w_gscale": s}
+
+
+def _unpack_w4(packed: jnp.ndarray) -> jnp.ndarray:
+    """[K/2, out] packed nibbles -> [K, out] int8 in [-7, 7]."""
+    p = packed.astype(jnp.int32) & 0xFF
+    return jnp.concatenate([(p & 0xF) - 8, (p >> 4) - 8],
+                           axis=0).astype(jnp.int8)
+
+
 def quantize_params(params: Dict[str, Any], num_layers: int,
                     megakernel: bool = False) -> Dict[str, Any]:
     """One-time prep of a serving param tree for the int8 engine.
@@ -247,6 +282,31 @@ def _qdot_static(x, a: float, wq_ref, sw_ref, bias):
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     return y.astype(jnp.float32) * (a * sw_ref[:]) + bias
+
+
+def _qdot_static4(x, a: float, wp_ref, s4_ref, bias):
+    """``_qdot_static`` against a nibble-packed int4 weight
+    (``_quant_w4``) with per-(K-group, out-channel) scales.
+
+    Unpacks in-register (weight-sized VPU work — amortized over the
+    batch, and free in the B=1 regime where the kernel is
+    weight-streaming-bound), then one int8 MXU matmul per K-group with
+    a per-group dequant epilogue (the grouped scales cannot be folded
+    into a single post-accumulation scale)."""
+    xq = jnp.clip(jnp.round(x * (1.0 / a)), -127, 127).astype(jnp.int8)
+    w = _unpack_w4(wp_ref[:])
+    s4 = s4_ref[:]
+    K, nG = w.shape[0], s4.shape[0]
+    g = K // nG
+    y = None
+    for gi in range(nG):
+        part = jax.lax.dot_general(
+            xq[:, gi * g:(gi + 1) * g], w[gi * g:(gi + 1) * g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        t = part.astype(jnp.float32) * (a * s4[gi])
+        y = t if y is None else y + t
+    return y + bias
 
 
 def prepare_quant_sga_params(p: Dict[str, Any]) -> Dict[str, Any]:
@@ -560,7 +620,8 @@ def fused_quant_sa_block(x, x_mask, wp, *, num_heads: int, group: int = 0,
 
 def prepare_qffn_params(p: Dict[str, Any],
                         qkv_int8: bool = False,
-                        proj_int8: bool = False) -> Dict[str, Any]:
+                        proj_int8: bool = False,
+                        w4: int = 0) -> Dict[str, Any]:
     """One block's FFN (raw or bf16 tree) -> int8 weights + f32 scales.
 
     qkv_int8: also quantize the SELF-attention qkv projection (the
@@ -571,23 +632,41 @@ def prepare_qffn_params(p: Dict[str, Any],
     these small-N matmuls were a measured loss (the full-int8 engine's
     small-model regression); they are only used with STATIC calibrated
     scales (make_serving_fn(qffn_act_scales=...) with 4-/6-tuples from
-    calibrate_qffn_act_scales on a qffn=3 tree)."""
+    calibrate_qffn_act_scales on a qffn=3 tree).
+    w4: weight-streaming latency variant — 1 packs the FFN weights to
+    nibble int4 with grouped scales (``_quant_w4``: ``w1_p``/``s1_g``
+    replace ``w1_q``/``s1``), 2 additionally packs the qkv projection
+    (``wqkv_p``/``sqkv_g``). int4 sites ship only with static
+    calibrated activation scales (the kernels have no dynamic-quant
+    int4 path); the merge/cross-q projections stay int8 — they are
+    small per byte saved and sit directly on the attention inputs."""
     mlp = p["ffn"]["mlp"]
-    q1 = _quant_w(mlp["FCLayer_0"]["Dense_0"]["kernel"])
-    q2 = _quant_w(mlp["Dense_0"]["kernel"])
     out = {
-        "w1_q": q1["w_q"], "s1": q1["w_scale"],
         "b1": mlp["FCLayer_0"]["Dense_0"]["bias"].astype(jnp.float32),
-        "w2_q": q2["w_q"], "s2": q2["w_scale"],
         "b2": mlp["Dense_0"]["bias"].astype(jnp.float32),
     }
+    if w4 >= 1:
+        q1 = _quant_w4(mlp["FCLayer_0"]["Dense_0"]["kernel"])
+        q2 = _quant_w4(mlp["Dense_0"]["kernel"])
+        out.update({"w1_p": q1["w_p"], "s1_g": q1["w_gscale"],
+                    "w2_p": q2["w_p"], "s2_g": q2["w_gscale"]})
+    else:
+        q1 = _quant_w(mlp["FCLayer_0"]["Dense_0"]["kernel"])
+        q2 = _quant_w(mlp["Dense_0"]["kernel"])
+        out.update({"w1_q": q1["w_q"], "s1": q1["w_scale"],
+                    "w2_q": q2["w_q"], "s2": q2["w_scale"]})
     is_sga = "mhatt1" in p
     m = p["mhatt1"] if is_sga else p["mhatt"]
     if qkv_int8:
-        qq = _quant_w(jnp.concatenate([m["linear_q"]["kernel"],
-                                       m["linear_k"]["kernel"],
-                                       m["linear_v"]["kernel"]], axis=1))
-        out["wqkv_q"], out["sqkv"] = qq["w_q"], qq["w_scale"]
+        kqkv = jnp.concatenate([m["linear_q"]["kernel"],
+                                m["linear_k"]["kernel"],
+                                m["linear_v"]["kernel"]], axis=1)
+        if w4 >= 2:
+            qq = _quant_w4(kqkv)
+            out["wqkv_p"], out["sqkv_g"] = qq["w_p"], qq["w_gscale"]
+        else:
+            qq = _quant_w(kqkv)
+            out["wqkv_q"], out["sqkv"] = qq["w_q"], qq["w_scale"]
     if proj_int8:
         if is_sga:
             qm1 = _quant_w(m["linear_merge"]["kernel"])
@@ -707,6 +786,24 @@ def _cal_qdot(x, a, wq, sw, b):
     return y.astype(jnp.float32) * (a * sw) + b
 
 
+def _cal_qdot4(x, a, wp, s4, b):
+    """Plain-XLA mirror of ``_qdot_static4`` (packed int4 weight,
+    grouped scales) so int4-site calibration is self-consistent."""
+    xq = jnp.clip(jnp.round(x * (1.0 / a)), -127, 127).astype(jnp.int8)
+    w = _unpack_w4(wp)
+    K, nG = w.shape[0], s4.shape[0]
+    g = K // nG
+    y = None
+    for gi in range(nG):
+        part = jax.lax.dot_general(
+            xq[:, gi * g:(gi + 1) * g], w[gi * g:(gi + 1) * g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        t = part.astype(jnp.float32) * (a * s4[gi])
+        y = t if y is None else y + t
+    return y + b
+
+
 def _cal_bdot(x, w, b=None):
     y = jnp.dot(x.astype(BF16), jnp.asarray(w).astype(BF16),
                 preferred_element_type=jnp.float32)
@@ -730,9 +827,12 @@ def _cal_sdpa(q, k, v, mask, num_heads):
 
 
 def _cal_qkv_site(flat, wp, qf, wqkv_key, bqkv, margin):
-    """The self-attention qkv quant site: int8 (static, self-consistent)
-    when the block quantizes qkv, else the bf16 matmul; returns
-    (qkv [M, 3D], aq)."""
+    """The self-attention qkv quant site: int8/int4 (static,
+    self-consistent) when the block quantizes qkv, else the bf16
+    matmul; returns (qkv [M, 3D], aq)."""
+    if "wqkv_p" in qf:
+        aq = _cal_scale_of(flat, margin)
+        return _cal_qdot4(flat, aq, qf["wqkv_p"], qf["sqkv_g"], bqkv), aq
     if "wqkv_q" in qf:
         aq = _cal_scale_of(flat, margin)
         return _cal_qdot(flat, aq, qf["wqkv_q"], qf["sqkv"], bqkv), aq
@@ -740,11 +840,19 @@ def _cal_qkv_site(flat, wp, qf, wqkv_key, bqkv, margin):
 
 
 def _cal_ffn_sites(qf, xin, margin):
+    w4 = "w1_p" in qf
     a1 = _cal_scale_of(xin, margin)
-    h1 = jnp.maximum(_cal_qdot(xin, a1, qf["w1_q"], qf["s1"], qf["b1"]),
-                     0.0)
+    if w4:
+        h1 = jnp.maximum(
+            _cal_qdot4(xin, a1, qf["w1_p"], qf["s1_g"], qf["b1"]), 0.0)
+    else:
+        h1 = jnp.maximum(
+            _cal_qdot(xin, a1, qf["w1_q"], qf["s1"], qf["b1"]), 0.0)
     a2 = _cal_scale_of(h1, margin)
-    y = _cal_qdot(h1, a2, qf["w2_q"], qf["s2"], qf["b2"])
+    if w4:
+        y = _cal_qdot4(h1, a2, qf["w2_p"], qf["s2_g"], qf["b2"])
+    else:
+        y = _cal_qdot(h1, a2, qf["w2_q"], qf["s2"], qf["b2"])
     return a1, a2, y
 
 
@@ -833,7 +941,8 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                      w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                      ln3s_ref, ln3b_ref,
                      o_ref, *, heads: int, group: int, scale: float,
-                     qkv_int8: bool = False, act_scales=None):
+                     qkv_int8: bool = False, act_scales=None,
+                     w4: int = 0):
     """bf16 fused-projection SGA megakernel with an int8 FFN.
 
     act_scales: optional calibrated per-tensor activation scales
@@ -843,7 +952,11 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     cross-q projections int8 (wm1/wq2/wm2 refs then carry int8 weights
     with sm1/sq2/sm2 scales — proj quant ships only with static
     scales, where its per-row overhead is gone). None keeps dynamic
-    per-row quant on the FFN (+ qkv when qkv_int8)."""
+    per-row quant on the FFN (+ qkv when qkv_int8).
+    w4: weight-streaming latency variant — 1: w1q/w2q refs carry
+    nibble-packed int4 weights with grouped s1/s2 scales
+    (``_qdot_static4``); 2: the qkv ref too. Requires act_scales."""
+    assert w4 == 0 or act_scales is not None
     proj8 = act_scales is not None and len(act_scales) >= 6
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
@@ -877,9 +990,12 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
         att = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
         return jnp.dot(att, vh, preferred_element_type=jnp.float32)
 
-    # ---- self-attention: ONE qkv matmul (bf16 or int8), lane slices ----
+    # ---- self-attention: ONE qkv matmul (bf16/int8/int4), lane slices ----
     if qkv_int8:
-        if act_scales is not None:
+        if w4 >= 2:
+            qkv = _qdot_static4(x, act_scales[0], wqkv_ref, sqkv_ref,
+                                bqkv_ref[:])
+        elif act_scales is not None:
             qkv = _qdot_static(x, act_scales[0], wqkv_ref, sqkv_ref,
                                bqkv_ref[:])
         else:
@@ -921,8 +1037,13 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                     preferred_element_type=jnp.float32)
     v2 = _kln(v1 + y + bm2_ref[:], ln2s_ref[:], ln2b_ref[:])
 
-    # ---- FFN: int8 x int8 -> int32 on the MXU ----
-    if act_scales is not None:
+    # ---- FFN: int8/int4 x int8 -> int32 on the MXU ----
+    if w4 >= 1:
+        h1 = jnp.maximum(
+            _qdot_static4(v2, act_scales[1], w1q_ref, s1_ref, b1_ref[:]),
+            0.0)
+        y = _qdot_static4(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
+    elif act_scales is not None:
         h1 = jnp.maximum(
             _qdot_static(v2, act_scales[1], w1q_ref, s1_ref, b1_ref[:]), 0.0)
         y = _qdot_static(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
@@ -940,9 +1061,11 @@ def _sa_kernel_qffn(x_ref, pad_ref,
                     ln1s_ref, ln1b_ref,
                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                     ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
-                    scale: float, qkv_int8: bool = False, act_scales=None):
-    """bf16 SA-block megakernel with an int8 FFN (act_scales as in
-    ``_sga_kernel_qffn``; the SA proj tuple is (aqkv, a1, a2, am))."""
+                    scale: float, qkv_int8: bool = False, act_scales=None,
+                    w4: int = 0):
+    """bf16 SA-block megakernel with an int8 FFN (act_scales and w4 as
+    in ``_sga_kernel_qffn``; the SA proj tuple is (aqkv, a1, a2, am))."""
+    assert w4 == 0 or act_scales is not None
     proj8 = act_scales is not None and len(act_scales) >= 4
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
@@ -960,7 +1083,10 @@ def _sa_kernel_qffn(x_ref, pad_ref,
                     + pad_ref[0].astype(jnp.float32)) * _NEG_INF
 
     if qkv_int8:
-        if act_scales is not None:
+        if w4 >= 2:
+            qkv = _qdot_static4(x, act_scales[0], wqkv_ref, sqkv_ref,
+                                bqkv_ref[:])
+        elif act_scales is not None:
             qkv = _qdot_static(x, act_scales[0], wqkv_ref, sqkv_ref,
                                bqkv_ref[:])
         else:
@@ -991,7 +1117,12 @@ def _sa_kernel_qffn(x_ref, pad_ref,
                     preferred_element_type=jnp.float32)
     x1 = _kln(x + y + bm_ref[:], ln1s_ref[:], ln1b_ref[:])
 
-    if act_scales is not None:
+    if w4 >= 1:
+        h1 = jnp.maximum(
+            _qdot_static4(x1, act_scales[1], w1q_ref, s1_ref, b1_ref[:]),
+            0.0)
+        y = _qdot_static4(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
+    elif act_scales is not None:
         h1 = jnp.maximum(
             _qdot_static(x1, act_scales[1], w1q_ref, s1_ref, b1_ref[:]), 0.0)
         y = _qdot_static(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
@@ -1035,10 +1166,20 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
 
     rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
-    F = qf["w1_q"].shape[1]
-    qkv_int8 = "wqkv_q" in qf
-    wqkv = qf["wqkv_q"] if qkv_int8 else wp["wqkv1"]
-    sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
+    w4 = 2 if "wqkv_p" in qf else (1 if "w1_p" in qf else 0)
+    assert w4 == 0 or act_scales is not None, \
+        "int4 (w4) blocks ship only with calibrated static act scales"
+    w1 = qf["w1_p"] if w4 else qf["w1_q"]
+    s1 = qf["s1_g"] if w4 else qf["s1"]
+    w2 = qf["w2_p"] if w4 else qf["w2_q"]
+    s2 = qf["s2_g"] if w4 else qf["s2"]
+    F = w1.shape[1]
+    qkv_int8 = "wqkv_q" in qf or "wqkv_p" in qf
+    wqkv = (qf["wqkv_p"] if w4 >= 2
+            else qf["wqkv_q"] if "wqkv_q" in qf else wp["wqkv1"])
+    sqkv = (qf["sqkv_g"] if w4 >= 2
+            else qf["sqkv"] if "wqkv_q" in qf
+            else jnp.ones((3 * D,), jnp.float32))
     if act_scales is not None:
         act_scales = tuple(float(a) for a in act_scales)
     proj8 = "wm1_q" in qf and act_scales is not None and len(act_scales) >= 6
@@ -1053,7 +1194,7 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
     sm2 = qf["sm2"] if proj8 else ones_d
     return pl.pallas_call(
         functools.partial(_sga_kernel_qffn, heads=H, group=G, scale=scale,
-                          qkv_int8=qkv_int8, act_scales=act_scales),
+                          qkv_int8=qkv_int8, act_scales=act_scales, w4=w4),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
@@ -1066,12 +1207,12 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
+            rep(wqkv.shape), rep(sqkv.shape), rep((3 * D,)),
             rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
             rep((D, D)), rep((D,)), rep((D,)),
             rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
-            rep((D, F)), rep((F,)), rep((F,)),
-            rep((F, D)), rep((D,)), rep((D,)),
+            rep(w1.shape), rep(s1.shape), rep((F,)),
+            rep(w2.shape), rep(s2.shape), rep((D,)),
             rep((D,)), rep((D,)),
         ],
         out_specs=pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
@@ -1086,7 +1227,7 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
       wq2, sq2, wp["bq2_full"],
       wm2, sm2, wp["bm2"],
       wp["ln2_s"], wp["ln2_b"],
-      qf["w1_q"], qf["s1"], qf["b1"], qf["w2_q"], qf["s2"], qf["b2"],
+      w1, s1, qf["b1"], w2, s2, qf["b2"],
       wp["ln3_s"], wp["ln3_b"])
 
 
@@ -1115,10 +1256,20 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
 
     rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
-    F = qf["w1_q"].shape[1]
-    qkv_int8 = "wqkv_q" in qf
-    wqkv = qf["wqkv_q"] if qkv_int8 else wp["wqkv"]
-    sqkv = qf["sqkv"] if qkv_int8 else jnp.ones((3 * D,), jnp.float32)
+    w4 = 2 if "wqkv_p" in qf else (1 if "w1_p" in qf else 0)
+    assert w4 == 0 or act_scales is not None, \
+        "int4 (w4) blocks ship only with calibrated static act scales"
+    w1 = qf["w1_p"] if w4 else qf["w1_q"]
+    s1 = qf["s1_g"] if w4 else qf["s1"]
+    w2 = qf["w2_p"] if w4 else qf["w2_q"]
+    s2 = qf["s2_g"] if w4 else qf["s2"]
+    F = w1.shape[1]
+    qkv_int8 = "wqkv_q" in qf or "wqkv_p" in qf
+    wqkv = (qf["wqkv_p"] if w4 >= 2
+            else qf["wqkv_q"] if "wqkv_q" in qf else wp["wqkv"])
+    sqkv = (qf["sqkv_g"] if w4 >= 2
+            else qf["sqkv"] if "wqkv_q" in qf
+            else jnp.ones((3 * D,), jnp.float32))
     if act_scales is not None:
         act_scales = tuple(float(a) for a in act_scales)
     proj8 = "wm_q" in qf and act_scales is not None and len(act_scales) >= 4
@@ -1128,17 +1279,17 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
     sm = qf["sm"] if proj8 else jnp.ones((D,), jnp.float32)
     return pl.pallas_call(
         functools.partial(_sa_kernel_qffn, heads=H, group=G, scale=scale,
-                          qkv_int8=qkv_int8, act_scales=act_scales),
+                          qkv_int8=qkv_int8, act_scales=act_scales, w4=w4),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G * Lq), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            rep((D, 3 * D)), rep((3 * D,)), rep((3 * D,)),
+            rep(wqkv.shape), rep(sqkv.shape), rep((3 * D,)),
             rep((D, D)), rep((D,)), rep((D,)), rep((D,)), rep((D,)),
-            rep((D, F)), rep((F,)), rep((F,)),
-            rep((F, D)), rep((D,)), rep((D,)),
+            rep(w1.shape), rep(s1.shape), rep((F,)),
+            rep(w2.shape), rep(s2.shape), rep((D,)),
             rep((D,)), rep((D,)),
         ],
         out_specs=pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),
@@ -1150,7 +1301,7 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
       wqkv, sqkv, wp["bqkv"],
       wm, sm, wp["bm"],
       wp["ln1_s"], wp["ln1_b"],
-      qf["w1_q"], qf["s1"], qf["b1"], qf["w2_q"], qf["s2"], qf["b2"],
+      w1, s1, qf["b1"], w2, s2, qf["b2"],
       wp["ln2_s"], wp["ln2_b"])
 
 

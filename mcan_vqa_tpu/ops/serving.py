@@ -125,7 +125,12 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     additionally attaches int8 merge/cross-q projection weights —
     usable ONLY with static calibrated scales
     (make_serving_fn(qffn_act_scales=...) 4-/6-tuples; without them
-    the kernels keep the bf16 projections).
+    the kernels keep the bf16 projections). qffn=4/5 are the
+    weight-streaming LATENCY levels: level 3 with the FFN weights
+    (4) / FFN+qkv weights (5) nibble-packed to int4 with grouped
+    scales (ops/quant._quant_w4) — halves those sites' HBM bytes,
+    which is what bounds B=1 latency; static calibrated scales are
+    REQUIRED (the kernels have no dynamic-quant int4 path).
     """
     def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
         # jnp (not np): params may live on device; keep the concat there
@@ -180,11 +185,14 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
                 qkv8 = int(qffn) >= 2 or D >= 1024
                 proj8 = int(qffn) >= 3
+                w4 = {4: 1, 5: 2}.get(int(qffn), 0)
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"enc_{i}"], qkv_int8=qkv8, proj_int8=proj8)
+                        bb[f"enc_{i}"], qkv_int8=qkv8, proj_int8=proj8,
+                        w4=w4)
                     bb[f"dec_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"dec_{i}"], qkv_int8=qkv8, proj_int8=proj8)
+                        bb[f"dec_{i}"], qkv_int8=qkv8, proj_int8=proj8,
+                        w4=w4)
     return out
 
 
@@ -279,7 +287,8 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
                         bb[f"enc_{i}"],
                         qkv_int8=int(qffn) >= 2 or D >= 1024,
-                        proj_int8=int(qffn) >= 3)
+                        proj_int8=int(qffn) >= 3,
+                        w4={4: 1, 5: 2}.get(int(qffn), 0))
     return out
 
 
@@ -335,6 +344,11 @@ def build_production_classifier_engine(params: Dict[str, Any],
     if qffn is None:
         qffn = 3 if (act_scale_inputs is not None
                      or act_scales is not None) else True
+    if int(qffn) >= 4 and act_scale_inputs is None and act_scales is None:
+        raise ValueError(
+            "qffn levels 4/5 (int4 weight streaming) require a "
+            "calibration batch (act_scale_inputs) or precomputed "
+            "act_scales — the int4 kernels have no dynamic-quant path")
     prepared = prepare_production_classifier_params(params, num_layers,
                                                     qffn=qffn)
     if (act_scale_inputs is not None or act_scales is not None) and qffn \
@@ -544,7 +558,9 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
     default — dynamic int8-FFN (level 1/width-auto via ``True``), or
     level 3 (int8 at every projection) when a calibration batch or
     precomputed scales are given; an int forces a level, 0 the all-bf16
-    kernels.
+    kernels. Levels 4/5 (int4 FFN / int4 FFN+qkv weight streaming — the
+    B=1 latency engine) REQUIRE a calibration batch or precomputed
+    scales.
     act_scale_inputs: optional (img_feat, ques_ix) arrays — bakes static
     activation scales (ops.quant.calibrate_qffn_act_scales).
     act_scales: optional PRECOMPUTED scales dict ({"enc_i"/"dec_i":
@@ -563,6 +579,11 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
     if qffn is None:
         qffn = 3 if (act_scale_inputs is not None
                      or act_scales is not None) else True
+    if int(qffn) >= 4 and act_scale_inputs is None and act_scales is None:
+        raise ValueError(
+            "qffn levels 4/5 (int4 weight streaming) require a "
+            "calibration batch (act_scale_inputs) or precomputed "
+            "act_scales — the int4 kernels have no dynamic-quant path")
     prepared = prepare_production_params(params, num_layers, num_heads,
                                          qffn=qffn, alllayer=alllayer,
                                          sga_mode=sga_mode, prune=prune)

@@ -103,6 +103,38 @@ class TestPredictor:
         assert np.abs(pr_s - pr_d).max() < 0.05
         assert (pr_s.argmax(1) == pr_d.argmax(1)).all()
 
+    def test_int4_latency_engine(self, setup):
+        """Predictor(engine="int4"): the weight-streaming latency engine
+        (qffn level 5 — int4 FFN+qkv with grouped scales). Calibrated at
+        construction it serves int4 immediately; its answers agree with
+        the fused engine (the accuracy gate proper is
+        tests/test_quant.py::TestInt4LatencyEngine on trained weights)."""
+        cfg, tok, i2a, params = setup
+        rng = np.random.default_rng(2)
+        feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        qs = ["what color is the cat", "is the dog red",
+              "what is blue", "is the cat 2"]
+        p_ref = Predictor(cfg, params, tok, i2a, max_batch=4,
+                          engine="fused")
+        p_i4 = Predictor(cfg, params, tok, i2a, max_batch=4,
+                         engine="int4", act_calibration=(qs, feats))
+        assert p_i4.engine == "int4"
+        # the prepared tree actually carries packed int4 FFN weights
+        qf = p_i4.params["backbone"]["dec_0"]["_qffn"]
+        assert "w1_p" in qf and "wqkv_p" in qf
+        pr_r = p_ref.predict_probs(qs, feats)
+        pr_4 = p_i4.predict_probs(qs, feats)
+        assert np.abs(pr_4 - pr_r).max() < 0.06
+        assert (pr_4.argmax(1) == pr_r.argmax(1)).all()
+
+    def test_int4_without_any_calibration_rejected(self, setup):
+        """engine="int4" with calibration fully disabled cannot ever
+        build its engine — must be a loud construction error."""
+        cfg, tok, i2a, params = setup
+        with pytest.raises(ValueError, match="int4"):
+            Predictor(cfg, params, tok, i2a, max_batch=2, engine="int4",
+                      auto_calibrate=0)
+
     def test_act_calibration_rejected_on_non_fused_engines(self, setup):
         """Static scales only exist in the fused engine: an explicit
         plain/int8 engine with a calibration sample is a config error

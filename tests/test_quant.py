@@ -51,8 +51,9 @@ def _logits(cfg, trainer, ds, quant):
     params = jax.device_get(trainer.state.params)
     batch = {k: np.stack([ds.example(i)[k] for i in range(len(ds))])
              for k in ("img", "ques")}
-    if quant in ("qffn", "qffn2", "qstatic", "qstatic2", "qstatic3"):
-        level = {"2": 2, "3": 3}.get(quant[-1], True)
+    if quant in ("qffn", "qffn2", "qstatic", "qstatic2", "qstatic3",
+                 "qstatic4", "qstatic5"):
+        level = {"2": 2, "3": 3, "4": 4, "5": 5}.get(quant[-1], True)
         pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
                             alllayer=False, qffn=level)
         scales = None
@@ -213,6 +214,146 @@ class TestStaticActScales:
             assert aq == 1.0, (name, aq)
             assert 0 < a1 < 1e3 and np.isfinite(a1), (name, a1)
             assert 0 < a2 < 1e3 and np.isfinite(a2), (name, a2)
+
+
+class TestInt4LatencyEngine:
+    """Gate for the int4 weight-streaming latency engine (qffn levels
+    4 = int4 FFN / 5 = int4 FFN+qkv, ops/quant._quant_w4): OPT-IN for
+    the B=1 regime like the full-int8 engine, same documented bar —
+    top-1 agreement >= 99% and |d_acc| <= 0.5pt on trained real-format
+    data. int4 weights carry per-(K-group, out-channel) scales
+    (W4_GROUP=128) and ship only with calibrated activation scales."""
+
+    @pytest.mark.parametrize("level", ["qstatic4", "qstatic5"])
+    def test_official_accuracy_delta(self, trained, level):
+        from mcan_vqa_tpu.evals import vqa_eval
+        cfg, ds, trainer = trained
+        l32 = _logits(cfg, trainer, ds, quant=False)
+        lq = _logits(cfg, trainer, ds, quant=level)
+
+        top32, topq = l32.argmax(1), lq.argmax(1)
+        agreement = float((top32 == topq).mean())
+
+        gts = {a["question_id"]: {"answers": [x["answer"]
+                                              for x in a["answers"]]}
+               for a in ds.ans_list}
+
+        def acc(top):
+            res = {int(q["question_id"]): ds.ix_to_ans[str(int(t))]
+                   for q, t in zip(ds.ques_list, top)}
+            return vqa_eval.evaluate(gts, res)["overall"]
+
+        acc32, accq = acc(top32), acc(topq)
+        print(f"\n{level} gate: agreement={agreement:.4f} "
+              f"acc32={acc32:.2f} accq={accq:.2f}")
+        assert acc32 > 80.0
+        assert agreement >= 0.99, (agreement, acc32, accq)
+        assert abs(acc32 - accq) <= 0.5, (acc32, accq)
+
+    def test_logit_perturbation_bounded(self, trained):
+        cfg, ds, trainer = trained
+        l32 = _logits(cfg, trainer, ds, quant=False)
+        l4 = _logits(cfg, trainer, ds, quant="qstatic5")
+        denom = np.abs(l32).max()
+        assert np.abs(l4 - l32).max() / denom < 0.1
+
+
+def test_w4_pack_unpack_roundtrip():
+    """_quant_w4 packing: shapes, nibble range, original row order
+    restored by _unpack_w4, and dequant error bounded by s/2/element."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.ops.quant import _quant_w4, _unpack_w4
+    w = np.array(jax.random.normal(jax.random.PRNGKey(0), (256, 96)))
+    w[:, 0] = 0.0  # all-zero out-channel: scale guard
+    q = _quant_w4(jnp.asarray(w))
+    assert q["w_p"].shape == (128, 96) and q["w_p"].dtype == jnp.int8
+    assert q["w_gscale"].shape == (2, 96)  # K=256 / group 128
+    wi = np.asarray(_unpack_w4(q["w_p"]))
+    assert wi.shape == (256, 96)
+    assert wi.min() >= -7 and wi.max() <= 7
+    s = np.repeat(np.asarray(q["w_gscale"]), 128, axis=0)
+    deq = wi.astype(np.float32) * s
+    assert np.abs(deq - w).max() <= s.max() * 0.5 + 1e-6
+    # row order: the largest-|w| element must land on the same (row, col)
+    idx = np.unravel_index(np.abs(w).argmax(), w.shape)
+    assert np.abs(deq[idx] - w[idx]) <= s[idx] * 0.5 + 1e-6
+
+
+def test_qdot_static4_matches_manual_dequant():
+    """_qdot_static4 == quantize(x) @ unpacked-int4 with per-group
+    dequant, computed manually (exact integer arithmetic)."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.ops.quant import (_quant_w4, _qdot_static4,
+                                        _unpack_w4)
+    k = jax.random.normal(jax.random.PRNGKey(1), (256, 64))
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (8, 256)))
+    q = _quant_w4(jnp.asarray(k))
+    a = float(np.abs(x).max() / 127.0)
+    b = jnp.ones((64,), jnp.float32)
+    got = np.asarray(_qdot_static4(jnp.asarray(x), a, q["w_p"],
+                                   q["w_gscale"], b))
+    xq = np.clip(np.round(x / a), -127, 127).astype(np.int32)
+    wi = np.asarray(_unpack_w4(q["w_p"])).astype(np.int32)
+    s = np.asarray(q["w_gscale"])
+    want = np.ones((8, 64), np.float32)
+    for gi in range(2):
+        part = xq[:, gi * 128:(gi + 1) * 128] @ wi[gi * 128:(gi + 1) * 128]
+        want += part.astype(np.float32) * (a * s[gi])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("level", [4, 5])
+def test_w4_engine_random_init(level):
+    """int4 engine correctness independent of training: qffn=4/5 via
+    the production construction path (interpret) vs model.apply."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.models.net import build_mcan
+    from mcan_vqa_tpu.ops.serving import build_production_engine
+    cfg = Config(hidden_size=64, layer=2, multi_head=4, flat_mlp_size=32,
+                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                 use_glove=False).finalize()
+    model = build_mcan(cfg, token_size=50, answer_size=17)
+    B = 8
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 12, 48),
+                            jnp.float32)
+    img = img.at[0, -4:].set(0.0)
+    ques = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.max_token),
+                              1, 50, jnp.int32)
+    ques = ques.at[1, -3:].set(0)
+    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+        "params"]
+    ref = model.apply({"params": params}, img, ques,
+                      deterministic=True)["logits"]
+    fwd, pp = build_production_engine(
+        params, cfg.layer, cfg.multi_head, qffn=level,
+        act_scale_inputs=(img, ques))
+    got = fwd(pp, img, ques)
+    pr = jax.nn.softmax(ref, -1)
+    pg = jax.nn.softmax(got, -1)
+    assert float(jnp.mean(jnp.argmax(ref, -1) == jnp.argmax(got, -1))) == 1.0
+    assert float(jnp.max(jnp.abs(pr - pg))) < 0.04
+
+
+def test_w4_requires_calibration():
+    """qffn levels 4/5 without a calibration batch or precomputed
+    scales must be rejected (the int4 kernels have no dynamic path)."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.models.net import build_mcan
+    from mcan_vqa_tpu.ops.serving import build_production_engine
+    cfg = Config(hidden_size=64, layer=1, multi_head=4, flat_mlp_size=32,
+                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                 use_glove=False).finalize()
+    model = build_mcan(cfg, token_size=50, answer_size=17)
+    img = jnp.zeros((2, 12, 48), jnp.float32)
+    ques = jnp.ones((2, cfg.max_token), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+        "params"]
+    with pytest.raises(ValueError, match="int4"):
+        build_production_engine(params, cfg.layer, cfg.multi_head, qffn=4)
 
 
 def test_qffn_matches_model_random_init():
@@ -441,3 +582,36 @@ def test_classifier_static_act_scales(level):
     pdyn = 1.0 / (1.0 + np.exp(-ldyn))
     psta = 1.0 / (1.0 + np.exp(-lsta))
     assert np.abs(psta - pdyn).max() < 0.02
+
+
+@pytest.mark.parametrize("level", [4, 5])
+def test_classifier_int4_levels(level):
+    """Classifier twin of the int4 latency levels: qffn=4/5 through
+    build_production_classifier_engine stays within quantization
+    tolerance of the calibrated level-3 engine, and without calibration
+    the levels are rejected."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.models.net import ClassifierNet
+    from mcan_vqa_tpu.ops.serving import build_production_classifier_engine
+
+    L, H = 2, 32
+    model = ClassifierNet(answer_size=9, hidden_size=H, num_layers=L,
+                          num_heads=4, ff_size=4 * H, img_feat_size=24,
+                          flat_mlp_size=16, flat_out_size=H)
+    B = 6
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 10, 24),
+                            jnp.float32)
+    img = img.at[0, -3:].set(0.0)
+    params = model.init({"params": jax.random.PRNGKey(1)}, img)["params"]
+    fwd3, pp3 = build_production_classifier_engine(
+        params, L, 4, qffn=3, act_scale_inputs=img)
+    fwd4, pp4 = build_production_classifier_engine(
+        params, L, 4, qffn=level, act_scale_inputs=img)
+    qf = pp4["backbone"]["enc_0"]["_qffn"]
+    assert "w1_p" in qf and (("wqkv_p" in qf) == (level == 5))
+    p3 = 1.0 / (1.0 + np.exp(-np.asarray(fwd3(pp3, img))))
+    p4 = 1.0 / (1.0 + np.exp(-np.asarray(fwd4(pp4, img))))
+    assert np.abs(p4 - p3).max() < 0.04
+    with pytest.raises(ValueError, match="int4"):
+        build_production_classifier_engine(params, L, 4, qffn=level)

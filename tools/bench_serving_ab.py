@@ -22,6 +22,9 @@ production program):
     qstatic  calibrated static activation scales at level 3 (the
              Predictor's calibrated default) — Predictor(act_calibration=)
     qstatic2 / qstatic3   calibrated at an explicit level
+    qstatic4 / qstatic5   the int4 weight-streaming latency levels
+             (level 3 + nibble-packed int4 FFN / FFN+qkv weights,
+             Predictor(engine="int4") is level 5)
     int8     the full-int8 engine (Predictor(engine="int8") megakernels)
 
 BENCH_QFFN_MAX_BATCH overrides ops.serving.QFFN_MAX_BATCH (the compiled
