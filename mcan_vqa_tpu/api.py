@@ -507,7 +507,11 @@ class Predictor:
             params = restored["params"] if "params" in restored else restored
             if act_scales is None and act_calibration is None:
                 on_tpu = jax.default_backend() == "tpu"
-                if engine == "fused" or (engine == "auto" and on_tpu):
+                # "int4" consumes the same stored scales (the packed
+                # weights are derived from params at build time), so the
+                # zero-ritual promise extends to the latency engine too
+                if engine in ("fused", "int4") \
+                        or (engine == "auto" and on_tpu):
                     act_scales = ckpt_mod.load_act_scales(path)
         if act_scales is False:
             act_scales = None

@@ -539,6 +539,43 @@ class TestAutoCalibration:
                                          engine="fused", act_scales=False)
         assert popt.calibration["state"] == "collecting"
 
+    def test_from_checkpoint_int4_autoloads_side_file(self, setup,
+                                                      tmp_path):
+        """engine="int4" gets the same zero-ritual deployment: the
+        Trainer-stored ``.act_scales.json`` satisfies int4's calibration
+        requirement, so from_checkpoint builds the packed-weight latency
+        engine immediately (no dynamic-serving phase, no online swap)."""
+        from mcan_vqa_tpu.train.optim import make_optimizer
+        from mcan_vqa_tpu.train.train_state import TrainState
+        cfg, tok, i2a, params = setup
+        tx = make_optimizer(cfg, data_size=64)
+        state = TrainState.create(params, tx, seed=0, step=1)
+        path = ckpt_mod.save_checkpoint(state, str(tmp_path), "v4", epoch=1)
+
+        qs, feats = self._qs_feats(4)
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        from mcan_vqa_tpu.ops.serving import prepare_production_params
+        prepared = prepare_production_params(params, cfg.layer,
+                                             cfg.multi_head, qffn=3)
+        ques = text_mod.encode_questions(qs, tok, cfg.max_token)
+        scales = calibrate_qffn_act_scales(prepared, feats, ques,
+                                           cfg.layer, cfg.multi_head)
+        ckpt_mod.save_act_scales(path, scales)
+
+        p4 = Predictor.from_checkpoint(path, cfg, tok, i2a, max_batch=4,
+                                       engine="int4")
+        assert p4.engine == "int4"
+        assert p4.calibration["state"] == "calibrated"
+        qf = p4.params["backbone"]["dec_0"]["_qffn"]
+        assert "w1_p" in qf and "wqkv_p" in qf
+        ref = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                        act_scales=scales)
+        check_qs, check_feats = self._qs_feats(3, seed=12)
+        pr_4 = p4.predict_probs(check_qs, check_feats)
+        pr_r = ref.predict_probs(check_qs, check_feats)
+        assert np.abs(pr_4 - pr_r).max() < 0.06
+        assert (pr_4.argmax(1) == pr_r.argmax(1)).all()
+
     def test_auto_calibrate_on_mesh(self, setup):
         """The online swap re-places the calibrated tree on the serving
         mesh; post-swap results match the single-device calibrated
