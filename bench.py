@@ -128,7 +128,9 @@ def main() -> None:
         # are the int4 weight-streaming latency levels (level 3 +
         # nibble-packed int4 FFN / FFN+qkv weights; requires
         # BENCH_QSTATIC=1 for the calibration batch) — the B=1 regime's
-        # engine, Predictor(engine="int4") is level 5.
+        # engine, Predictor(engine="int4") is level 5. BENCH_QFFN=6/7
+        # run the same int4 weights with bf16-dequant compute (no act
+        # quant at the int4 sites, one matmul per site).
         qstatic = os.environ.get("BENCH_QSTATIC", "1") == "1"
         auto_level = "3" if qstatic else "1"
         use_qffn = int(os.environ.get("BENCH_QFFN", auto_level))

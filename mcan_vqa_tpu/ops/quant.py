@@ -309,6 +309,29 @@ def _qdot_static4(x, a: float, wp_ref, s4_ref, bias):
     return y + bias
 
 
+def _qdot_w4bf16(x, a: float, wp_ref, s4_ref, bias):
+    """``_qdot_static4``'s storage with bf16-dequant COMPUTE: unpack the
+    nibble-packed int4 weight and fold the grouped scales into it
+    in-register, then ONE bf16 MXU matmul.
+
+    Same HBM bytes as ``_qdot_static4`` (the int4 packing is what the
+    B=1 weight-streaming regime pays for) but no activation
+    quantization at this site (``a`` is accepted for signature parity
+    and unused) and no per-K-group matmul loop — trades the grouped
+    int8 epilogues + act-quant VPU work for a weight-sized dequant.
+    Strictly more accurate than the int8-compute path (the only error
+    left is the int4 weight quantization itself). qffn levels 6/7."""
+    del a
+    w = _unpack_w4(wp_ref[:]).astype(jnp.float32)          # [K, N]
+    s4 = s4_ref[:]                                         # [K/g, N]
+    K, N = w.shape
+    nG = s4.shape[0]
+    wf = (w.reshape(nG, K // nG, N) * s4[:, None, :]
+          ).reshape(K, N).astype(BF16)
+    y = jnp.dot(x.astype(BF16), wf, preferred_element_type=jnp.float32)
+    return y + bias
+
+
 def prepare_quant_sga_params(p: Dict[str, Any]) -> Dict[str, Any]:
     """One decoder block (raw tree) -> int8 fused-projection layout."""
     def fuse_k(names, src):
@@ -683,7 +706,8 @@ def prepare_qffn_params(p: Dict[str, Any],
 
 def calibrate_qffn_act_scales(params: Dict[str, Any], img_feat, ques_ix,
                               num_layers: int, num_heads: int,
-                              margin: float = 1.1) -> Dict[str, tuple]:
+                              margin: float = 1.1,
+                              w4dq: bool = False) -> Dict[str, tuple]:
     """Calibrate static per-tensor activation scales for the qffn engine.
 
     Replays the qffn megakernel math (bf16 attention matmuls, f32
@@ -703,7 +727,9 @@ def calibrate_qffn_act_scales(params: Dict[str, Any], img_feat, ques_ix,
     PYTHON FLOATS (scale = max/127 * margin; values past the calibration
     max saturate at +-127): bake them into the engine via
     ``make_serving_fn(qffn_act_scales=...)``. margin: headroom for
-    activations the calibration batch didn't reach."""
+    activations the calibration batch didn't reach. w4dq: mirror the
+    bf16-dequant int4 compute (qffn levels 6/7) so the downstream int8
+    sites' scales are derived self-consistently."""
 
     def replay(params, img_feat, ques_ix):
         q_mask = make_mask(ques_ix[..., None])
@@ -717,10 +743,11 @@ def calibrate_qffn_act_scales(params: Dict[str, Any], img_feat, ques_ix,
         scales: Dict[str, tuple] = {}
         for i in range(num_layers):
             q, scales[f"enc_{i}"] = _cal_sa_block(
-                bb[f"enc_{i}"], q, q_mask, num_heads, margin)
+                bb[f"enc_{i}"], q, q_mask, num_heads, margin, w4dq)
         for i in range(num_layers):
             v, scales[f"dec_{i}"] = _cal_sga_block(
-                bb[f"dec_{i}"], v, q, v_mask, q_mask, num_heads, margin)
+                bb[f"dec_{i}"], v, q, v_mask, q_mask, num_heads, margin,
+                w4dq)
         return scales
 
     out = jax.jit(replay)(params, jnp.asarray(img_feat),
@@ -746,7 +773,8 @@ def _check_scales(scales: Dict[str, tuple]) -> Dict[str, tuple]:
 
 def calibrate_classifier_act_scales(params: Dict[str, Any], img_feat,
                                     num_layers: int, num_heads: int,
-                                    margin: float = 1.1) -> Dict[str, tuple]:
+                                    margin: float = 1.1,
+                                    w4dq: bool = False) -> Dict[str, tuple]:
     """Classifier twin of ``calibrate_qffn_act_scales`` (image-only SA
     stack; params from prepare_classifier_params(qffn=True), pruned or
     not). Bake the result into
@@ -760,7 +788,7 @@ def calibrate_classifier_act_scales(params: Dict[str, Any], img_feat,
         scales: Dict[str, tuple] = {}
         for i in range(num_layers):
             v, scales[f"enc_{i}"] = _cal_sa_block(
-                bb[f"enc_{i}"], v, v_mask, num_heads, margin)
+                bb[f"enc_{i}"], v, v_mask, num_heads, margin, w4dq)
         return scales
 
     out = jax.jit(replay)(params, jnp.asarray(img_feat))
@@ -804,6 +832,18 @@ def _cal_qdot4(x, a, wp, s4, b):
     return y + b
 
 
+def _cal_qdot4dq(x, wp, s4, b):
+    """Plain-XLA mirror of ``_qdot_w4bf16`` (int4 storage, bf16-dequant
+    compute — no activation quantization at the site)."""
+    w = _unpack_w4(wp).astype(jnp.float32)
+    K, N = w.shape
+    nG = s4.shape[0]
+    wf = (w.reshape(nG, K // nG, N) * s4[:, None, :]
+          ).reshape(K, N).astype(BF16)
+    return jnp.dot(x.astype(BF16), wf,
+                   preferred_element_type=jnp.float32) + b
+
+
 def _cal_bdot(x, w, b=None):
     y = jnp.dot(x.astype(BF16), jnp.asarray(w).astype(BF16),
                 preferred_element_type=jnp.float32)
@@ -826,12 +866,16 @@ def _cal_sdpa(q, k, v, mask, num_heads):
     return o.transpose(0, 2, 1, 3).reshape(B, Lq, D)
 
 
-def _cal_qkv_site(flat, wp, qf, wqkv_key, bqkv, margin):
+def _cal_qkv_site(flat, wp, qf, wqkv_key, bqkv, margin, w4dq=False):
     """The self-attention qkv quant site: int8/int4 (static,
     self-consistent) when the block quantizes qkv, else the bf16
-    matmul; returns (qkv [M, 3D], aq)."""
+    matmul; returns (qkv [M, 3D], aq). w4dq mirrors the bf16-dequant
+    int4 compute (the aq returned is then unused by the engine but
+    keeps the scale-tuple shape)."""
     if "wqkv_p" in qf:
         aq = _cal_scale_of(flat, margin)
+        if w4dq:
+            return _cal_qdot4dq(flat, qf["wqkv_p"], qf["sqkv_g"], bqkv), aq
         return _cal_qdot4(flat, aq, qf["wqkv_p"], qf["sqkv_g"], bqkv), aq
     if "wqkv_q" in qf:
         aq = _cal_scale_of(flat, margin)
@@ -839,17 +883,22 @@ def _cal_qkv_site(flat, wp, qf, wqkv_key, bqkv, margin):
     return _cal_bdot(flat, wp[wqkv_key], bqkv), jnp.float32(1.0)
 
 
-def _cal_ffn_sites(qf, xin, margin):
+def _cal_ffn_sites(qf, xin, margin, w4dq=False):
     w4 = "w1_p" in qf
     a1 = _cal_scale_of(xin, margin)
-    if w4:
+    if w4 and w4dq:
+        h1 = jnp.maximum(
+            _cal_qdot4dq(xin, qf["w1_p"], qf["s1_g"], qf["b1"]), 0.0)
+    elif w4:
         h1 = jnp.maximum(
             _cal_qdot4(xin, a1, qf["w1_p"], qf["s1_g"], qf["b1"]), 0.0)
     else:
         h1 = jnp.maximum(
             _cal_qdot(xin, a1, qf["w1_q"], qf["s1"], qf["b1"]), 0.0)
     a2 = _cal_scale_of(h1, margin)
-    if w4:
+    if w4 and w4dq:
+        y = _cal_qdot4dq(h1, qf["w2_p"], qf["s2_g"], qf["b2"])
+    elif w4:
         y = _cal_qdot4(h1, a2, qf["w2_p"], qf["s2_g"], qf["b2"])
     else:
         y = _cal_qdot(h1, a2, qf["w2_q"], qf["s2"], qf["b2"])
@@ -862,7 +911,7 @@ def _cal_proj_site(flat, wq, sw, margin):
     return _cal_qdot(flat, a, wq, sw, 0.0), a
 
 
-def _cal_sa_block(block, q, mask, num_heads, margin):
+def _cal_sa_block(block, q, mask, num_heads, margin, w4dq=False):
     """One SA block of the replay: (stream_out bf16, (aq, a1, a2)) —
     or a 4-tuple (aq, a1, a2, am) when the block carries proj-int8
     weights (prepare_qffn_params(proj_int8=True))."""
@@ -870,7 +919,8 @@ def _cal_sa_block(block, q, mask, num_heads, margin):
     B, Lq, D = q.shape
     x = q.astype(jnp.float32)
     flat = x.reshape(B * Lq, D)
-    qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv", wp["bqkv"], margin)
+    qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv", wp["bqkv"], margin,
+                            w4dq)
     qx, kx, vx = jnp.split(qkv.reshape(B, Lq, 3 * D), 3, axis=-1)
     att = _cal_sdpa(qx, kx, vx, mask, num_heads).reshape(B * Lq, D)
     if "wm_q" in qf:
@@ -878,13 +928,14 @@ def _cal_sa_block(block, q, mask, num_heads, margin):
     else:
         y, am = _cal_bdot(att, wp["wm"]), None
     x1 = _kln(x + y.reshape(B, Lq, D) + wp["bm"], wp["ln1_s"], wp["ln1_b"])
-    a1, a2, y = _cal_ffn_sites(qf, x1.reshape(B * Lq, D), margin)
+    a1, a2, y = _cal_ffn_sites(qf, x1.reshape(B * Lq, D), margin, w4dq)
     x2 = _kln(x1 + y.reshape(B, Lq, D), wp["ln2_s"], wp["ln2_b"])
     scales = (aq, a1, a2) if am is None else (aq, a1, a2, am)
     return x2.astype(BF16), scales
 
 
-def _cal_sga_block(dec, v, q, v_mask, q_mask, num_heads, margin):
+def _cal_sga_block(dec, v, q, v_mask, q_mask, num_heads, margin,
+                   w4dq=False):
     """One SGA decoder block of the replay. Returns a 3-tuple of scales,
     or a 6-tuple (aq, a1, a2, am1, aq2, am2) when the block carries
     proj-int8 weights."""
@@ -897,7 +948,8 @@ def _cal_sga_block(dec, v, q, v_mask, q_mask, num_heads, margin):
 
     x = v.astype(jnp.float32)
     flat = x.reshape(B * Lv, D)
-    qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv1", wp["bqkv1"], margin)
+    qkv, aq = _cal_qkv_site(flat, wp, qf, "wqkv1", wp["bqkv1"], margin,
+                            w4dq)
     qx, kx, vx = jnp.split(qkv.reshape(B, Lv, 3 * D), 3, axis=-1)
     att = _cal_sdpa(qx, kx, vx, v_mask, num_heads).reshape(B * Lv, D)
     if proj8:
@@ -924,7 +976,7 @@ def _cal_sga_block(dec, v, q, v_mask, q_mask, num_heads, margin):
     v2 = _kln(v1 + y.reshape(B, Lv, D) + wp["bm2"],
               wp["ln2_s"], wp["ln2_b"])
 
-    a1, a2, y = _cal_ffn_sites(qf, v2.reshape(B * Lv, D), margin)
+    a1, a2, y = _cal_ffn_sites(qf, v2.reshape(B * Lv, D), margin, w4dq)
     v3 = _kln(v2 + y.reshape(B, Lv, D), wp["ln3_s"], wp["ln3_b"])
     scales = ((aq, a1, a2) if not proj8
               else (aq, a1, a2, am1, aq2, am2))
@@ -942,7 +994,7 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
                      ln3s_ref, ln3b_ref,
                      o_ref, *, heads: int, group: int, scale: float,
                      qkv_int8: bool = False, act_scales=None,
-                     w4: int = 0):
+                     w4: int = 0, w4dq: bool = False):
     """bf16 fused-projection SGA megakernel with an int8 FFN.
 
     act_scales: optional calibrated per-tensor activation scales
@@ -955,8 +1007,11 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     per-row quant on the FFN (+ qkv when qkv_int8).
     w4: weight-streaming latency variant — 1: w1q/w2q refs carry
     nibble-packed int4 weights with grouped s1/s2 scales
-    (``_qdot_static4``); 2: the qkv ref too. Requires act_scales."""
+    (``_qdot_static4``); 2: the qkv ref too. Requires act_scales.
+    w4dq: run the int4 sites with bf16-dequant compute
+    (``_qdot_w4bf16`` — qffn levels 6/7) instead of grouped int8."""
     assert w4 == 0 or act_scales is not None
+    dot4 = _qdot_w4bf16 if w4dq else _qdot_static4
     proj8 = act_scales is not None and len(act_scales) >= 6
     G = group
     Lv, D = v_ref.shape[1], v_ref.shape[2]
@@ -993,7 +1048,7 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     # ---- self-attention: ONE qkv matmul (bf16/int8/int4), lane slices ----
     if qkv_int8:
         if w4 >= 2:
-            qkv = _qdot_static4(x, act_scales[0], wqkv_ref, sqkv_ref,
+            qkv = dot4(x, act_scales[0], wqkv_ref, sqkv_ref,
                                 bqkv_ref[:])
         elif act_scales is not None:
             qkv = _qdot_static(x, act_scales[0], wqkv_ref, sqkv_ref,
@@ -1040,9 +1095,9 @@ def _sga_kernel_qffn(v_ref, kq_ref, vq_ref, vpad_ref, qpad_ref,
     # ---- FFN: int8/int4 x int8 -> int32 on the MXU ----
     if w4 >= 1:
         h1 = jnp.maximum(
-            _qdot_static4(v2, act_scales[1], w1q_ref, s1_ref, b1_ref[:]),
+            dot4(v2, act_scales[1], w1q_ref, s1_ref, b1_ref[:]),
             0.0)
-        y = _qdot_static4(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
+        y = dot4(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
     elif act_scales is not None:
         h1 = jnp.maximum(
             _qdot_static(v2, act_scales[1], w1q_ref, s1_ref, b1_ref[:]), 0.0)
@@ -1062,10 +1117,12 @@ def _sa_kernel_qffn(x_ref, pad_ref,
                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
                     ln2s_ref, ln2b_ref, o_ref, *, heads: int, group: int,
                     scale: float, qkv_int8: bool = False, act_scales=None,
-                    w4: int = 0):
-    """bf16 SA-block megakernel with an int8 FFN (act_scales and w4 as
-    in ``_sga_kernel_qffn``; the SA proj tuple is (aqkv, a1, a2, am))."""
+                    w4: int = 0, w4dq: bool = False):
+    """bf16 SA-block megakernel with an int8 FFN (act_scales, w4 and
+    w4dq as in ``_sga_kernel_qffn``; the SA proj tuple is
+    (aqkv, a1, a2, am))."""
     assert w4 == 0 or act_scales is not None
+    dot4 = _qdot_w4bf16 if w4dq else _qdot_static4
     proj8 = act_scales is not None and len(act_scales) >= 4
     G = group
     Lq, D = x_ref.shape[1], x_ref.shape[2]
@@ -1084,7 +1141,7 @@ def _sa_kernel_qffn(x_ref, pad_ref,
 
     if qkv_int8:
         if w4 >= 2:
-            qkv = _qdot_static4(x, act_scales[0], wqkv_ref, sqkv_ref,
+            qkv = dot4(x, act_scales[0], wqkv_ref, sqkv_ref,
                                 bqkv_ref[:])
         elif act_scales is not None:
             qkv = _qdot_static(x, act_scales[0], wqkv_ref, sqkv_ref,
@@ -1119,9 +1176,9 @@ def _sa_kernel_qffn(x_ref, pad_ref,
 
     if w4 >= 1:
         h1 = jnp.maximum(
-            _qdot_static4(x1, act_scales[1], w1q_ref, s1_ref, b1_ref[:]),
+            dot4(x1, act_scales[1], w1q_ref, s1_ref, b1_ref[:]),
             0.0)
-        y = _qdot_static4(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
+        y = dot4(h1, act_scales[2], w2q_ref, s2_ref, b2_ref[:])
     elif act_scales is not None:
         h1 = jnp.maximum(
             _qdot_static(x1, act_scales[1], w1q_ref, s1_ref, b1_ref[:]), 0.0)
@@ -1136,7 +1193,8 @@ def _sa_kernel_qffn(x_ref, pad_ref,
 
 def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
                          num_heads: int, group: int = 4,
-                         interpret: bool = False, act_scales=None):
+                         interpret: bool = False, act_scales=None,
+                         w4dq: bool = False):
     """One whole SGA block: bf16 attention/projections (wp =
     prepare_sga_block_params layout), int8 FFN (qf = prepare_qffn_params).
     If qf carries ``wqkv_q`` (prepare_qffn_params(qkv_int8=True)), the
@@ -1144,7 +1202,9 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
     ops/sga_block.fused_sga_block(fused_proj=True).
     act_scales: optional (aqkv, a1, a2) Python floats from
     ``calibrate_qffn_act_scales`` — static per-tensor activation quant
-    (no per-row max reductions); None = dynamic per-row."""
+    (no per-row max reductions); None = dynamic per-row.
+    w4dq: int4 sites run bf16-dequant compute (``_qdot_w4bf16``,
+    qffn levels 6/7) instead of grouped int8 matmuls."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -1194,7 +1254,8 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
     sm2 = qf["sm2"] if proj8 else ones_d
     return pl.pallas_call(
         functools.partial(_sga_kernel_qffn, heads=H, group=G, scale=scale,
-                          qkv_int8=qkv_int8, act_scales=act_scales, w4=w4),
+                          qkv_int8=qkv_int8, act_scales=act_scales, w4=w4,
+                          w4dq=w4 > 0 and w4dq),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lv, D), lambda b: (b, 0, 0),
@@ -1233,10 +1294,10 @@ def fused_qffn_sga_block(v, kq, vq, v_mask, q_mask, wp, qf, *,
 
 def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
                         group: int = 0, interpret: bool = False,
-                        act_scales=None):
+                        act_scales=None, w4dq: bool = False):
     """One whole SA encoder block: bf16 attention (wp =
-    prepare_sa_block_params layout), int8 FFN (qf). act_scales as in
-    ``fused_qffn_sga_block``."""
+    prepare_sa_block_params layout), int8 FFN (qf). act_scales and
+    w4dq as in ``fused_qffn_sga_block``."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -1279,7 +1340,8 @@ def fused_qffn_sa_block(x, x_mask, wp, qf, *, num_heads: int,
     sm = qf["sm"] if proj8 else jnp.ones((D,), jnp.float32)
     return pl.pallas_call(
         functools.partial(_sa_kernel_qffn, heads=H, group=G, scale=scale,
-                          qkv_int8=qkv_int8, act_scales=act_scales, w4=w4),
+                          qkv_int8=qkv_int8, act_scales=act_scales, w4=w4,
+                          w4dq=w4 > 0 and w4dq),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, Lq, D), lambda b: (b, 0, 0),

@@ -185,7 +185,7 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
                 qkv8 = int(qffn) >= 2 or D >= 1024
                 proj8 = int(qffn) >= 3
-                w4 = {4: 1, 5: 2}.get(int(qffn), 0)
+                w4 = {4: 1, 5: 2, 6: 1, 7: 2}.get(int(qffn), 0)
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
                         bb[f"enc_{i}"], qkv_int8=qkv8, proj_int8=proj8,
@@ -288,7 +288,7 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
                         bb[f"enc_{i}"],
                         qkv_int8=int(qffn) >= 2 or D >= 1024,
                         proj_int8=int(qffn) >= 3,
-                        w4={4: 1, 5: 2}.get(int(qffn), 0))
+                        w4={4: 1, 5: 2, 6: 1, 7: 2}.get(int(qffn), 0))
     return out
 
 
@@ -346,9 +346,10 @@ def build_production_classifier_engine(params: Dict[str, Any],
                      or act_scales is not None) else True
     if int(qffn) >= 4 and act_scale_inputs is None and act_scales is None:
         raise ValueError(
-            "qffn levels 4/5 (int4 weight streaming) require a "
+            "qffn levels 4-7 (int4 weight streaming) require a "
             "calibration batch (act_scale_inputs) or precomputed "
             "act_scales — the int4 kernels have no dynamic-quant path")
+    w4dq = int(qffn) >= 6
     prepared = prepare_production_classifier_params(params, num_layers,
                                                     qffn=qffn)
     if (act_scale_inputs is not None or act_scales is not None) and qffn \
@@ -366,12 +367,13 @@ def build_production_classifier_engine(params: Dict[str, Any],
         from mcan_vqa_tpu.ops.quant import (
             calibrate_classifier_act_scales)
         act_scales = calibrate_classifier_act_scales(
-            prepared, act_scale_inputs, num_layers, num_heads)
+            prepared, act_scale_inputs, num_layers, num_heads, w4dq=w4dq)
     else:
         act_scales = None
     forward = make_classifier_serving_fn(num_layers, num_heads,
                                          bf16_stream=True, qffn=bool(qffn),
                                          qffn_act_scales=act_scales,
+                                         qffn_w4dq=w4dq,
                                          interpret=interpret,
                                          **serving_kwargs)
     return forward, prepared
@@ -382,7 +384,8 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
                                use_sa_megakernel: bool = True,
                                interpret: bool = False,
                                qffn: bool = True,
-                               qffn_act_scales=None):
+                               qffn_act_scales=None,
+                               qffn_w4dq: bool = False):
     """Build forward(params, img_feat) -> logits [B, A] for ClassifierNet.
 
     The image-only twin of ``make_serving_fn``: each SA encoder block runs
@@ -423,7 +426,8 @@ def make_classifier_serving_fn(num_layers: int, num_heads: int,
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     v = fused_qffn_sa_block(
                         v, v_mask, wp, p["_qffn"], num_heads=num_heads,
-                        interpret=interpret, act_scales=scales_i)
+                        interpret=interpret, act_scales=scales_i,
+                        w4dq=qffn_w4dq)
                 else:
                     v = fused_sa_block(v, v_mask, wp, num_heads=num_heads,
                                        interpret=interpret)
@@ -560,7 +564,9 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
     precomputed scales are given; an int forces a level, 0 the all-bf16
     kernels. Levels 4/5 (int4 FFN / int4 FFN+qkv weight streaming — the
     B=1 latency engine) REQUIRE a calibration batch or precomputed
-    scales.
+    scales; levels 6/7 store the same int4 weights but run them with
+    bf16-dequant compute (ops/quant._qdot_w4bf16 — no activation quant
+    at the int4 sites, one matmul instead of the per-K-group loop).
     act_scale_inputs: optional (img_feat, ques_ix) arrays — bakes static
     activation scales (ops.quant.calibrate_qffn_act_scales).
     act_scales: optional PRECOMPUTED scales dict ({"enc_i"/"dec_i":
@@ -581,9 +587,10 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
                      or act_scales is not None) else True
     if int(qffn) >= 4 and act_scale_inputs is None and act_scales is None:
         raise ValueError(
-            "qffn levels 4/5 (int4 weight streaming) require a "
+            "qffn levels 4-7 (int4 weight streaming) require a "
             "calibration batch (act_scale_inputs) or precomputed "
             "act_scales — the int4 kernels have no dynamic-quant path")
+    w4dq = int(qffn) >= 6
     prepared = prepare_production_params(params, num_layers, num_heads,
                                          qffn=qffn, alllayer=alllayer,
                                          sga_mode=sga_mode, prune=prune)
@@ -603,7 +610,7 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
         from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
         img, ques = act_scale_inputs
         act_scales = calibrate_qffn_act_scales(
-            prepared, img, ques, num_layers, num_heads)
+            prepared, img, ques, num_layers, num_heads, w4dq=w4dq)
     else:
         act_scales = None
     serving_kwargs.setdefault("use_pallas", False)
@@ -612,6 +619,7 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
                               use_sga_megakernel=sga_mode,
                               bf16_stream=bf16_stream, qffn=bool(qffn),
                               qffn_act_scales=act_scales,
+                              qffn_w4dq=w4dq,
                               interpret=interpret, **serving_kwargs)
     return forward, prepared
 
@@ -624,7 +632,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     sga_group: int = 4,
                     use_pallas_attflat: bool = False,
                     qffn: bool = False,
-                    qffn_act_scales=None):
+                    qffn_act_scales=None,
+                    qffn_w4dq: bool = False):
     """Build forward(params, img_feat, ques_ix) -> logits [B, A].
 
     params: the MCANet param pytree (model.init(...)['params'] or a
@@ -742,7 +751,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sa_block
                     q = fused_qffn_sa_block(
                         q, q_mask, wp, p["_qffn"], num_heads=num_heads,
-                        interpret=interpret, act_scales=scales_i)
+                        interpret=interpret, act_scales=scales_i,
+                        w4dq=qffn_w4dq)
                 else:
                     q = fused_sa_block(q, q_mask, wp, num_heads=num_heads,
                                        interpret=interpret)
@@ -804,7 +814,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     v = fused_qffn_sga_block(
                         v, kq, vq, v_mask, q_mask, wp, p["_qffn"],
                         num_heads=num_heads, group=sga_group,
-                        interpret=interpret, act_scales=scales_i)
+                        interpret=interpret, act_scales=scales_i,
+                        w4dq=qffn_w4dq)
                 else:
                     v = fused_sga_block(
                         v, kq, vq, v_mask, q_mask, wp,

@@ -52,18 +52,22 @@ def _logits(cfg, trainer, ds, quant):
     batch = {k: np.stack([ds.example(i)[k] for i in range(len(ds))])
              for k in ("img", "ques")}
     if quant in ("qffn", "qffn2", "qstatic", "qstatic2", "qstatic3",
-                 "qstatic4", "qstatic5"):
-        level = {"2": 2, "3": 3, "4": 4, "5": 5}.get(quant[-1], True)
+                 "qstatic4", "qstatic5", "qstatic6", "qstatic7"):
+        level = {"2": 2, "3": 3, "4": 4, "5": 5,
+                 "6": 6, "7": 7}.get(quant[-1], True)
+        w4dq = quant in ("qstatic6", "qstatic7")
         pp = prepare_params(params, cfg.layer, num_heads=cfg.multi_head,
                             alllayer=False, qffn=level)
         scales = None
         if quant.startswith("qstatic"):
             from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
             scales = calibrate_qffn_act_scales(
-                pp, batch["img"], batch["ques"], cfg.layer, cfg.multi_head)
+                pp, batch["img"], batch["ques"], cfg.layer, cfg.multi_head,
+                w4dq=w4dq)
         fwd = make_serving_fn(cfg.layer, cfg.multi_head, use_pallas=False,
                               use_sga_megakernel=2, interpret=True,
-                              qffn=True, qffn_act_scales=scales)
+                              qffn=True, qffn_act_scales=scales,
+                              qffn_w4dq=w4dq)
         return np.asarray(fwd(pp, batch["img"], batch["ques"]))
     if quant:
         qp = quantize_params(params, cfg.layer)
@@ -218,13 +222,16 @@ class TestStaticActScales:
 
 class TestInt4LatencyEngine:
     """Gate for the int4 weight-streaming latency engine (qffn levels
-    4 = int4 FFN / 5 = int4 FFN+qkv, ops/quant._quant_w4): OPT-IN for
+    4 = int4 FFN / 5 = int4 FFN+qkv, ops/quant._quant_w4; levels 6/7
+    run the same packed weights with bf16-dequant compute —
+    ops/quant._qdot_w4bf16): OPT-IN for
     the B=1 regime like the full-int8 engine, same documented bar —
     top-1 agreement >= 99% and |d_acc| <= 0.5pt on trained real-format
     data. int4 weights carry per-(K-group, out-channel) scales
     (W4_GROUP=128) and ship only with calibrated activation scales."""
 
-    @pytest.mark.parametrize("level", ["qstatic4", "qstatic5"])
+    @pytest.mark.parametrize("level", ["qstatic4", "qstatic5",
+                                       "qstatic6", "qstatic7"])
     def test_official_accuracy_delta(self, trained, level):
         from mcan_vqa_tpu.evals import vqa_eval
         cfg, ds, trainer = trained
@@ -304,9 +311,34 @@ def test_qdot_static4_matches_manual_dequant():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
-@pytest.mark.parametrize("level", [4, 5])
+def test_qdot_w4bf16_matches_manual_dequant():
+    """_qdot_w4bf16 (bf16-dequant compute over the packed int4 weight,
+    qffn levels 6/7) == bf16(x) @ bf16(dequantized w4), computed
+    manually. No activation quantization at the site; the ``a`` arg is
+    signature-parity only and must be ignored."""
+    import jax.numpy as jnp
+
+    from mcan_vqa_tpu.ops.quant import (_qdot_w4bf16, _quant_w4,
+                                        _unpack_w4)
+    k = jax.random.normal(jax.random.PRNGKey(1), (256, 64))
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (8, 256)))
+    q = _quant_w4(jnp.asarray(k))
+    b = jnp.ones((64,), jnp.float32)
+    got = np.asarray(_qdot_w4bf16(jnp.asarray(x), 123.456, q["w_p"],
+                                  q["w_gscale"], b))
+    wi = np.asarray(_unpack_w4(q["w_p"])).astype(np.float32)
+    s = np.repeat(np.asarray(q["w_gscale"]), 128, axis=0)
+    wf = (wi * s).astype(jnp.bfloat16)
+    want = np.asarray(jnp.dot(jnp.asarray(x).astype(jnp.bfloat16),
+                              jnp.asarray(wf),
+                              preferred_element_type=jnp.float32)) + 1.0
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("level", [4, 5, 6, 7])
 def test_w4_engine_random_init(level):
-    """int4 engine correctness independent of training: qffn=4/5 via
+    """int4 engine correctness independent of training: qffn=4/5
+    (grouped int8 compute) and 6/7 (bf16-dequant compute) via
     the production construction path (interpret) vs model.apply."""
     import jax.numpy as jnp
 
@@ -584,12 +616,12 @@ def test_classifier_static_act_scales(level):
     assert np.abs(psta - pdyn).max() < 0.02
 
 
-@pytest.mark.parametrize("level", [4, 5])
+@pytest.mark.parametrize("level", [4, 5, 6, 7])
 def test_classifier_int4_levels(level):
-    """Classifier twin of the int4 latency levels: qffn=4/5 through
-    build_production_classifier_engine stays within quantization
-    tolerance of the calibrated level-3 engine, and without calibration
-    the levels are rejected."""
+    """Classifier twin of the int4 latency levels: qffn=4/5 (and the
+    bf16-dequant 6/7) through build_production_classifier_engine stays
+    within quantization tolerance of the calibrated level-3 engine, and
+    without calibration the levels are rejected."""
     import jax.numpy as jnp
 
     from mcan_vqa_tpu.models.net import ClassifierNet
@@ -609,7 +641,7 @@ def test_classifier_int4_levels(level):
     fwd4, pp4 = build_production_classifier_engine(
         params, L, 4, qffn=level, act_scale_inputs=img)
     qf = pp4["backbone"]["enc_0"]["_qffn"]
-    assert "w1_p" in qf and (("wqkv_p" in qf) == (level == 5))
+    assert "w1_p" in qf and (("wqkv_p" in qf) == (level in (5, 7)))
     p3 = 1.0 / (1.0 + np.exp(-np.asarray(fwd3(pp3, img))))
     p4 = 1.0 / (1.0 + np.exp(-np.asarray(fwd4(pp4, img))))
     assert np.abs(p4 - p3).max() < 0.04

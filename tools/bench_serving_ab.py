@@ -25,6 +25,9 @@ production program):
     qstatic4 / qstatic5   the int4 weight-streaming latency levels
              (level 3 + nibble-packed int4 FFN / FFN+qkv weights,
              Predictor(engine="int4") is level 5)
+    qstatic6 / qstatic7   the same int4 weights with bf16-dequant
+             COMPUTE (no act quant at the int4 sites, one matmul
+             instead of the per-K-group loop)
     int8     the full-int8 engine (Predictor(engine="int8") megakernels)
 
 BENCH_QFFN_MAX_BATCH overrides ops.serving.QFFN_MAX_BATCH (the compiled
