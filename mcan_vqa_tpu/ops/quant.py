@@ -704,6 +704,40 @@ def prepare_qffn_params(p: Dict[str, Any],
     return out
 
 
+def prepare_q8aux_params(params: Dict[str, Any],
+                         num_layers: int) -> Dict[str, Any]:
+    """Static-int8 AUX weight sites for the B=1 weight-streaming regime:
+    the matmuls the megakernels DON'T cover — the decoder cross k/v
+    projections (2*D^2 bf16 per block: the largest unquantized stream
+    after qffn level 3), both AttFlat merges, and the answer head.
+    ~46 MB of bf16 at MCAN-large, ~10 MB at small.
+
+    params: a prepared (pruned ok) serving tree. Returns the `_q8aux`
+    tree ({"dec_i_kv"/"lang_merge"/"img_merge"/"proj": {w_q, w_s, b}},
+    per-out-channel int8 via ``_quant_w``); the serving forward uses it
+    only when the calibrated act-scale dict carries an "aux" tuple
+    (build_production_engine(q8aux=True)). Reference anchors:
+    core/model/mca.py:151-164 (cross-att k/v), core/model/net.py:20-55
+    (AttFlat merge), net.py:371-372 (proj head)."""
+    def site(kernel, bias):
+        q = _quant_w(kernel)
+        return {"w_q": q["w_q"], "w_s": q["w_scale"],
+                "b": jnp.asarray(bias, jnp.float32)}
+
+    aux: Dict[str, Any] = {}
+    for i in range(num_layers):
+        kv = params["backbone"][f"dec_{i}"]["mhatt2"]["linear_kv"]
+        aux[f"dec_{i}_kv"] = site(kv["kernel"], kv["bias"])
+    aux["lang_merge"] = site(
+        params["attflat_lang"]["linear_merge"]["kernel"],
+        params["attflat_lang"]["linear_merge"]["bias"])
+    aux["img_merge"] = site(
+        params["attflat_img"]["linear_merge"]["kernel"],
+        params["attflat_img"]["linear_merge"]["bias"])
+    aux["proj"] = site(params["proj"]["kernel"], params["proj"]["bias"])
+    return aux
+
+
 def calibrate_qffn_act_scales(params: Dict[str, Any], img_feat, ques_ix,
                               num_layers: int, num_heads: int,
                               margin: float = 1.1,
@@ -744,10 +778,26 @@ def calibrate_qffn_act_scales(params: Dict[str, Any], img_feat, ques_ix,
         for i in range(num_layers):
             q, scales[f"enc_{i}"] = _cal_sa_block(
                 bb[f"enc_{i}"], q, q_mask, num_heads, margin, w4dq)
+        aux_w = params.get("_q8aux")
+        a_kv = (_cal_scale_of(q.astype(jnp.float32), margin)
+                if aux_w is not None else None)
         for i in range(num_layers):
+            kv_q8 = ((a_kv, aux_w[f"dec_{i}_kv"])
+                     if aux_w is not None else None)
             v, scales[f"dec_{i}"] = _cal_sga_block(
                 bb[f"dec_{i}"], v, q, v_mask, q_mask, num_heads, margin,
-                w4dq)
+                w4dq, kv_q8)
+        if aux_w is not None:
+            lang, a_lang = _cal_attflat(params["attflat_lang"],
+                                        aux_w["lang_merge"], q, q_mask,
+                                        margin)
+            img, a_img = _cal_attflat(params["attflat_img"],
+                                      aux_w["img_merge"], v, v_mask,
+                                      margin)
+            pn = params["proj_norm"]
+            fused = _kln(lang + img, pn["scale"], pn["bias"])
+            scales["aux"] = (a_kv, a_lang, a_img,
+                             _cal_scale_of(fused, margin))
         return scales
 
     out = jax.jit(replay)(params, jnp.asarray(img_feat),
@@ -911,6 +961,24 @@ def _cal_proj_site(flat, wq, sw, margin):
     return _cal_qdot(flat, a, wq, sw, 0.0), a
 
 
+def _cal_attflat(p, site, x, mask, margin):
+    """AttFlat replay with the static-int8 merge site (_q8aux): mirrors
+    ops/serving._attflat's non-pallas math. -> (pooled_out f32, a)."""
+    B, L, D = x.shape
+    x2 = x.astype(jnp.float32).reshape(B * L, D)
+    mlp = p["mlp"]
+    h = jnp.maximum(_cal_bdot(x2, mlp["FCLayer_0"]["Dense_0"]["kernel"],
+                              mlp["FCLayer_0"]["Dense_0"]["bias"]), 0.0)
+    logits = _cal_bdot(h, mlp["Dense_0"]["kernel"],
+                       mlp["Dense_0"]["bias"]).reshape(B, L, -1)
+    logits = jnp.where(mask[:, 0, 0, :, None], -1e9, logits)
+    att = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    pooled = jnp.einsum("blg,bld->bgd", att.astype(BF16), x.astype(BF16),
+                        preferred_element_type=jnp.float32).reshape(B, -1)
+    a = _cal_scale_of(pooled, margin)
+    return _cal_qdot(pooled, a, site["w_q"], site["w_s"], site["b"]), a
+
+
 def _cal_sa_block(block, q, mask, num_heads, margin, w4dq=False):
     """One SA block of the replay: (stream_out bf16, (aq, a1, a2)) —
     or a 4-tuple (aq, a1, a2, am) when the block carries proj-int8
@@ -935,14 +1003,22 @@ def _cal_sa_block(block, q, mask, num_heads, margin, w4dq=False):
 
 
 def _cal_sga_block(dec, v, q, v_mask, q_mask, num_heads, margin,
-                   w4dq=False):
+                   w4dq=False, kv_q8=None):
     """One SGA decoder block of the replay. Returns a 3-tuple of scales,
     or a 6-tuple (aq, a1, a2, am1, aq2, am2) when the block carries
-    proj-int8 weights."""
+    proj-int8 weights. kv_q8: optional (a_kv, _q8aux site) — mirror the
+    static-int8 cross k/v projection (prepare_q8aux_params)."""
     wp, qf = dec["_mk"], dec["_qffn"]
     B, Lv, D = v.shape
-    kv = _cal_bdot(q, dec["mhatt2"]["linear_kv"]["kernel"],
-                   dec["mhatt2"]["linear_kv"]["bias"])
+    if kv_q8 is not None:
+        a_kv, site = kv_q8
+        Lq = q.shape[1]
+        kv = _cal_qdot(q.astype(jnp.float32).reshape(B * Lq, D), a_kv,
+                       site["w_q"], site["w_s"],
+                       site["b"]).reshape(B, Lq, 2 * D)
+    else:
+        kv = _cal_bdot(q, dec["mhatt2"]["linear_kv"]["kernel"],
+                       dec["mhatt2"]["linear_kv"]["bias"])
     kq, vq = jnp.split(kv, 2, axis=-1)
     proj8 = "wm1_q" in qf
 

@@ -487,7 +487,34 @@ def _mhatt(p, v, k, q, mask, num_heads: int, use_pallas: bool,
     return _dense(p["linear_merge"], atted)
 
 
-def _attflat(p, x, mask, use_pallas: bool, interpret: bool):
+def _qdense_static(site, x, a: float):
+    """Static-int8 XLA matmul for a ``_q8aux`` site (the aux matmuls
+    live OUTSIDE the Pallas megakernels): quantize the activation with
+    the calibrated per-tensor scale, one int8 MXU matmul, per-channel
+    dequant epilogue — half the weight-stream bytes of the bf16 path,
+    which is what bounds B=1 latency (docs/PERFORMANCE.md)."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / a)),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, site["w_q"],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (a * site["w_s"]) + site["b"]
+
+
+def _cross_kv_q8(site, q, num_heads: int, a: float):
+    """``_cross_kv`` against a static-int8 ``_q8aux`` kv site."""
+    B, Lq, D = q.shape
+    Dh = D // num_heads
+    kv = _qdense_static(site, q.reshape(B * Lq, D),
+                        a).reshape(B, Lq, 2 * D)
+    kx, vx = jnp.split(kv, 2, axis=-1)
+
+    def split(x):
+        return x.reshape(B, Lq, num_heads, Dh).transpose(0, 2, 1, 3)
+    return split(kx), split(vx)
+
+
+def _attflat(p, x, mask, use_pallas: bool, interpret: bool, q8=None):
     if use_pallas:
         out, att = attflat_pallas(
             x, mask,
@@ -503,6 +530,9 @@ def _attflat(p, x, mask, use_pallas: bool, interpret: bool):
     pooled = jnp.einsum("blg,bld->bgd", att.astype(BF16), x.astype(BF16),
                         preferred_element_type=jnp.float32)
     pooled = pooled.reshape(x.shape[0], -1)
+    if q8 is not None:
+        site, a = q8
+        return _qdense_static(site, pooled, a), att
     return _dense(p["linear_merge"], pooled), att
 
 
@@ -544,6 +574,7 @@ def prepare_production_params(params: Dict[str, Any], num_layers: int,
 def build_production_engine(params: Dict[str, Any], num_layers: int,
                             num_heads: int, *, qffn=None,
                             act_scale_inputs=None, act_scales=None,
+                            q8aux: bool = False,
                             interpret=None,
                             prune: bool = True, sga_mode: int = 2,
                             alllayer: bool = False,
@@ -574,6 +605,12 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
     returns and the Trainer stores next to its final checkpoint); skips
     the calibration replay entirely. Mutually exclusive with
     act_scale_inputs. interpret: None = off-TPU autodetect.
+    q8aux: additionally run the AUX weight sites — decoder cross k/v,
+    both AttFlat merges, the answer head — with static-int8 weights
+    (ops/quant.prepare_q8aux_params): the largest bf16 streams left
+    outside the megakernels in the B=1 weight-bound regime. Requires a
+    calibration batch, or precomputed act_scales that include the
+    "aux" tuple.
     serving_kwargs pass through to ``make_serving_fn`` (experiment
     knobs: sga_group, use_pallas_attflat, ...).
 
@@ -591,9 +628,17 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
             "calibration batch (act_scale_inputs) or precomputed "
             "act_scales — the int4 kernels have no dynamic-quant path")
     w4dq = int(qffn) >= 6
+    if q8aux and act_scale_inputs is None and (
+            act_scales is None or "aux" not in act_scales):
+        raise ValueError(
+            "q8aux requires a calibration batch (act_scale_inputs) or "
+            "precomputed act_scales that include the \"aux\" tuple")
     prepared = prepare_production_params(params, num_layers, num_heads,
                                          qffn=qffn, alllayer=alllayer,
                                          sga_mode=sga_mode, prune=prune)
+    if q8aux:
+        from mcan_vqa_tpu.ops.quant import prepare_q8aux_params
+        prepared["_q8aux"] = prepare_q8aux_params(prepared, num_layers)
     if (act_scale_inputs is not None or act_scales is not None) and qffn \
             and "_mk" not in prepared["backbone"]["enc_0"]:
         import warnings
@@ -602,6 +647,7 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
             "the megakernel VMEM envelope, the engine falls back to the "
             "per-sub-op path (no int8 quant sites)")
         act_scale_inputs = act_scales = None
+        prepared.pop("_q8aux", None)
     if act_scales is not None and qffn:
         from mcan_vqa_tpu.ops.quant import _check_scales
         act_scales = _check_scales(
@@ -700,6 +746,16 @@ def make_serving_fn(num_layers: int, num_heads: int,
     def forward(params, img_feat, ques_ix):
         q_mask = make_mask(ques_ix[..., None])
         v_mask = make_mask(img_feat)
+        # static-int8 AUX sites (cross-kv / AttFlat merges / head):
+        # active only when the prepared tree carries _q8aux AND the
+        # calibrated scales include the "aux" tuple (q8aux=True through
+        # build_production_engine). Pallas-attflat experiments bypass
+        # the aux merge site, so they are mutually exclusive.
+        aux_w = params.get("_q8aux") if isinstance(params, dict) else None
+        aux_s = (qffn_act_scales or {}).get("aux")
+        use_aux = aux_w is not None and aux_s is not None
+        assert not (use_aux and (use_pallas or use_pallas_attflat)), \
+            "q8aux does not compose with the pallas AttFlat experiment"
 
         def ln(p, x):
             return _std_layer_norm(p, x, out_dtype=stream)
@@ -803,7 +859,11 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 fused_sga_block, prepare_sga_block_params)
             for i in range(num_layers):
                 p = bb[f"dec_{i}"]
-                kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
+                if use_aux:
+                    kq, vq = _cross_kv_q8(aux_w[f"dec_{i}_kv"], q,
+                                          num_heads, aux_s[0])
+                else:
+                    kq, vq = _cross_kv(p["mhatt2"], q, num_heads)
                 wp = (p["_mk"] if "_mk" in p
                       else prepare_sga_block_params(p, num_heads))
                 scales_i = (qffn_act_scales or {}).get(f"dec_{i}")
@@ -823,14 +883,18 @@ def make_serving_fn(num_layers: int, num_heads: int,
                         fused_proj=(sga_mode == 2),
                         interpret=interpret)
         if sga_mode:
-            lang_flat, _ = _attflat(params["attflat_lang"], q, q_mask,
-                                    use_pallas or use_pallas_attflat,
-                                    interpret)
-            img_flat, _ = _attflat(params["attflat_img"], v, v_mask,
-                                   use_pallas or use_pallas_attflat,
-                                   interpret)
+            lang_flat, _ = _attflat(
+                params["attflat_lang"], q, q_mask,
+                use_pallas or use_pallas_attflat, interpret,
+                q8=(aux_w["lang_merge"], aux_s[1]) if use_aux else None)
+            img_flat, _ = _attflat(
+                params["attflat_img"], v, v_mask,
+                use_pallas or use_pallas_attflat, interpret,
+                q8=(aux_w["img_merge"], aux_s[2]) if use_aux else None)
             fused = _std_layer_norm(params["proj_norm"],
                                     lang_flat + img_flat)
+            if use_aux:
+                return _qdense_static(aux_w["proj"], fused, aux_s[3])
             return _dense(params["proj"], fused)
 
         for i in range(num_layers):

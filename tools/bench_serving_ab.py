@@ -28,6 +28,9 @@ production program):
     qstatic6 / qstatic7   the same int4 weights with bf16-dequant
              COMPUTE (no act quant at the int4 sites, one matmul
              instead of the per-K-group loop)
+    qauxN    level N + static-int8 AUX sites (decoder cross-kv, both
+             AttFlat merges, the answer head — the bf16 streams the
+             megakernels don't cover); qaux = calibrated default + aux
     int8     the full-int8 engine (Predictor(engine="int8") megakernels)
 
 BENCH_QFFN_MAX_BATCH overrides ops.serving.QFFN_MAX_BATCH (the compiled
@@ -84,13 +87,18 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
         #               every width — the Predictor's act_calibration)
     elif name.startswith("qstatic"):
         level = int(name[len("qstatic"):])
+    elif name.startswith("qaux"):
+        # level N + the static-int8 AUX sites (cross-kv / AttFlat
+        # merges / head — build_production_engine(q8aux=True))
+        level = int(name[len("qaux"):]) if name != "qaux" else None
     else:
         raise SystemExit(f"unknown config {name!r}")
 
+    calibrated = name.startswith(("qstatic", "qaux"))
     forward, params = build_production_engine(
         raw_params, cfg.layer, cfg.multi_head, qffn=level,
-        act_scale_inputs=(img_d, ques_d) if name.startswith("qstatic")
-        else None)
+        q8aux=name.startswith("qaux"),
+        act_scale_inputs=(img_d, ques_d) if calibrated else None)
     # params live on device already (prepare_params runs jnp ops)
     return forward, jax.device_put(params)
 
