@@ -32,7 +32,8 @@ class Predictor:
                  max_batch: int = 64, engine: str = "auto",
                  latency_buckets: Optional[Sequence[int]] = None,
                  mesh=None, act_calibration=None, act_scales=None,
-                 auto_calibrate: int = 256):
+                 auto_calibrate: int = 256,
+                 q8aux: bool = False):
         """max_batch: compiled batch shape; inputs are padded up to it
         (one compilation, any request size <= max_batch).
 
@@ -106,6 +107,24 @@ class Predictor:
         ``export_artifact`` after the swap freezes the calibrated
         engine.
 
+        q8aux: additionally run the static-int8 AUX weight sites —
+        decoder cross k/v, both AttFlat merges, the answer head — the
+        largest bf16 weight streams OUTSIDE the megakernels
+        (ops/serving.build_production_engine(q8aux=True)). Applies to
+        the calibrated fused/int4 engines only (the sites need static
+        activation scales); like ``engine="int4"`` it activates once
+        calibration arrives (sample, stored scales with an "aux" tuple,
+        or online auto-calibration). Measured at MCAN-large B=1
+        (interleaved medians): **+5.2% on top of the calibrated level-3
+        engine** (4/5 paired-round wins); NEUTRAL on top of the int4
+        level-5 engine (14 paired rounds across two campaigns — the aux
+        byte saving overlaps the int4 one), which is why it is opt-in
+        rather than folded into engine="int4". Accuracy gate:
+        tests/test_quant.py::TestQ8AuxSites (zero top-1 flips at levels
+        3/5). Stored side files from Trainer runs after r4 carry the
+        "aux" tuple; passing q8aux=True with an older side file (no
+        "aux") raises.
+
         mesh: optional pure-data-parallel ``jax.sharding.Mesh`` (every
         non-"data" axis size 1). Params are replicated, every request
         batch is split evenly over the chips (fused/int8 engines run
@@ -146,6 +165,21 @@ class Predictor:
         # engine until calibration (sample, stored scales, or online
         # auto-calibration) provides the required static scales.
         self._qffn_level = 5 if engine == "int4" else None
+        # q8aux rides the same "activates once calibrated" lifecycle as
+        # engine="int4": the dynamic engine serves until static scales
+        # exist, then the aux sites go int8 in the calibrated rebuild
+        self._q8aux = bool(q8aux)
+        if q8aux and engine not in ("fused", "int4"):
+            if requested_engine == "auto":
+                warnings.warn(
+                    f"q8aux ignored: engine='auto' resolved to "
+                    f"'{engine}' on this backend; the aux int8 sites "
+                    f"exist only in the fused engine")
+                self._q8aux = False
+            else:
+                raise ValueError(
+                    f"q8aux applies to the fused/int4 engines (their "
+                    f"calibrated int8 sites), got engine='{engine}'")
         if engine == "int4":
             engine = "fused"
             self.engine = "int4"
@@ -261,13 +295,20 @@ class Predictor:
         # (test_full_size_parity.py), all zero top-1 flips.
         # engine="int4": once calibration inputs/scales exist, build the
         # weight-streaming latency level instead of the default level 3
+        calibrated = act_inputs is not None or act_scales is not None
         qffn = (self._qffn_level
                 if (getattr(self, "_qffn_level", None) is not None
-                    and (act_inputs is not None or act_scales is not None))
+                    and calibrated)
                 else None)
+        # q8aux needs static scales too: active only in the calibrated
+        # build (with stored scales, the side file must carry "aux" —
+        # the builder raises otherwise, by design: silent fallback would
+        # hide a stale pre-r4 side file from the deployer)
         serve, prepared = build_production_engine(
             params, self.cfg.layer, self.cfg.multi_head,
-            qffn=qffn, act_scale_inputs=act_inputs, act_scales=act_scales)
+            qffn=qffn,
+            q8aux=getattr(self, "_q8aux", False) and calibrated,
+            act_scale_inputs=act_inputs, act_scales=act_scales)
 
         def forward(params, img, ques):
             return jax.nn.sigmoid(
@@ -487,7 +528,8 @@ class Predictor:
                         latency_buckets: Optional[Sequence[int]] = None,
                         mesh=None, act_calibration=None,
                         act_scales=None,
-                        auto_calibrate: int = 256) -> "Predictor":
+                        auto_calibrate: int = 256,
+                        q8aux: bool = False) -> "Predictor":
         """path: a reference .pkl/.pt, or an orbax checkpoint directory.
 
         act_scales: None (default) AUTO-LOADS the static activation
@@ -518,7 +560,7 @@ class Predictor:
         return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine,
                    latency_buckets=latency_buckets, mesh=mesh,
                    act_calibration=act_calibration, act_scales=act_scales,
-                   auto_calibrate=auto_calibrate)
+                   auto_calibrate=auto_calibrate, q8aux=q8aux)
 
     # ------------------------------------------------------------------
     def predict_probs(self, questions: Sequence[str],

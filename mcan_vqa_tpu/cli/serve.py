@@ -318,6 +318,10 @@ def build_predictor(args):
                              "(the exported engine is frozen; calibrate "
                              "at export time via Predictor("
                              "act_calibration=...).export_artifact)")
+        if args.q8aux:
+            raise SystemExit("--q8aux does not apply to --artifact "
+                             "(the exported engine is frozen; pass "
+                             "q8aux=True to the Predictor that exports)")
         from mcan_vqa_tpu.artifact import load_artifact
         return load_artifact(args.artifact)
 
@@ -355,7 +359,7 @@ def build_predictor(args):
                             img, ques)["params"]
         return Predictor(cfg, params, tok, None, max_batch=args.max_batch,
                          engine=args.engine, latency_buckets=buckets,
-                         act_calibration=cal,
+                         act_calibration=cal, q8aux=args.q8aux,
                          auto_calibrate=args.auto_calibrate)
 
     if not args.ckpt_path:
@@ -368,7 +372,8 @@ def build_predictor(args):
     return Predictor.from_checkpoint(
         args.ckpt_path, cfg, token_to_ix, max_batch=args.max_batch,
         engine=args.engine, latency_buckets=buckets,
-        act_calibration=cal, auto_calibrate=args.auto_calibrate)
+        act_calibration=cal, q8aux=args.q8aux,
+        auto_calibrate=args.auto_calibrate)
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -395,6 +400,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "bucket pre-warm, then an atomic swap; "
                         "+14-16%% measured, docs/PERFORMANCE.md). "
                         "0 disables; ignored for --artifact")
+    p.add_argument("--q8aux", action="store_true",
+                   help="once calibrated, also run the AUX weight sites "
+                        "(decoder cross-kv, AttFlat merges, head) with "
+                        "static-int8 weights — +5.2%% measured at "
+                        "MCAN-large B=1 on the calibrated level-3 engine "
+                        "(neutral on top of --engine int4; "
+                        "docs/PERFORMANCE.md). Fused/int4 engines only")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=64)

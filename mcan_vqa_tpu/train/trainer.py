@@ -459,7 +459,14 @@ class Trainer:
                     "serving calibration skipped: model dims are outside "
                     "the megakernel VMEM envelope (no int8 quant sites)")
                 return
-            from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+            from mcan_vqa_tpu.ops.quant import (calibrate_qffn_act_scales,
+                                                prepare_q8aux_params)
+            # attach the AUX weight sites (decoder cross-kv, AttFlat
+            # merges, head) before the replay so the stored scales carry
+            # the "aux" tuple — Predictor(q8aux=True) then works with
+            # zero ritual on this checkpoint (the tuple is ignored by
+            # builds that don't request q8aux)
+            prepared["_q8aux"] = prepare_q8aux_params(prepared, cfg.layer)
             img, ques = inputs
             scales = calibrate_qffn_act_scales(
                 prepared, img, ques, cfg.layer, cfg.multi_head)

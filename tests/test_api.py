@@ -135,6 +135,84 @@ class TestPredictor:
             Predictor(cfg, params, tok, i2a, max_batch=2, engine="int4",
                       auto_calibrate=0)
 
+    def test_q8aux_predictor(self, setup):
+        """Predictor(q8aux=True) + a calibration sample attaches the
+        static-int8 AUX weight sites (decoder cross-kv, AttFlat merges,
+        head) to the calibrated engine; answers agree with the plain
+        calibrated engine (gate proper:
+        tests/test_quant.py::test_q8aux_engine_random_init). Measured
+        +5.2% at MCAN-large B=1 over the calibrated level-3 engine."""
+        cfg, tok, i2a, params = setup
+        rng = np.random.default_rng(5)
+        feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        qs = ["what color is the cat", "is the dog red",
+              "what is blue", "is the cat 2"]
+        p_ref = Predictor(cfg, params, tok, i2a, max_batch=4,
+                          engine="fused", act_calibration=(qs, feats))
+        p_aux = Predictor(cfg, params, tok, i2a, max_batch=4,
+                          engine="fused", act_calibration=(qs, feats),
+                          q8aux=True)
+        assert "_q8aux" in p_aux.params
+        assert "_q8aux" not in p_ref.params
+        pr_r = p_ref.predict_probs(qs, feats)
+        pr_a = p_aux.predict_probs(qs, feats)
+        assert np.abs(pr_a - pr_r).max() < 0.06
+        assert (pr_a.argmax(1) == pr_r.argmax(1)).all()
+
+    def test_q8aux_composes_with_int4(self, setup):
+        """q8aux composes with the int4 latency engine (measured NEUTRAL
+        on top of level 5 at large B=1 — the byte savings overlap — but
+        the combination must build and agree)."""
+        cfg, tok, i2a, params = setup
+        rng = np.random.default_rng(6)
+        feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        qs = ["what color is the cat", "is the dog red",
+              "what is blue", "is the cat 2"]
+        p_ref = Predictor(cfg, params, tok, i2a, max_batch=4,
+                          engine="fused")
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="int4",
+                      act_calibration=(qs, feats), q8aux=True)
+        assert "_q8aux" in p.params
+        qf = p.params["backbone"]["dec_0"]["_qffn"]
+        assert "w1_p" in qf    # int4 packing still present
+        pr = p.predict_probs(qs, feats)
+        pr_r = p_ref.predict_probs(qs, feats)
+        assert np.abs(pr - pr_r).max() < 0.08
+        assert (pr.argmax(1) == pr_r.argmax(1)).all()
+
+    def test_q8aux_rejected_on_non_fused_engines(self, setup):
+        """q8aux sites exist only in the calibrated fused/int4 engines:
+        explicit plain/int8 is a config error; 'auto' resolving to plain
+        (CPU) downgrades to a warning."""
+        cfg, tok, i2a, params = setup
+        with pytest.raises(ValueError, match="q8aux"):
+            Predictor(cfg, params, tok, i2a, max_batch=2, engine="plain",
+                      q8aux=True)
+        with pytest.warns(UserWarning, match="q8aux ignored"):
+            p = Predictor(cfg, params, tok, i2a, max_batch=2,
+                          engine="auto", q8aux=True)
+        assert p.engine == "plain" and not p._q8aux
+
+    def test_q8aux_stale_side_file_rejected(self, setup):
+        """q8aux=True with precomputed act_scales that lack the "aux"
+        tuple (a pre-r4 Trainer side file) must fail loudly, not
+        silently serve without the aux sites."""
+        cfg, tok, i2a, params = setup
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        from mcan_vqa_tpu.ops.serving import prepare_production_params
+        rng = np.random.default_rng(7)
+        feats = rng.normal(size=(2, 8, 16)).astype(np.float32)
+        qs = ["what color", "is the dog red"]
+        prepared = prepare_production_params(params, cfg.layer,
+                                             cfg.multi_head, qffn=3)
+        ques = text_mod.encode_questions(qs, tok, cfg.max_token)
+        scales = calibrate_qffn_act_scales(prepared, feats, ques,
+                                           cfg.layer, cfg.multi_head)
+        assert "aux" not in scales
+        with pytest.raises(ValueError, match="aux"):
+            Predictor(cfg, params, tok, i2a, max_batch=2, engine="fused",
+                      act_scales=scales, q8aux=True)
+
     def test_act_calibration_rejected_on_non_fused_engines(self, setup):
         """Static scales only exist in the fused engine: an explicit
         plain/int8 engine with a calibration sample is a config error
@@ -575,6 +653,47 @@ class TestAutoCalibration:
         pr_r = ref.predict_probs(check_qs, check_feats)
         assert np.abs(pr_4 - pr_r).max() < 0.06
         assert (pr_4.argmax(1) == pr_r.argmax(1)).all()
+
+    def test_from_checkpoint_q8aux_autoloads_side_file(self, setup,
+                                                       tmp_path):
+        """The Trainer's side file carries the "aux" scales (it attaches
+        the aux sites before calibrating — trainer._save_serving_
+        calibration), so Predictor.from_checkpoint(q8aux=True) is
+        zero-ritual too."""
+        from mcan_vqa_tpu.train.optim import make_optimizer
+        from mcan_vqa_tpu.train.train_state import TrainState
+        cfg, tok, i2a, params = setup
+        tx = make_optimizer(cfg, data_size=64)
+        state = TrainState.create(params, tx, seed=0, step=1)
+        path = ckpt_mod.save_checkpoint(state, str(tmp_path), "va", epoch=1)
+
+        qs, feats = self._qs_feats(4)
+        from mcan_vqa_tpu.ops.quant import (calibrate_qffn_act_scales,
+                                            prepare_q8aux_params)
+        from mcan_vqa_tpu.ops.serving import prepare_production_params
+        prepared = prepare_production_params(params, cfg.layer,
+                                             cfg.multi_head, qffn=3)
+        prepared["_q8aux"] = prepare_q8aux_params(prepared, cfg.layer)
+        ques = text_mod.encode_questions(qs, tok, cfg.max_token)
+        scales = calibrate_qffn_act_scales(prepared, feats, ques,
+                                           cfg.layer, cfg.multi_head)
+        assert "aux" in scales and len(scales["aux"]) == 4
+        ckpt_mod.save_act_scales(path, scales)
+
+        p = Predictor.from_checkpoint(path, cfg, tok, i2a, max_batch=4,
+                                      engine="fused", q8aux=True)
+        assert p.calibration["state"] == "calibrated"
+        assert "_q8aux" in p.params
+        # the same side file serves a non-aux build unchanged (the
+        # "aux" tuple is ignored when q8aux is off)
+        ref = Predictor.from_checkpoint(path, cfg, tok, i2a, max_batch=4,
+                                        engine="fused")
+        assert "_q8aux" not in ref.params
+        check_qs, check_feats = self._qs_feats(3, seed=12)
+        pr_a = p.predict_probs(check_qs, check_feats)
+        pr_r = ref.predict_probs(check_qs, check_feats)
+        assert np.abs(pr_a - pr_r).max() < 0.06
+        assert (pr_a.argmax(1) == pr_r.argmax(1)).all()
 
     def test_auto_calibrate_on_mesh(self, setup):
         """The online swap re-places the calibrated tree on the serving

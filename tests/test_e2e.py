@@ -84,7 +84,11 @@ class TestTrainerE2E:
         final = os.path.join(cfg.ckpts_dir, f"ckpt_{cfg.version}", "epoch2")
         scales = ckpt_mod.load_act_scales(final)
         assert scales is not None
-        assert set(scales) == {"enc_0", "dec_0"}
+        # "aux" = the static-int8 AUX weight-site scales (decoder
+        # cross-kv, AttFlat merges, head) stored so Predictor(q8aux=True)
+        # needs no ritual; ignored by builds that don't request q8aux
+        assert set(scales) == {"enc_0", "dec_0", "aux"}
+        assert len(scales["aux"]) == 4
         for tup in scales.values():
             # level-3 sites: enc (aqkv, a1, a2, am), dec adds q2/m2
             assert len(tup) >= 3 and all(s > 0 for s in tup)
