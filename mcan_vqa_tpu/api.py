@@ -26,6 +26,67 @@ from mcan_vqa_tpu.data import text as text_mod
 from mcan_vqa_tpu.models.net import build_mcan
 
 
+_UNSET = object()   # "use the instance flag" sentinel for _build_fused
+
+
+def _default_backend() -> str:
+    """The backend ``engine="auto"`` resolves against (factored out so
+    routing tests can exercise the TPU decision table on the CPU CI)."""
+    return jax.default_backend()
+
+
+# Measured regime boundary for the auto router (docs/PERFORMANCE.md):
+# at MCAN-large the int4 level-5 engine wins B=1 by +11-12.4% (r4, 8/9
+# rounds) but LOSES the throughput batches (r5 interleaved medians:
+# B=64 level 4 -12.1% / level 5 -17.4%, B=256 level 4 -13.9% / level 5
+# -19.0% vs calibrated level 3). The crossover between B=1 and B=64 is
+# unmeasured, so the router stays conservative: only buckets <= 4
+# (single-query latency territory) take the int4 engine.
+INT4_MAX_BUCKET = 4
+INT4_MIN_HIDDEN = 1024
+# q8aux (static-int8 AUX weight sites) at B=1 on the calibrated level-3
+# engine: +5.2% at MCAN-large (r4), +3.2% at MCAN-small (r5, 7
+# interleaved rounds) — but NEUTRAL stacked on int4 (14 paired rounds),
+# so it routes only where the base engine is the B<=4 champion
+# (small widths; large tiny buckets go to int4 instead).
+Q8AUX_MAX_BUCKET = 4
+
+
+def resolve_auto_routes(hidden_size: int, buckets: Sequence[int],
+                        calibrated: bool,
+                        aux_available: bool = False) -> Dict[int, str]:
+    """The measured serving regime table as code: which engine each
+    compiled latency bucket should run under ``engine="auto"``.
+
+    Encodes docs/PERFORMANCE.md (rounds 3-5, on-chip interleaved A/Bs):
+      - calibrated level 3 is the champion at every width for
+        throughput batches (int4 at large B=64/256: -12..-19%, r5);
+      - at MCAN-large (D>=1024) single-query buckets (<= 4) the int4
+        level-5 weight-streaming engine wins +11-12.4%;
+      - at MCAN-small single-query buckets the q8aux aux-site engine
+        wins +3.2% (r5) — routed only when the calibration source can
+        supply the "aux" scale tuple (``aux_available``);
+      - uncalibrated builds have no static scales, so every bucket
+        stays on the dynamic base engine until calibration arrives.
+
+    Returns {bucket: "base" | "int4" | "q8aux"}. Pure and
+    side-effect-free so the decision table is unit-testable without a
+    TPU (tests/test_api.py::TestAutoRouting).
+    """
+    if not calibrated:
+        return {int(b): "base" for b in buckets}
+    out = {}
+    for b in buckets:
+        if hidden_size >= INT4_MIN_HIDDEN and b <= INT4_MAX_BUCKET:
+            out[int(b)] = "int4"
+        elif (hidden_size < INT4_MIN_HIDDEN and aux_available
+              and b <= Q8AUX_MAX_BUCKET):
+            out[int(b)] = "q8aux"
+        else:
+            out[int(b)] = "base"
+    return out
+
+
 class Predictor:
     def __init__(self, cfg, params, token_to_ix: Dict[str, int],
                  ix_to_ans: Optional[Dict[str, str]] = None,
@@ -53,7 +114,13 @@ class Predictor:
         dynamic per-row activation quant; opt-in, gate documented in
         tests/test_quant.py: top-1 agreement >= 99%, |d_acc| <= 0.5pt);
         "auto" picks fused on TPU, plain elsewhere (the Pallas kernels
-        only compile for TPU); "int4" is the weight-streaming LATENCY
+        only compile for TPU) — and, once calibrated, ROUTES each
+        compiled latency bucket to its measured champion
+        (resolve_auto_routes; docs/PERFORMANCE.md regime table):
+        calibrated level 3 everywhere, int4 level 5 for single-query
+        buckets (<= 4) at MCAN-large, q8aux for single-query buckets at
+        MCAN-small when the calibration source carries the "aux" tuple.
+        Explicit engine names never route; "int4" is the weight-streaming LATENCY
         engine — the fused engine with FFN+qkv weights nibble-packed to
         int4 with grouped scales (qffn level 5, ops/quant._quant_w4),
         halving those sites' HBM bytes (what bounds B=1 latency). int4
@@ -156,8 +223,14 @@ class Predictor:
             "pass a calibration batch OR precomputed scales, not both"
         requested_engine = engine
         if engine == "auto":
-            engine = "fused" if jax.default_backend() == "tpu" else "plain"
+            engine = "fused" if _default_backend() == "tpu" else "plain"
         self.engine = engine
+        # engine="auto" additionally ROUTES buckets to the measured
+        # per-regime champions (resolve_auto_routes): calibrated level 3
+        # as the base everywhere, int4 level 5 for single-query buckets
+        # at MCAN-large. Explicit engine names keep their exact single-
+        # engine behavior — routing never overrides a deployer's choice.
+        self._auto_routing = requested_engine == "auto" and engine == "fused"
         # "int4" = the weight-streaming latency engine: the fused engine
         # with the FFN+qkv weights nibble-packed to int4 (qffn level 5,
         # ops/quant._quant_w4) once calibrated — halves those sites' HBM
@@ -188,6 +261,15 @@ class Predictor:
                 raise ValueError(
                     'engine="int4" needs calibration: pass '
                     "act_calibration/act_scales or leave auto_calibrate on")
+        if (self._q8aux and act_calibration is None and act_scales is None
+                and not auto_calibrate):
+            # mirror the int4 guard: without any calibration source the
+            # aux int8 sites would never activate — the dynamic engine
+            # would serve forever while the deployer believes the +5.2%
+            # aux sites are live (ADVICE r4, medium)
+            raise ValueError(
+                "q8aux needs calibration: pass act_calibration/act_scales "
+                '(with an "aux" tuple) or leave auto_calibrate on')
         if (act_calibration is not None or act_scales is not None) \
                 and engine != "fused":
             # static activation scales only exist in the fused engine's
@@ -227,18 +309,31 @@ class Predictor:
             self._dat = NamedSharding(mesh, P(DATA_AXIS))
 
         if engine == "int8":
-            forward, prepared = self._build_int8(params)
+            built = {"base": self._build_int8(params)}
+            routes = {b: "base" for b in self._buckets}
         elif engine == "fused":
             act_inputs = None
             if act_calibration is not None:
                 cal_q, cal_f = act_calibration
                 cques, cimg = self._prep_inputs(cal_q, cal_f)
                 act_inputs = (cimg, cques)
-            forward, prepared = self._build_fused(params, act_inputs,
-                                                  act_scales=act_scales)
+            if (self._auto_routing and act_inputs is None
+                    and act_scales is None and not auto_calibrate):
+                # the loud fallback VERDICT r4 asked for: with every
+                # calibration source disabled, auto can never reach the
+                # measured champions (calibrated level 3 / int4) — say
+                # so instead of silently serving dynamic-quant forever
+                warnings.warn(
+                    "engine='auto' has no calibration source "
+                    "(act_calibration/act_scales absent, auto_calibrate "
+                    "off): serving stays on the dynamic fused engine, "
+                    "not the measured calibrated champions")
+            built, routes = self._build_engines(params, act_inputs,
+                                                act_scales)
         else:
-            forward, prepared = self._build_plain(params)
-        self._install(forward, prepared)
+            built = {"base": self._build_plain(params)}
+            routes = {b: "base" for b in self._buckets}
+        self._install(built, routes)
 
         # --- online calibration state -------------------------------
         self._cal_error: Optional[BaseException] = None
@@ -281,7 +376,8 @@ class Predictor:
 
         return forward, prepared
 
-    def _build_fused(self, params, act_inputs, act_scales=None):
+    def _build_fused(self, params, act_inputs, act_scales=None,
+                     qffn_level=_UNSET, q8aux=_UNSET):
         from mcan_vqa_tpu.ops.serving import build_production_engine
         # ONE construction path, shared with bench.py and the
         # A/B/canary tools: pruned mode-2 megakernel tree, bf16
@@ -294,20 +390,23 @@ class Predictor:
         # TestStaticActScales) + the full-size torch-oracle bounds
         # (test_full_size_parity.py), all zero top-1 flips.
         # engine="int4": once calibration inputs/scales exist, build the
-        # weight-streaming latency level instead of the default level 3
+        # weight-streaming latency level instead of the default level 3.
+        # qffn_level/q8aux override the instance flags so the auto
+        # router (_build_engines) can build the per-bucket variants from
+        # the same recipe.
         calibrated = act_inputs is not None or act_scales is not None
-        qffn = (self._qffn_level
-                if (getattr(self, "_qffn_level", None) is not None
-                    and calibrated)
-                else None)
+        if qffn_level is _UNSET:
+            qffn_level = getattr(self, "_qffn_level", None)
+        if q8aux is _UNSET:
+            q8aux = getattr(self, "_q8aux", False)
         # q8aux needs static scales too: active only in the calibrated
         # build (with stored scales, the side file must carry "aux" —
         # the builder raises otherwise, by design: silent fallback would
         # hide a stale pre-r4 side file from the deployer)
         serve, prepared = build_production_engine(
             params, self.cfg.layer, self.cfg.multi_head,
-            qffn=qffn,
-            q8aux=getattr(self, "_q8aux", False) and calibrated,
+            qffn=qffn_level if calibrated else None,
+            q8aux=q8aux and calibrated,
             act_scale_inputs=act_inputs, act_scales=act_scales)
 
         def forward(params, img, ques):
@@ -315,6 +414,44 @@ class Predictor:
                 serve(params, img, ques).astype(jnp.float32))
 
         return forward, prepared
+
+    def _build_engines(self, params, act_inputs, act_scales):
+        """Build the engine set + per-bucket routes for the fused path.
+
+        Non-routed builds (explicit ``engine=...``, uncalibrated auto)
+        get exactly one engine from the instance flags — routing never
+        overrides a deployer's choice. Calibrated ``engine="auto"``
+        builds the measured per-regime champions (resolve_auto_routes)
+        and maps each compiled latency bucket to its winner; every
+        variant shares the level-3 base's calibration replay/scales, so
+        the extra engines cost only their (lazily compiled) builds.
+        Returns ``({name: (forward, prepared)}, {bucket: name})``.
+        """
+        built = {"base": self._build_fused(params, act_inputs,
+                                           act_scales=act_scales)}
+        calibrated = act_inputs is not None or act_scales is not None
+        if not (self._auto_routing and calibrated):
+            return built, {int(b): "base" for b in self._buckets}
+        # a calibration sample can always derive the "aux" scale tuple;
+        # stored side files must already carry it (pre-r4 files don't)
+        aux_ok = act_inputs is not None or (
+            isinstance(act_scales, dict) and "aux" in act_scales)
+        routes = resolve_auto_routes(self.cfg.hidden_size, self._buckets,
+                                     True, aux_available=aux_ok)
+        if self._q8aux:
+            # explicit q8aux=True already puts the aux sites in the base
+            # engine — a separate q8aux variant would be the same build
+            routes = {b: ("base" if r == "q8aux" else r)
+                      for b, r in routes.items()}
+        if "int4" in routes.values():
+            built["int4"] = self._build_fused(
+                params, act_inputs, act_scales=act_scales,
+                qffn_level=5, q8aux=self._q8aux)
+        if "q8aux" in routes.values():
+            built["q8aux"] = self._build_fused(
+                params, act_inputs, act_scales=act_scales,
+                qffn_level=None, q8aux=True)
+        return built, routes
 
     def _build_plain(self, params):
         model = build_mcan(self.cfg, token_size=len(self.token_to_ix),
@@ -352,14 +489,27 @@ class Predictor:
                 out_specs=P(DATA_AXIS), check_vma=False))
         return fwd, params
 
-    def _install(self, forward, params):
-        fwd, placed = self._wrap(forward, params)
-        self.params = placed
-        self._forward = fwd
-        # single atomic handle: predict reads forward+params together so
-        # an online-calibration swap can never pair the new engine with
-        # the old tree (or vice versa) under concurrent callers
-        self._live = (fwd, placed)
+    def _install(self, built, routes):
+        """Wrap + place every engine and swap the set live atomically.
+
+        built: {name: (forward, prepared)}; routes: {bucket: name}.
+        ``self.params``/``self._forward`` stay the base engine's views
+        (what single-engine callers and tests inspect); dispatch reads
+        ``self._live`` — one atomic handle holding wrapped engines AND
+        routes together, so an online-calibration swap can never pair a
+        new engine with an old tree (or tear routes across two engine
+        sets) under concurrent callers."""
+        live = {name: self._wrap(fwd, prep)
+                for name, (fwd, prep) in built.items()}
+        assert set(routes.values()) <= set(live), (routes, set(live))
+        self._forward, self.params = live["base"]
+        self._live = (live, {int(b): r for b, r in routes.items()})
+
+    @property
+    def routes(self) -> Dict[int, str]:
+        """The live bucket->engine routing table (single-engine builds
+        map every bucket to "base")."""
+        return dict(self._live[1])
 
     # ------------------------------------------------------------------
     # online calibration
@@ -467,18 +617,19 @@ class Predictor:
         flowing through the dynamic-quant engine until the new one is
         compiled and warm, so the swap adds zero request latency."""
         try:
-            forward, prepared = self._build_fused(
-                self._raw_params, (img_cal, ques_cal))
-            fwd, placed = self._wrap(forward, prepared)
+            built, routes = self._build_engines(
+                self._raw_params, (img_cal, ques_cal), None)
+            live = {name: self._wrap(fwd, prep)
+                    for name, (fwd, prep) in built.items()}
             r = int(self.cfg.img_feat_pad_size)
             f = int(self.cfg.img_feat_size)
             t = int(self.cfg.max_token)
             for b in self._buckets:
+                fwd, placed = live[routes[int(b)]]
                 np.asarray(fwd(placed, np.zeros((b, r, f), np.float32),
                                np.zeros((b, t), np.int32)))
-            self.params = placed
-            self._forward = fwd
-            self._live = (fwd, placed)
+            self._forward, self.params = live["base"]
+            self._live = (live, {int(b): r_ for b, r_ in routes.items()})
             self._cal_state = "calibrated"
             self._cal_error = None   # a retried-then-successful run
             self._raw_params = None
@@ -584,12 +735,13 @@ class Predictor:
         assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
 
-        fwd, params = self._live
+        live, routes = self._live
         ques, img = self._prep_inputs(questions, image_features)
         if self._cal_state == "collecting":
             self._collect_calibration(ques, img)
 
         target = next(b for b in self._buckets if b >= n)
+        fwd, params = live[routes[target]]
         if n < target:
             pad = target - n
             img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],

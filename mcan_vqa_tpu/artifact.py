@@ -31,6 +31,10 @@ Layout of an artifact directory::
     answers.json       ix_to_ans
     params.npz         flat param leaves p0..pN (bf16 stored as uint16)
     forward_b{B}.shlo  serialized jax.export.Exported, one per bucket
+    params_{name}.npz  (format 2 only) one extra param set per routed
+                       non-base engine, with meta["routes"] mapping each
+                       bucket to its engine — auto-routed Predictors
+                       freeze their full bucket->engine table
 """
 
 from __future__ import annotations
@@ -95,23 +99,28 @@ def save_artifact(predictor, path: str,
         disabled = (jax_export.DisabledSafetyCheck.custom_call(
             "tpu_custom_call"),)
 
-    # snapshot the atomic (forward, params) pair ONCE: an online
-    # calibration swap mid-export must not pair the old tree's leaf
-    # specs with the new engine's different prepared tree (extra
+    # snapshot the atomic (engines, routes) handle ONCE: an online
+    # calibration swap mid-export must not pair an old tree's leaf
+    # specs with a new engine's different prepared tree (extra
     # static-scale leaves) — that traces garbage or tears a
-    # multi-bucket artifact across two engines
-    fwd, params = predictor._live
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
-
-    def forward(flat_params, img, ques):
-        params = jax.tree_util.tree_unflatten(treedef, flat_params)
-        return fwd(params, img, ques)
+    # multi-bucket artifact across two engine sets
+    live, routes = predictor._live
+    flat = {}           # engine name -> (leaves, treedef, leaf_specs, fwd)
+    for name, (fwd, params) in live.items():
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        specs = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
+        flat[name] = (leaves, treedef, specs, fwd)
 
     cfg = predictor.cfg
     os.makedirs(path, exist_ok=True)
     exported_names = {}
     for bucket in predictor._buckets:
+        leaves, treedef, leaf_specs, fwd = flat[routes[int(bucket)]]
+
+        def forward(flat_params, img, ques, _treedef=treedef, _fwd=fwd):
+            params = jax.tree_util.tree_unflatten(_treedef, flat_params)
+            return _fwd(params, img, ques)
+
         img_spec = jax.ShapeDtypeStruct(
             (bucket, cfg.img_feat_pad_size, cfg.img_feat_size), jnp.float32)
         ques_spec = jax.ShapeDtypeStruct((bucket, cfg.max_token), jnp.int32)
@@ -123,14 +132,27 @@ def save_artifact(predictor, path: str,
             f.write(bytes(exp.serialize()))
         exported_names[str(bucket)] = name
 
-    arrays, dtypes = _leaves_to_npz(leaves)
+    # base params keep the v1 layout (params.npz + top-level
+    # leaf_dtypes); routed engines (auto-routing builds) add one
+    # params_{name}.npz each plus a routes table — loaders that
+    # predate routing never see these because such artifacts carry
+    # format_version 2
+    arrays, dtypes = _leaves_to_npz(flat["base"][0])
     np.savez(os.path.join(path, "params.npz"), **arrays)
+    extra_params = {}
+    for name, (leaves, _, _, _) in flat.items():
+        if name == "base":
+            continue
+        arrs, dts = _leaves_to_npz(leaves)
+        fname = f"params_{name}.npz"
+        np.savez(os.path.join(path, fname), **arrs)
+        extra_params[name] = {"file": fname, "leaf_dtypes": dts}
     with open(os.path.join(path, "vocab.json"), "w") as f:
         json.dump(predictor.token_to_ix, f)
     with open(os.path.join(path, "answers.json"), "w") as f:
         json.dump({str(k): v for k, v in predictor.ix_to_ans.items()}, f)
     meta = {
-        "format_version": _FORMAT_VERSION,
+        "format_version": _FORMAT_VERSION if not extra_params else 2,
         "engine": engine,
         "platforms": list(platforms),
         "buckets": [int(b) for b in predictor._buckets],
@@ -140,6 +162,9 @@ def save_artifact(predictor, path: str,
         "img_feat_size": int(cfg.img_feat_size),
         "leaf_dtypes": dtypes,
     }
+    if extra_params:
+        meta["routes"] = {str(b): r for b, r in routes.items()}
+        meta["extra_params"] = extra_params
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
@@ -156,25 +181,36 @@ class ArtifactPredictor:
     def __init__(self, path: str):
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        if meta["format_version"] != _FORMAT_VERSION:
+        if meta["format_version"] not in (1, 2):
             raise ValueError(f"artifact format {meta['format_version']} "
-                             f"!= supported {_FORMAT_VERSION}")
+                             f"not in supported (1, 2)")
         self.meta = meta
         with open(os.path.join(path, "vocab.json")) as f:
             self.token_to_ix = json.load(f)
         with open(os.path.join(path, "answers.json")) as f:
             self.ix_to_ans = json.load(f)
         npz = np.load(os.path.join(path, "params.npz"))
-        self._leaves = _leaves_from_npz(npz, meta["leaf_dtypes"])
+        leaves = {"base": _leaves_from_npz(npz, meta["leaf_dtypes"])}
+        for name, spec in meta.get("extra_params", {}).items():
+            # format 2: auto-routed artifacts carry one param set per
+            # non-base engine (int4 nibble-packed weights etc.)
+            leaves[name] = _leaves_from_npz(
+                np.load(os.path.join(path, spec["file"])),
+                spec["leaf_dtypes"])
         self._buckets = tuple(meta["buckets"])
+        routes = meta.get("routes",
+                          {str(b): "base" for b in self._buckets})
         self.max_batch = self._buckets[-1]
         self._fns = {}
+        self._bucket_leaves = {}
         for bucket in self._buckets:
             with open(os.path.join(
                     path, meta["forwards"][str(bucket)]), "rb") as f:
                 blob = f.read()
             exp = jax_export.deserialize(bytearray(blob))
             self._fns[bucket] = jax.jit(exp.call)
+            self._bucket_leaves[bucket] = leaves[routes[str(bucket)]]
+        self._leaves = leaves["base"]
 
     @property
     def img_feat_size(self) -> int:
@@ -208,7 +244,8 @@ class ArtifactPredictor:
                                                 np.float32)])
             ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
                                                   np.int32)])
-        return self._fns[target](self._leaves, img, ques), n
+        return self._fns[target](self._bucket_leaves[target], img,
+                                 ques), n
 
     def answer(self, questions: Sequence[str],
                image_features: np.ndarray) -> List[Tuple[str, float]]:

@@ -1,7 +1,7 @@
 """VQA-v2 CLI — the reference's run.py surface rebuilt
-(reference: run.py:18-148): --run={train,val,test,visualize} --model={small,
-large} plus version/resume/checkpoint/batch knobs, three-tier config merge
-(CLI > YAML > defaults).
+(reference: run.py:18-148): --run={train,val,test,visualize,parity}
+--model={small,large} plus version/resume/checkpoint/batch knobs,
+three-tier config merge (CLI > YAML > defaults).
 
 Extra: --synthetic runs the full pipeline on generated data (no datasets
 required) — smoke-tests the stack on any host.
@@ -21,7 +21,13 @@ _YAML_DIR = os.path.join(os.path.dirname(os.path.dirname(
 def parse_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="MCAN-VQA on TPU")
     p.add_argument("--run", dest="run_mode", required=True,
-                   choices=["train", "val", "test", "visualize"])
+                   choices=["train", "val", "test", "visualize", "parity"],
+                   help="parity: the one-command real-data parity drill "
+                        "(docs/ACCURACY.md runbook) — load a checkpoint "
+                        "(--ckpt_path zoo .pkl or --ckpt_version/"
+                        "--ckpt_epoch), score the val split with the "
+                        "official evaluator, then dump the test-dev "
+                        "EvalAI result file")
     p.add_argument("--model", default="small", choices=["small", "large"])
     p.add_argument("--split", dest="train_split",
                    choices=["train", "train+val", "train+val+vg"])
@@ -54,6 +60,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                  "max_token"):
         p.add_argument(f"--{knob}", type=int)
     p.add_argument("--lr_base", type=float)
+    p.add_argument("--lr_decay_list", type=lambda s: [
+        int(x) for x in s.split(",") if x.strip()],
+        help='comma-separated decay epochs (reference lr_decay_list); '
+             '"" disables decay')
     p.add_argument("--compute_dtype", type=str)
     p.add_argument("--train_engine", choices=["auto", "fused", "plain"],
                    help="training engine: auto (fused Pallas blocks on "
@@ -62,6 +72,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ckpts_dir", type=str)
     p.add_argument("--log_path", type=str)
     p.add_argument("--result_path", type=str)
+    # dataset locations (default ./datasets layout, setup.sh) — exposed
+    # so a data-equipped host can point one command at its copies
+    # (the parity drill needs no other wiring)
+    p.add_argument("--dataset_path", type=str)
+    p.add_argument("--feature_path", type=str)
+    p.add_argument("--feature_cache_path", type=str)
+    p.add_argument("--vocab_cache_path", type=str)
+    p.add_argument("--pred_path", type=str)
     p.add_argument("--compile_cache", type=str,
                    help="persistent XLA compilation cache dir (default "
                         "~/.cache/mcan_vqa_tpu/xla; 'off' disables) — "
@@ -111,7 +129,7 @@ def main(argv=None) -> int:
         datasets = {"train": VQADataset(cfg, "train")
                     if cfg.run_mode == "train" else None,
                     "val": VQADataset(cfg, "val")}
-        if cfg.run_mode == "test":
+        if cfg.run_mode in ("test", "parity"):
             datasets["test"] = VQADataset(cfg, "test")
 
     if cfg.run_mode == "train":
@@ -131,6 +149,30 @@ def main(argv=None) -> int:
                             f"result_run_{cfg.version}.json")
         res = trainer.evaluate(ds, dump_path=dump)
         print(f"{cfg.run_mode}:", res)
+    elif cfg.run_mode == "parity":
+        # The one-command parity drill (docs/ACCURACY.md "Reproducing
+        # 70.70"): checkpoint in -> official val accuracy -> test-dev
+        # EvalAI dump, zero archaeology on a data-equipped host.
+        # Reference sequence it compresses: run.py --RUN=val then
+        # --RUN=test (/root/reference/README.md:198-220).
+        trainer = Trainer(cfg, eval_datasets={"val": datasets["val"]},
+                          use_pallas=args.use_pallas)
+        trainer.ensure_state(resume=True)
+        val_dump = os.path.join(cfg.result_path,
+                                f"result_run_{cfg.version}_val.json")
+        res = trainer.evaluate(datasets["val"], dump_path=val_dump)
+        print(f"parity val: {res}")
+        if res.get("accuracy") is not None:
+            print(f"parity val accuracy (official evaluator): "
+                  f"{res['accuracy']:.2f}  "
+                  f"(reference MCAN-small val ~67, test-dev 70.70)")
+        test_ds = datasets.get("test") or datasets["val"]
+        test_dump = os.path.join(cfg.result_path,
+                                 f"result_run_{cfg.version}_testdev.json")
+        trainer.evaluate(test_ds, dump_path=test_dump)
+        print(f"parity test-dev EvalAI dump: {test_dump}")
+        print("submit the dump to EvalAI test-dev to complete the "
+              "70.70 check (docs/ACCURACY.md)")
     elif cfg.run_mode == "visualize":
         from mcan_vqa_tpu.utils.visualize import run_visualization
         ds = datasets["val"]

@@ -159,7 +159,8 @@ class Config:
     # ------------------------------------------------------------------
     def finalize(self) -> "Config":
         """Validate and compute derived values (reference: cfgs/base_cfgs.py:183-239)."""
-        assert self.run_mode in ("train", "val", "test", "visualize"), self.run_mode
+        assert self.run_mode in ("train", "val", "test", "visualize",
+                                 "parity"), self.run_mode
         assert self.batch_size % self.grad_accu_steps == 0, (
             f"batch_size {self.batch_size} must divide by grad_accu_steps "
             f"{self.grad_accu_steps}")

@@ -461,15 +461,22 @@ class Trainer:
                 return
             from mcan_vqa_tpu.ops.quant import (calibrate_qffn_act_scales,
                                                 prepare_q8aux_params)
-            # attach the AUX weight sites (decoder cross-kv, AttFlat
-            # merges, head) before the replay so the stored scales carry
-            # the "aux" tuple — Predictor(q8aux=True) then works with
-            # zero ritual on this checkpoint (the tuple is ignored by
-            # builds that don't request q8aux)
-            prepared["_q8aux"] = prepare_q8aux_params(prepared, cfg.layer)
             img, ques = inputs
+            # Two replay passes (ADVICE r4): the enc/dec scales must be
+            # calibrated on the path the DEFAULT engine actually runs
+            # (bf16 decoder cross-kv) — attaching the aux sites first
+            # would put int8 kv into the replay and drift every stored
+            # scale for the majority (non-aux) deployments. The second
+            # pass attaches the aux sites and contributes ONLY the
+            # "aux" tuple, whose a_lang/a_img are then self-consistent
+            # with the decoder stream the q8aux engine serves.
+            # Predictor(q8aux=True) works with zero ritual on this
+            # checkpoint; builds that don't request q8aux ignore "aux".
             scales = calibrate_qffn_act_scales(
                 prepared, img, ques, cfg.layer, cfg.multi_head)
+            prepared["_q8aux"] = prepare_q8aux_params(prepared, cfg.layer)
+            scales["aux"] = calibrate_qffn_act_scales(
+                prepared, img, ques, cfg.layer, cfg.multi_head)["aux"]
         path = ckpt_mod.save_act_scales(
             ckpt_mod._ckpt_dir(cfg.ckpts_dir, cfg.version, epoch), scales)
         self.logger.write(f"serving calibration scales -> {path}")

@@ -135,6 +135,16 @@ class TestPredictor:
             Predictor(cfg, params, tok, i2a, max_batch=2, engine="int4",
                       auto_calibrate=0)
 
+    def test_q8aux_without_any_calibration_rejected(self, setup):
+        """q8aux=True with calibration fully disabled can never activate
+        its aux sites — the dynamic engine would serve forever while the
+        deployer believes the +5.2% aux sites are live. Must be a loud
+        construction error, mirroring engine="int4" (ADVICE r4)."""
+        cfg, tok, i2a, params = setup
+        with pytest.raises(ValueError, match="q8aux"):
+            Predictor(cfg, params, tok, i2a, max_batch=2, engine="fused",
+                      q8aux=True, auto_calibrate=0)
+
     def test_q8aux_predictor(self, setup):
         """Predictor(q8aux=True) + a calibration sample attaches the
         static-int8 AUX weight sites (decoder cross-kv, AttFlat merges,
@@ -322,6 +332,158 @@ class TestPredictor:
         assert len(out) == 1
 
 
+class TestAutoRouting:
+    """engine="auto" routes each compiled latency bucket to its measured
+    champion (api.resolve_auto_routes — the docs/PERFORMANCE.md regime
+    table as code). The decision table is pure; the integration tests
+    pin api._default_backend to "tpu" so the TPU routing path runs on
+    the CPU CI (the engines themselves build in interpret mode)."""
+
+    def test_resolve_table(self):
+        from mcan_vqa_tpu import api
+        # uncalibrated: no static scales exist, everything stays dynamic
+        assert api.resolve_auto_routes(1024, (1, 8, 64), False) == \
+            {1: "base", 8: "base", 64: "base"}
+        # large calibrated: int4 only at single-query buckets (<= 4);
+        # B=64/256 measured -12..-19% (r5) stay on level 3
+        assert api.resolve_auto_routes(1024, (1, 4, 8, 64, 256), True) == \
+            {1: "int4", 4: "int4", 8: "base", 64: "base", 256: "base"}
+        # small calibrated: q8aux (+3.2% at B=1, r5) only when the
+        # calibration source can supply the "aux" tuple
+        assert api.resolve_auto_routes(512, (1, 8), True,
+                                       aux_available=True) == \
+            {1: "q8aux", 8: "base"}
+        assert api.resolve_auto_routes(512, (1, 8), True,
+                                       aux_available=False) == \
+            {1: "base", 8: "base"}
+        # large never routes q8aux (neutral stacked on int4, 14 rounds)
+        assert api.resolve_auto_routes(1024, (1,), True,
+                                       aux_available=True) == {1: "int4"}
+
+    def _tpu_auto(self, monkeypatch, min_hidden=None):
+        from mcan_vqa_tpu import api
+        monkeypatch.setattr(api, "_default_backend", lambda: "tpu")
+        if min_hidden is not None:
+            monkeypatch.setattr(api, "INT4_MIN_HIDDEN", min_hidden)
+
+    def test_auto_routes_int4_at_large(self, setup, monkeypatch):
+        """Calibrated auto at "large" width (threshold pinned below the
+        test cfg's 32): tiny buckets serve the int4 engine, max_batch
+        serves the level-3 base — and both agree on top-1."""
+        cfg, tok, i2a, params = setup
+        self._tpu_auto(monkeypatch, min_hidden=16)
+        rng = np.random.default_rng(11)
+        feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        qs = ["what color is the cat", "is the dog red",
+              "what is blue", "is the cat 2"]
+        p = Predictor(cfg, params, tok, i2a, max_batch=8,
+                      latency_buckets=(1, 2), engine="auto",
+                      act_calibration=(qs, feats))
+        assert p.engine == "fused"
+        assert p.routes == {1: "int4", 2: "int4", 8: "base"}
+        live, _ = p._live
+        # the routed int4 variant really is the level-5 build (packed
+        # int4 FFN+qkv weights), the base really isn't
+        qf = live["int4"][1]["backbone"]["dec_0"]["_qffn"]
+        assert "w1_p" in qf and "wqkv_p" in qf
+        assert "w1_p" not in live["base"][1]["backbone"]["dec_0"]["_qffn"]
+        base_probs = p.predict_probs(qs, feats)          # bucket 4: base
+        one = p.predict_probs(qs[:1], feats[:1])         # bucket 1: int4
+        assert one.shape == (1, 5)
+        assert one.argmax(1)[0] == base_probs.argmax(1)[0]
+
+    def test_auto_routes_q8aux_at_small(self, setup, monkeypatch):
+        """Calibrated auto below the int4 width threshold: tiny buckets
+        serve the q8aux variant (its prepared tree carries the aux
+        sites; the base tree does not)."""
+        cfg, tok, i2a, params = setup
+        self._tpu_auto(monkeypatch)          # INT4_MIN_HIDDEN stays 1024
+        rng = np.random.default_rng(12)
+        feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        qs = ["what color is the cat", "is the dog red",
+              "what is blue", "is the cat 2"]
+        p = Predictor(cfg, params, tok, i2a, max_batch=8,
+                      latency_buckets=(1,), engine="auto",
+                      act_calibration=(qs, feats))
+        assert p.routes == {1: "q8aux", 8: "base"}
+        live, _ = p._live
+        assert "_q8aux" in live["q8aux"][1]
+        assert "_q8aux" not in live["base"][1]
+        one = p.predict_probs(qs[:1], feats[:1])
+        full = p.predict_probs(qs, feats)
+        assert one.argmax(1)[0] == full.argmax(1)[0]
+
+    def test_auto_stored_scales_without_aux_fall_back(self, setup,
+                                                      monkeypatch):
+        """Stored act_scales lacking the "aux" tuple (a pre-r4 side
+        file) cannot build the q8aux variant: small tiny buckets fall
+        back to the base engine instead of crashing."""
+        cfg, tok, i2a, params = setup
+        self._tpu_auto(monkeypatch)
+        from mcan_vqa_tpu.ops.quant import calibrate_qffn_act_scales
+        from mcan_vqa_tpu.ops.serving import prepare_production_params
+        rng = np.random.default_rng(13)
+        feats = rng.normal(size=(2, 8, 16)).astype(np.float32)
+        qs = ["what color", "is the dog red"]
+        prepared = prepare_production_params(params, cfg.layer,
+                                             cfg.multi_head, qffn=3)
+        ques = text_mod.encode_questions(qs, tok, cfg.max_token)
+        scales = calibrate_qffn_act_scales(prepared, feats, ques,
+                                           cfg.layer, cfg.multi_head)
+        assert "aux" not in scales
+        p = Predictor(cfg, params, tok, i2a, max_batch=2,
+                      latency_buckets=(1,), engine="auto",
+                      act_scales=scales)
+        assert p.routes == {1: "base", 2: "base"}
+
+    def test_auto_uncalibrated_warns_and_serves_base(self, setup,
+                                                     monkeypatch):
+        """auto with every calibration source disabled can never reach
+        the measured champions — must warn loudly (VERDICT r4) and keep
+        every bucket on the dynamic base engine."""
+        cfg, tok, i2a, params = setup
+        self._tpu_auto(monkeypatch, min_hidden=16)
+        with pytest.warns(UserWarning, match="no calibration source"):
+            p = Predictor(cfg, params, tok, i2a, max_batch=2,
+                          latency_buckets=(1,), engine="auto",
+                          auto_calibrate=0)
+        assert p.routes == {1: "base", 2: "base"}
+
+    def test_explicit_engines_never_route(self, setup, monkeypatch):
+        """Routing is an engine="auto" behavior only: an explicit
+        engine="fused" with calibration keeps every bucket on its one
+        engine, even at "large" width on TPU."""
+        cfg, tok, i2a, params = setup
+        self._tpu_auto(monkeypatch, min_hidden=16)
+        feats = np.random.default_rng(14).normal(
+            size=(2, 8, 16)).astype(np.float32)
+        qs = ["what color", "is the dog red"]
+        p = Predictor(cfg, params, tok, i2a, max_batch=2,
+                      latency_buckets=(1,), engine="fused",
+                      act_calibration=(qs, feats))
+        assert p.routes == {1: "base", 2: "base"}
+
+    def test_online_calibration_swap_installs_routes(self, setup,
+                                                     monkeypatch):
+        """The online-calibration rebuild goes through the same routed
+        construction: after the swap, tiny buckets route to the measured
+        champion exactly as a construction-time calibration would."""
+        cfg, tok, i2a, params = setup
+        self._tpu_auto(monkeypatch, min_hidden=16)
+        p = Predictor(cfg, params, tok, i2a, max_batch=2,
+                      latency_buckets=(1,), engine="auto",
+                      auto_calibrate=2)
+        assert p.routes == {1: "base", 2: "base"}
+        feats = np.random.default_rng(15).normal(
+            size=(2, 8, 16)).astype(np.float32)
+        p.predict_probs(["what color", "is the dog red"], feats)
+        assert p.wait_calibrated(timeout=120)
+        assert p.calibration["state"] == "calibrated"
+        assert p.routes == {1: "int4", 2: "int4"}
+        out = p.predict_probs(["what color"], feats[:1])
+        assert out.shape == (1, 5)
+
+
 class TestPredictorMesh:
     """Pod-slice serving: Predictor(mesh=...) splits every request batch
     over a pure-dp mesh (8 virtual CPU devices via conftest)."""
@@ -375,6 +537,73 @@ class TestPredictorMesh:
         np.testing.assert_allclose(pm.predict_probs(qs, feats),
                                    p1.predict_probs(qs, feats),
                                    atol=2e-2)
+
+    def test_int4_dp8_matches_single_device(self, setup):
+        """engine="int4" on a mesh: the nibble-packed weight leaves and
+        grouped scales replicate like any other prepared-tree leaf; the
+        sharded engine matches the single-device int4 predictor."""
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        rng = np.random.default_rng(10)
+        cal_feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        cal_qs = ["what is this", "is the cat red", "what color",
+                  "how many"]
+        mesh = make_mesh({"data": 8, "model": 1})
+        p1 = Predictor(cfg, params, tok, i2a, max_batch=8, engine="int4",
+                       act_calibration=(cal_qs, cal_feats))
+        pm = Predictor(cfg, params, tok, i2a, max_batch=8, engine="int4",
+                       act_calibration=(cal_qs, cal_feats), mesh=mesh)
+        feats = rng.normal(size=(2, 8, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red"]
+        np.testing.assert_allclose(pm.predict_probs(qs, feats),
+                                   p1.predict_probs(qs, feats),
+                                   atol=2e-2)
+
+    def test_q8aux_dp8_matches_single_device(self, setup):
+        """q8aux on a mesh: the aux int8 site weights + scale tuple
+        replicate over the mesh; sharded output matches single-device."""
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        rng = np.random.default_rng(11)
+        cal_feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        cal_qs = ["what is this", "is the cat red", "what color",
+                  "how many"]
+        mesh = make_mesh({"data": 8, "model": 1})
+        p1 = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       act_calibration=(cal_qs, cal_feats), q8aux=True)
+        pm = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       act_calibration=(cal_qs, cal_feats), q8aux=True,
+                       mesh=mesh)
+        feats = rng.normal(size=(2, 8, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red"]
+        np.testing.assert_allclose(pm.predict_probs(qs, feats),
+                                   p1.predict_probs(qs, feats),
+                                   atol=2e-2)
+
+    def test_auto_routed_mesh(self, setup, monkeypatch):
+        """Auto-routing composes with mesh serving: each routed engine
+        shard_maps over the dp mesh, buckets stay mesh-divisible."""
+        from mcan_vqa_tpu import api
+        from mcan_vqa_tpu.parallel.mesh import make_mesh
+        cfg, tok, i2a, params = setup
+        monkeypatch.setattr(api, "_default_backend", lambda: "tpu")
+        monkeypatch.setattr(api, "INT4_MIN_HIDDEN", 16)
+        rng = np.random.default_rng(12)
+        cal_feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        cal_qs = ["what is this", "is the cat red", "what color",
+                  "how many"]
+        mesh = make_mesh({"data": 2, "model": 1})
+        pm = Predictor(cfg, params, tok, i2a, max_batch=8,
+                       latency_buckets=(2, 4), engine="auto", mesh=mesh,
+                       act_calibration=(cal_qs, cal_feats))
+        assert pm.routes == {2: "int4", 4: "int4", 8: "base"}
+        p1 = Predictor(cfg, params, tok, i2a, max_batch=8, engine="fused",
+                       act_calibration=(cal_qs, cal_feats))
+        feats = rng.normal(size=(2, 8, 16)).astype(np.float32)
+        qs = ["what is this", "is the cat red"]
+        np.testing.assert_allclose(pm.predict_probs(qs, feats),
+                                   p1.predict_probs(qs, feats),
+                                   atol=6e-2)
 
     def test_indivisible_bucket_rejected(self, setup):
         from mcan_vqa_tpu.parallel.mesh import make_mesh

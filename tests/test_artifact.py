@@ -95,6 +95,37 @@ class TestArtifact:
             assert a.dtype == b.dtype and a.shape == b.shape
             assert jnp.array_equal(a, b)
 
+    def test_routed_artifact_roundtrip(self, setup, tmp_path,
+                                       monkeypatch):
+        """An auto-routed Predictor (different engines on different
+        buckets) freezes its full bucket->engine table: format-2
+        artifacts carry one param set per routed engine and the loader
+        dispatches each bucket to its own engine, reproducing the live
+        Predictor at every bucket."""
+        from mcan_vqa_tpu import api
+        cfg, tok, i2a, params = setup
+        monkeypatch.setattr(api, "_default_backend", lambda: "tpu")
+        monkeypatch.setattr(api, "INT4_MIN_HIDDEN", 16)
+        rng = np.random.default_rng(21)
+        feats = rng.normal(size=(4, 8, 16)).astype(np.float32)
+        qs = ["what color is the cat", "is the dog red",
+              "what is blue", "is the cat 2"]
+        p = Predictor(cfg, params, tok, i2a, max_batch=8,
+                      latency_buckets=(1,), engine="auto",
+                      act_calibration=(qs, feats))
+        assert p.routes == {1: "int4", 8: "base"}
+        d = str(tmp_path / "art_routed")
+        p.export_artifact(d, platforms=("cpu",))
+        meta = json.load(open(os.path.join(d, "meta.json")))
+        assert meta["format_version"] == 2
+        assert meta["routes"] == {"1": "int4", "8": "base"}
+        assert os.path.exists(os.path.join(d, "params_int4.npz"))
+        ap = art.load_artifact(d)
+        for n in (1, 4):   # bucket 1 -> int4 engine, bucket 8 -> base
+            np.testing.assert_allclose(
+                ap.predict_probs(qs[:n], feats[:n]),
+                p.predict_probs(qs[:n], feats[:n]), atol=1e-6)
+
     def test_format_version_check(self, setup, tmp_path):
         cfg, tok, i2a, params = setup
         p = Predictor(cfg, params, tok, i2a, max_batch=1, engine="plain")

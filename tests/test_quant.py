@@ -388,112 +388,117 @@ def test_w4_requires_calibration():
         build_production_engine(params, cfg.layer, cfg.multi_head, qffn=4)
 
 
-@pytest.mark.parametrize("level", [3, 5])
-def test_q8aux_engine_random_init(level):
-    """Static-int8 AUX sites (decoder cross-kv, AttFlat merges, answer
-    head — build_production_engine(q8aux=True)) via the production
-    construction path (interpret) vs model.apply: masks exercised, zero
-    top-1 flips, probability perturbation bounded."""
-    import jax.numpy as jnp
+class TestQ8AuxSites:
+    """Gates for the static-int8 AUX weight sites (decoder cross-kv,
+    AttFlat merges, answer head — build_production_engine(q8aux=True));
+    the class is the selector cited by api.py and docs/ACCURACY.md."""
 
-    from mcan_vqa_tpu.models.net import build_mcan
-    from mcan_vqa_tpu.ops.serving import build_production_engine
-    cfg = Config(hidden_size=64, layer=2, multi_head=4, flat_mlp_size=32,
-                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
-                 use_glove=False).finalize()
-    model = build_mcan(cfg, token_size=50, answer_size=17)
-    B = 8
-    img = jax.random.normal(jax.random.PRNGKey(0), (B, 12, 48),
-                            jnp.float32)
-    img = img.at[0, -4:].set(0.0)
-    ques = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.max_token),
-                              1, 50, jnp.int32)
-    ques = ques.at[1, -3:].set(0)
-    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
-        "params"]
-    ref = model.apply({"params": params}, img, ques,
-                      deterministic=True)["logits"]
-    fwd, pp = build_production_engine(
-        params, cfg.layer, cfg.multi_head, qffn=level, q8aux=True,
-        act_scale_inputs=(img, ques))
-    aux = pp["_q8aux"]
-    assert {"dec_0_kv", "dec_1_kv", "lang_merge", "img_merge",
-            "proj"} <= set(aux)
-    got = fwd(pp, img, ques)
-    pr = jax.nn.softmax(ref, -1)
-    pg = jax.nn.softmax(got, -1)
-    assert float(jnp.mean(jnp.argmax(ref, -1) == jnp.argmax(got, -1))) \
-        == 1.0
-    assert float(jnp.max(jnp.abs(pr - pg))) < 0.04
+    @pytest.mark.parametrize("level", [3, 5])
+    def test_q8aux_engine_random_init(self, level):
+        """Static-int8 AUX sites (decoder cross-kv, AttFlat merges, answer
+        head — build_production_engine(q8aux=True)) via the production
+        construction path (interpret) vs model.apply: masks exercised, zero
+        top-1 flips, probability perturbation bounded."""
+        import jax.numpy as jnp
+
+        from mcan_vqa_tpu.models.net import build_mcan
+        from mcan_vqa_tpu.ops.serving import build_production_engine
+        cfg = Config(hidden_size=64, layer=2, multi_head=4, flat_mlp_size=32,
+                     flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                     use_glove=False).finalize()
+        model = build_mcan(cfg, token_size=50, answer_size=17)
+        B = 8
+        img = jax.random.normal(jax.random.PRNGKey(0), (B, 12, 48),
+                                jnp.float32)
+        img = img.at[0, -4:].set(0.0)
+        ques = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.max_token),
+                                  1, 50, jnp.int32)
+        ques = ques.at[1, -3:].set(0)
+        params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+            "params"]
+        ref = model.apply({"params": params}, img, ques,
+                          deterministic=True)["logits"]
+        fwd, pp = build_production_engine(
+            params, cfg.layer, cfg.multi_head, qffn=level, q8aux=True,
+            act_scale_inputs=(img, ques))
+        aux = pp["_q8aux"]
+        assert {"dec_0_kv", "dec_1_kv", "lang_merge", "img_merge",
+                "proj"} <= set(aux)
+        got = fwd(pp, img, ques)
+        pr = jax.nn.softmax(ref, -1)
+        pg = jax.nn.softmax(got, -1)
+        assert float(jnp.mean(jnp.argmax(ref, -1) == jnp.argmax(got, -1))) \
+            == 1.0
+        assert float(jnp.max(jnp.abs(pr - pg))) < 0.04
 
 
-def test_q8aux_requires_calibration():
-    """q8aux without a calibration batch (or precomputed scales that
-    include the "aux" tuple) must be rejected loudly."""
-    import jax.numpy as jnp
+    def test_q8aux_requires_calibration(self):
+        """q8aux without a calibration batch (or precomputed scales that
+        include the "aux" tuple) must be rejected loudly."""
+        import jax.numpy as jnp
 
-    from mcan_vqa_tpu.models.net import build_mcan
-    from mcan_vqa_tpu.ops.serving import build_production_engine
-    cfg = Config(hidden_size=64, layer=1, multi_head=4, flat_mlp_size=32,
-                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
-                 use_glove=False).finalize()
-    model = build_mcan(cfg, token_size=50, answer_size=17)
-    img = jnp.zeros((2, 12, 48), jnp.float32)
-    ques = jnp.ones((2, cfg.max_token), jnp.int32)
-    params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
-        "params"]
-    with pytest.raises(ValueError, match="aux"):
-        build_production_engine(params, cfg.layer, cfg.multi_head,
-                                qffn=3, q8aux=True)
-    # precomputed scales WITHOUT the aux tuple are equally insufficient
-    with pytest.raises(ValueError, match="aux"):
-        build_production_engine(
+        from mcan_vqa_tpu.models.net import build_mcan
+        from mcan_vqa_tpu.ops.serving import build_production_engine
+        cfg = Config(hidden_size=64, layer=1, multi_head=4, flat_mlp_size=32,
+                     flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                     use_glove=False).finalize()
+        model = build_mcan(cfg, token_size=50, answer_size=17)
+        img = jnp.zeros((2, 12, 48), jnp.float32)
+        ques = jnp.ones((2, cfg.max_token), jnp.int32)
+        params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+            "params"]
+        with pytest.raises(ValueError, match="aux"):
+            build_production_engine(params, cfg.layer, cfg.multi_head,
+                                    qffn=3, q8aux=True)
+        # precomputed scales WITHOUT the aux tuple are equally insufficient
+        with pytest.raises(ValueError, match="aux"):
+            build_production_engine(
+                params, cfg.layer, cfg.multi_head, qffn=3, q8aux=True,
+                act_scales={"enc_0": (1.0, 1.0, 1.0, 1.0),
+                            "dec_0": (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)})
+
+
+    def test_q8aux_scales_roundtrip_side_file(self, tmp_path):
+        """The "aux" scale tuple rides the same checkpoint side-file format
+        the Trainer writes (train/checkpoint.save_act_scales): a q8aux
+        engine rebuilt from the loaded scales is bitwise-identical to the
+        one built from the calibration batch."""
+        import jax.numpy as jnp
+
+        from mcan_vqa_tpu.models.net import build_mcan
+        from mcan_vqa_tpu.ops.quant import (calibrate_qffn_act_scales,
+                                            prepare_q8aux_params)
+        from mcan_vqa_tpu.ops.serving import (build_production_engine,
+                                              prepare_production_params)
+        from mcan_vqa_tpu.train import checkpoint as ckpt_mod
+        cfg = Config(hidden_size=64, layer=1, multi_head=4, flat_mlp_size=32,
+                     flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                     use_glove=False).finalize()
+        model = build_mcan(cfg, token_size=50, answer_size=17)
+        img = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (4, 12, 48),
+                                           jnp.float32))
+        ques = np.asarray(jax.random.randint(
+            jax.random.PRNGKey(1), (4, cfg.max_token), 1, 50, jnp.int32))
+        params = model.init({"params": jax.random.PRNGKey(2)},
+                            img, ques)["params"]
+        pp = prepare_production_params(params, cfg.layer, cfg.multi_head,
+                                       qffn=3)
+        pp["_q8aux"] = prepare_q8aux_params(pp, cfg.layer)
+        scales = calibrate_qffn_act_scales(pp, img, ques, cfg.layer,
+                                           cfg.multi_head)
+        assert "aux" in scales and len(scales["aux"]) == 4
+        base = str(tmp_path / "epoch1")
+        ckpt_mod.save_act_scales(base, scales)
+        loaded = ckpt_mod.load_act_scales(base)
+        assert loaded == scales
+        fwd_a, pp_a = build_production_engine(
             params, cfg.layer, cfg.multi_head, qffn=3, q8aux=True,
-            act_scales={"enc_0": (1.0, 1.0, 1.0, 1.0),
-                        "dec_0": (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)})
-
-
-def test_q8aux_scales_roundtrip_side_file(tmp_path):
-    """The "aux" scale tuple rides the same checkpoint side-file format
-    the Trainer writes (train/checkpoint.save_act_scales): a q8aux
-    engine rebuilt from the loaded scales is bitwise-identical to the
-    one built from the calibration batch."""
-    import jax.numpy as jnp
-
-    from mcan_vqa_tpu.models.net import build_mcan
-    from mcan_vqa_tpu.ops.quant import (calibrate_qffn_act_scales,
-                                        prepare_q8aux_params)
-    from mcan_vqa_tpu.ops.serving import (build_production_engine,
-                                          prepare_production_params)
-    from mcan_vqa_tpu.train import checkpoint as ckpt_mod
-    cfg = Config(hidden_size=64, layer=1, multi_head=4, flat_mlp_size=32,
-                 flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
-                 use_glove=False).finalize()
-    model = build_mcan(cfg, token_size=50, answer_size=17)
-    img = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (4, 12, 48),
-                                       jnp.float32))
-    ques = np.asarray(jax.random.randint(
-        jax.random.PRNGKey(1), (4, cfg.max_token), 1, 50, jnp.int32))
-    params = model.init({"params": jax.random.PRNGKey(2)},
-                        img, ques)["params"]
-    pp = prepare_production_params(params, cfg.layer, cfg.multi_head,
-                                   qffn=3)
-    pp["_q8aux"] = prepare_q8aux_params(pp, cfg.layer)
-    scales = calibrate_qffn_act_scales(pp, img, ques, cfg.layer,
-                                       cfg.multi_head)
-    assert "aux" in scales and len(scales["aux"]) == 4
-    base = str(tmp_path / "epoch1")
-    ckpt_mod.save_act_scales(base, scales)
-    loaded = ckpt_mod.load_act_scales(base)
-    assert loaded == scales
-    fwd_a, pp_a = build_production_engine(
-        params, cfg.layer, cfg.multi_head, qffn=3, q8aux=True,
-        act_scale_inputs=(img, ques))
-    fwd_b, pp_b = build_production_engine(
-        params, cfg.layer, cfg.multi_head, qffn=3, q8aux=True,
-        act_scales=loaded)
-    np.testing.assert_array_equal(np.asarray(fwd_a(pp_a, img, ques)),
-                                  np.asarray(fwd_b(pp_b, img, ques)))
+            act_scale_inputs=(img, ques))
+        fwd_b, pp_b = build_production_engine(
+            params, cfg.layer, cfg.multi_head, qffn=3, q8aux=True,
+            act_scales=loaded)
+        np.testing.assert_array_equal(np.asarray(fwd_a(pp_a, img, ques)),
+                                      np.asarray(fwd_b(pp_b, img, ques)))
 
 
 def test_qffn_matches_model_random_init():
