@@ -87,8 +87,16 @@ def main() -> None:
     task = os.environ.get("BENCH_TASK", "vqa")
     # BENCH_FLAT_OPT=1: optax.flatten around the optimizer — one fused
     # elementwise AdamW pass over a single concatenated vector instead of
-    # ~200 per-leaf kernel launches.
+    # ~200 per-leaf kernel launches. (Measured r4: -13%, 4 full concat
+    # copies of the param vector per step — recorded negative.)
     flat_opt = os.environ.get("BENCH_FLAT_OPT", "0") == "1"
+    # BENCH_STACKED=1 (default 1 with the fused block engine, matching
+    # the Trainer's stacked_params="auto"): params LIVE in the stacked
+    # [L, ...] layout (ops/stacked_params.py) — no per-step qkv
+    # concat/split, optimizer over ~54 leaves instead of ~260.
+    stacked = os.environ.get(
+        "BENCH_STACKED", "1" if fused_block and task == "vqa" else "0"
+    ) == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,
@@ -164,7 +172,11 @@ def main() -> None:
                 dropout_bits=dropout_bits, group=fused_block,
                 in_kernel_dropout=kernel_dropout, fused_encoder=fused_sa,
                 encoder_group=enc_group, bf16_saves=bf16_saves,
-                att_saves=att_saves)
+                att_saves=att_saves,
+                stacked=stacked and not image_only)
+            if stacked and not image_only:
+                from mcan_vqa_tpu.ops import stacked_params as sp_mod
+                state = sp_mod.to_stacked_state(state, cfg.layer)
 
         def loss_fn(params, batch, rng):
             logits = fwd(params, batch["img"], batch.get("ques"), rng)

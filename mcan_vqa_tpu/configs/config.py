@@ -134,6 +134,15 @@ class Config:
     # +36% over XLA autodiff), "fused" (force; on CPU runs the kernels in
     # interpret mode — test-only), or "plain" (always model.apply autodiff)
     train_engine: str = "auto"
+    # stacked-native train parameter layout (ops/stacked_params.py):
+    # params live as [L, ...] per-role stacks for the duration of
+    # training — the per-step qkv concat/split copies disappear and the
+    # optimizer runs over ~54 leaves instead of ~260. Checkpoints,
+    # eval, and torch interop always see the standard tree (conversion
+    # at the boundaries; tests/test_stacked_params.py gates bitwise
+    # round-trip + grad/AdamW parity). "auto" = on for the fused VQA
+    # train engine (single- or dp-mesh); "on"/"off" force.
+    stacked_params: str = "auto"
     profile_dir: str = ""             # if set, jax.profiler traces go here
 
     # ---- paths (reference: cfgs/path_cfgs.py) ----

@@ -87,10 +87,16 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
                              fused_encoder: bool = False,
                              encoder_group: int = 0,
                              bf16_saves: bool = False,
-                             att_saves: bool = False):
+                             att_saves: bool = False,
+                             stacked: bool = False):
     """Build forward(params, img_feat, ques_ix, rng) -> logits [B, A].
 
-    Differentiable w.r.t. params (standard MCANet tree). rng drives every
+    Differentiable w.r.t. params (standard MCANet tree — or, with
+    ``stacked=True``, the ops/stacked_params train layout: the per-block
+    kernel dicts become free slices of [L, ...] stacks, so the per-step
+    qkv concat/split copies disappear and the optimizer runs over ~54
+    leaves instead of ~260; math is identical, see
+    tests/test_stacked_params.py). rng drives every
     dropout site; pass rate=0 for a deterministic forward.
     in_kernel_dropout: generate the fused blocks' dropout masks with the
     TPU hardware PRNG inside the kernels (no mask generation or HBM
@@ -120,16 +126,25 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
         q = _lstm(params["lstm"], q)
         v = _dense(params["img_feat_linear"], img_feat)
 
-        bb = params["backbone"]
+        if stacked:
+            from mcan_vqa_tpu.ops.stacked_params import (STACKED_KEY,
+                                                         enc_block,
+                                                         enc_block_std)
+            st_enc = params[STACKED_KEY].get("enc")
+            st_dec = params[STACKED_KEY]["dec"]
+            bb = None
+        else:
+            bb = params["backbone"]
         if fused_encoder:
             # ---- encoder SA stack through the fused custom-VJP blocks ----
             Bq, Lq_, D_ = q.shape
-            F_ = bb["enc_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
-                "kernel"].shape[1]
+            F_ = (st_enc["w1"].shape[2] if stacked else
+                  bb["enc_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+                      "kernel"].shape[1])
             q = q.astype(jnp.float32)
             for i in range(num_layers):
-                p = bb[f"enc_{i}"]
-                w = prepare_sa_train_params(p)
+                w = (enc_block(st_enc, i) if stacked
+                     else prepare_sa_train_params(bb[f"enc_{i}"]))
                 for name in ("wqkv", "wm", "w1", "w2"):
                     w[name] = w[name].astype(BF16)
                 key_i = enc_keys[3 * i]
@@ -153,7 +168,7 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
         else:
             # ---- encoder SA stack (question path, XLA) ----
             for i in range(num_layers):
-                p = bb[f"enc_{i}"]
+                p = enc_block_std(st_enc, i) if stacked else bb[f"enc_{i}"]
                 k_att, k_sub, k_ffn = enc_keys[3 * i:3 * i + 3]
                 att = _masked_attention_train(
                     p["mhatt"], q, q, q, q_mask, num_heads, rate, k_att,
@@ -170,8 +185,9 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
         # ---- decoder SGA stack (fused custom-VJP blocks) ----
         B, Lv, D = v.shape
         Lq = q.shape[1]
-        F = bb["dec_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
-            "kernel"].shape[1]
+        F = (st_dec["w1"].shape[2] if stacked else
+             bb["dec_0"]["ffn"]["mlp"]["FCLayer_0"]["Dense_0"][
+                 "kernel"].shape[1])
         Dh = D // num_heads
 
         def cross_kv(p, qenc):
@@ -188,9 +204,20 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
         while B % g_eff:
             g_eff -= 1
         for i in range(num_layers):
-            p = bb[f"dec_{i}"]
-            kq, vq = cross_kv(p["mhatt2"], q)
-            w = prepare_sga_train_params(p)
+            if stacked:
+                s = {k: st[i] for k, st in st_dec.items()}
+                kq, vq = cross_kv(
+                    {"linear_k": {"kernel": s["wk2"], "bias": s["bk2"]},
+                     "linear_v": {"kernel": s["wv2"], "bias": s["bv2"]}}, q)
+                # kernel dict: everything but the cross-kv leaves (those
+                # matmuls run in XLA above; the custom-VJP block must not
+                # see leaves it computes no gradient for)
+                w = {k: v_ for k, v_ in s.items()
+                     if k not in ("wk2", "bk2", "wv2", "bv2")}
+            else:
+                p = bb[f"dec_{i}"]
+                kq, vq = cross_kv(p["mhatt2"], q)
+                w = prepare_sga_train_params(p)
             # bf16 matmul weights into the kernels (VMEM + HBM halving);
             # grads flow back through the casts
             for name in ("wqkv", "wm1", "wq2", "wm2", "w1", "w2"):

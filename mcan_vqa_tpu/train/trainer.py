@@ -88,6 +88,7 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self._jit_train = None
         self._jit_eval = None
+        self._stacked = False   # set with _jit_train (train loop layout)
         self.logger = RunLogger(cfg.log_path, cfg.version, cfg.to_dict(),
                                 echo=cfg.verbose)
 
@@ -251,6 +252,13 @@ class Trainer:
                     # D=1024 1,944 vs 1,876 samples/s (+3.6%); at D=512
                     # the same trade is neutral-to-negative.
                     wide = cfg.hidden_size > 512
+                    # stacked-native param layout (ops/stacked_params):
+                    # kills the in-step qkv concat/split copies and
+                    # collapses the optimizer to ~54 leaves; boundaries
+                    # (ckpt/eval/calibration) convert back to the
+                    # standard tree below
+                    self._stacked = getattr(cfg, "stacked_params",
+                                            "auto") in ("auto", "on", True)
                     forward_fn = make_fused_train_forward(
                         cfg.layer, cfg.multi_head,
                         dropout_rate=cfg.dropout_rate,
@@ -259,10 +267,12 @@ class Trainer:
                         fused_encoder=cfg.hidden_size <= 512,
                         encoder_group=16,
                         att_saves=wide, bf16_saves=wide,
-                        interpret=not on_tpu, in_kernel_dropout=on_tpu)
+                        interpret=not on_tpu, in_kernel_dropout=on_tpu,
+                        stacked=self._stacked)
                     self.logger.write("train engine: fused SGA blocks + "
                                       f"fused SA encoder "
-                                      f"(in_kernel_dropout={on_tpu})")
+                                      f"(in_kernel_dropout={on_tpu}, "
+                                      f"stacked_params={self._stacked})")
             fused_dp = (forward_fn is not None
                         and self.mesh.devices.size > 1)
             # The r2 donate+Pallas D=1024 worker fault is GONE with the
@@ -270,6 +280,11 @@ class Trainer:
             # whose aliasing triggered it no longer exist): measured r3
             # fused D=1024 WITH donation 2,438 samples/s, clean.
             donate = cfg.donate_buffers
+            if forward_fn is None or self.image_only:
+                self._stacked = False
+            if self._stacked:
+                from mcan_vqa_tpu.ops import stacked_params as sp_mod
+                state = sp_mod.to_stacked_state(state, cfg.layer)
             step_fn = make_train_step(
                 self.model, self.tx, grad_accu_steps=cfg.grad_accu_steps,
                 reg_factor=cfg.reg_factor, lr_schedule=self.lr_schedule,
@@ -288,6 +303,16 @@ class Trainer:
                 self._jit_train = shd.jit_train_step(
                     step_fn, self.mesh, jax.device_get(state),
                     donate=donate)
+
+        if self._stacked:
+            # cached-_jit_train path (a second train() on this Trainer):
+            # the fresh state from ensure_state is standard-layout
+            from mcan_vqa_tpu.ops import stacked_params as sp_mod
+            if not sp_mod.is_stacked(state.params):
+                state = sp_mod.to_stacked_state(state, cfg.layer)
+            unstack = sp_mod.from_stacked_state
+        else:
+            unstack = lambda s: s  # noqa: E731
 
         loader = BatchLoader(
             self.train_dataset, cfg.batch_size, shuffle=True, drop_last=True,
@@ -349,7 +374,11 @@ class Trainer:
                                 r = self.evaluate(ds)
                                 self.logger.write(
                                     f"  [step {n_steps}] {name}: {r}")
-                    self.state = state
+                    # boundary layout: everything outside the step sees
+                    # the standard tree (eval engines, checkpoints,
+                    # calibration, callers inspecting trainer.state)
+                    std_state = unstack(state)
+                    self.state = std_state
 
                     epoch_metrics = {
                         "loss": loss_sum / max(n_steps, 1),
@@ -362,10 +391,11 @@ class Trainer:
                                            "grad_norm_sums": norm_sums,
                                            "final": True})
                     if saver is not None:
-                        saver.save(state, cfg.ckpts_dir, cfg.version, epoch + 1,
+                        saver.save(std_state, cfg.ckpts_dir, cfg.version,
+                                   epoch + 1,
                                    keep_last=cfg.keep_last_ckpts)
                     else:
-                        ckpt_mod.save_checkpoint(state, cfg.ckpts_dir,
+                        ckpt_mod.save_checkpoint(std_state, cfg.ckpts_dir,
                                                  cfg.version, epoch + 1)
                         if cfg.keep_last_ckpts > 0:
                             ckpt_mod.prune_checkpoints(cfg.ckpts_dir, cfg.version,
@@ -405,6 +435,8 @@ class Trainer:
                     self.logger.write(
                         "async checkpoint flush failed during error "
                         "unwind (original exception propagates)")
+        state = unstack(state)
+        self.state = state
         if (getattr(cfg, "ckpt_calibrate", True)
                 and last_inputs is not None
                 and last_saved_epoch is not None
