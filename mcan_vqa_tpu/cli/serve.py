@@ -183,6 +183,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "img_feat_size": getattr(
                     self.predictor, "img_feat_size", None),
                 "engine": getattr(self.predictor, "engine", "artifact"),
+                # engine="auto" routes buckets to the measured champions
+                # (api.resolve_auto_routes); surface the live table so a
+                # deployer can see which engine each bucket serves
+                "routes": getattr(self.predictor, "routes", None),
                 "calibration": getattr(self.predictor, "calibration",
                                        {"state": "off"}),
             })

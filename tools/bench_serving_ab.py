@@ -32,6 +32,8 @@ production program):
              AttFlat merges, the answer head — the bf16 streams the
              megakernels don't cover); qaux = calibrated default + aux
     int8     the full-int8 engine (Predictor(engine="int8") megakernels)
+    any@gN   sga_group=N override for that config (engine default 4),
+             e.g. "qstatic@g8" — G sweeps stay same-process interleaved
 
 BENCH_QFFN_MAX_BATCH overrides ops.serving.QFFN_MAX_BATCH (the compiled
 batch size past which qffn falls back to the bf16 kernels) — set it huge
@@ -69,6 +71,13 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
         serving_mod.QFFN_MAX_BATCH = int(
             os.environ["BENCH_QFFN_MAX_BATCH"])
 
+    kw = {}
+    if "@g" in name:
+        # per-config packing-group override, e.g. "qstatic@g8": the same
+        # engine with sga_group=8 — G sweeps stay same-process interleaved
+        name, g = name.split("@g")
+        kw["sga_group"] = int(g)
+
     if name == "int8":
         from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
                                             quantize_params)
@@ -98,7 +107,7 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
     forward, params = build_production_engine(
         raw_params, cfg.layer, cfg.multi_head, qffn=level,
         q8aux=name.startswith("qaux"),
-        act_scale_inputs=(img_d, ques_d) if calibrated else None)
+        act_scale_inputs=(img_d, ques_d) if calibrated else None, **kw)
     # params live on device already (prepare_params runs jnp ops)
     return forward, jax.device_put(params)
 
