@@ -90,13 +90,12 @@ def main() -> None:
     # ~200 per-leaf kernel launches. (Measured r4: -13%, 4 full concat
     # copies of the param vector per step — recorded negative.)
     flat_opt = os.environ.get("BENCH_FLAT_OPT", "0") == "1"
-    # BENCH_STACKED=1 (default 1 with the fused block engine, matching
-    # the Trainer's stacked_params="auto"): params LIVE in the stacked
-    # [L, ...] layout (ops/stacked_params.py) — no per-step qkv
-    # concat/split, optimizer over ~54 leaves instead of ~260.
-    stacked = os.environ.get(
-        "BENCH_STACKED", "1" if fused_block and task == "vqa" else "0"
-    ) == "1"
+    # BENCH_STACKED=1: params LIVE in the stacked [L, ...] layout
+    # (ops/stacked_params.py) — no per-step qkv concat/split, optimizer
+    # over ~54 leaves instead of ~260. Measured NEGATIVE r5 (-0.9%
+    # small / -4.3% large, tools/bench_train_ab.py interleaved medians),
+    # so default off; kept as a knob with its parity gates.
+    stacked = os.environ.get("BENCH_STACKED", "0") == "1"
 
     cfg = Config(hidden_size=hidden, layer=layers, multi_head=8,
                  flat_mlp_size=512, flat_out_size=512, batch_size=B,

@@ -136,12 +136,15 @@ class Config:
     train_engine: str = "auto"
     # stacked-native train parameter layout (ops/stacked_params.py):
     # params live as [L, ...] per-role stacks for the duration of
-    # training — the per-step qkv concat/split copies disappear and the
-    # optimizer runs over ~54 leaves instead of ~260. Checkpoints,
-    # eval, and torch interop always see the standard tree (conversion
-    # at the boundaries; tests/test_stacked_params.py gates bitwise
-    # round-trip + grad/AdamW parity). "auto" = on for the fused VQA
-    # train engine (single- or dp-mesh); "on"/"off" force.
+    # training — no per-step qkv concat/split, optimizer over ~54 leaves
+    # instead of ~260. MEASURED NEGATIVE on-chip (r5 interleaved
+    # medians: -0.9% small B=256, -4.3% large B=64 — the removed concat
+    # copies were never material at ~37 MB/step ≈ 0.05 ms, while pallas
+    # operands sliced from [L, ...] stacks get re-materialized as
+    # contiguous copies anyway, plus scatter-shaped grad writes), so
+    # "auto" resolves OFF. "on" forces it (the parity/round-trip gates
+    # in tests/test_stacked_params.py keep it correct for future
+    # exploration); "off" forces off.
     stacked_params: str = "auto"
     profile_dir: str = ""             # if set, jax.profiler traces go here
 

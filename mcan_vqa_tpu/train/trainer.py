@@ -253,12 +253,12 @@ class Trainer:
                     # the same trade is neutral-to-negative.
                     wide = cfg.hidden_size > 512
                     # stacked-native param layout (ops/stacked_params):
-                    # kills the in-step qkv concat/split copies and
-                    # collapses the optimizer to ~54 leaves; boundaries
-                    # (ckpt/eval/calibration) convert back to the
-                    # standard tree below
+                    # measured NEGATIVE r5 (-0.9% small / -4.3% large interleaved
+                    # medians — see configs/config.py stacked_params), so
+                    # "auto" resolves off; "on" forces the layout (its
+                    # correctness gates stay green)
                     self._stacked = getattr(cfg, "stacked_params",
-                                            "auto") in ("auto", "on", True)
+                                            "auto") in ("on", True)
                     forward_fn = make_fused_train_forward(
                         cfg.layer, cfg.multi_head,
                         dropout_rate=cfg.dropout_rate,

@@ -108,6 +108,43 @@ def test_forward_and_grad_parity(setup, fused_encoder):
                                    rtol=1e-5, atol=1e-4)
 
 
+def test_trainer_stacked_on_end_to_end(tmp_path):
+    """stacked_params="on" through the Trainer: the step trains in the
+    stacked layout while every boundary (per-epoch checkpoint, eval,
+    returned state, calibration side file) sees the standard tree —
+    and a fresh standard-layout Trainer resumes the saved checkpoint."""
+    from mcan_vqa_tpu.data.vqa_dataset import SyntheticVQADataset
+    from mcan_vqa_tpu.train import checkpoint as ckpt_mod
+    from mcan_vqa_tpu.train.trainer import Trainer
+    cfg = Config(hidden_size=32, layer=1, multi_head=4, img_feat_size=16,
+                 img_feat_pad_size=8, max_token=6, flat_out_size=32,
+                 flat_mlp_size=16, batch_size=8, max_epoch=1,
+                 num_workers=0, compute_dtype="float32", use_glove=False,
+                 train_engine="fused", eval_engine="fused",
+                 stacked_params="on", verbose=False,
+                 ckpts_dir=str(tmp_path / "ckpts"),
+                 log_path=str(tmp_path / "log"),
+                 result_path=str(tmp_path / "results")).finalize()
+    ds = SyntheticVQADataset(cfg, size=16, token_size=50, answer_size=16,
+                             run_mode="train")
+    tr = Trainer(cfg, train_dataset=ds)
+    state = tr.train()
+    assert tr._stacked
+    # returned state and trainer.state are back in the standard layout
+    assert "backbone" in state.params
+    assert "backbone_stacked" not in state.params
+    preds = tr.predict(ds)
+    assert np.isfinite(preds["probs"]).all()
+    # the on-disk checkpoint is standard: a stacked_params="off" Trainer
+    # resumes it directly
+    cfg2 = Config(**{**cfg.to_dict(), "stacked_params": "off",
+                     "resume": True, "ckpt_version": cfg.version,
+                     "ckpt_epoch": 1, "max_epoch": 2}).finalize()
+    tr2 = Trainer(cfg2, train_dataset=ds)
+    state2 = tr2.train()
+    assert int(state2.step) >= int(state.step)
+
+
 def test_adamw_step_equivalence(setup):
     """One full AdamW step over the stacked layout == the same step over
     the standard tree (elementwise optimizer: layout cannot change the
