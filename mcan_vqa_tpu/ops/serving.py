@@ -675,7 +675,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     bf16_stream: bool = False,
                     use_pallas_ffn: bool = False,
                     use_sga_megakernel: bool = False,
-                    sga_group: int = 4,
+                    sga_group=None,
                     use_pallas_attflat: bool = False,
                     qffn: bool = False,
                     qffn_act_scales=None,
@@ -705,7 +705,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
     launches, bounds B=1 latency — docs/PERFORMANCE.md); the Predictor
     uses mode 2 at every bucket. 3/4/5 degrade to 2 when the stacked
     weights exceed VMEM (MCAN-large).
-    sga_group = samples packed per matmul inside it.
+    sga_group = samples packed per matmul inside it (None = auto:
+    4, or 16 at compiled B >= 1024 — +1.2% at B=1024/2048, r5).
     qffn: run each per-block megakernel's FFN matmuls in int8 on the MXU
     (mixed precision: attention/projections/stream stay the bf16 path) —
     requires prepare_params(qffn=True) ``_qffn`` entries (falls back to
@@ -765,6 +766,18 @@ def make_serving_fn(num_layers: int, num_heads: int,
         v = _dense(params["img_feat_linear"], img_feat).astype(stream)
 
         bb = params["backbone"]
+        # packing group (samples per megakernel grid step): the default
+        # 4 is latency-tuned; at bulk batches 16 halves the grid twice
+        # over and measured +1.2% at B=1024 AND B=2048 (r5 interleaved
+        # medians, docs/PERFORMANCE.md). B is static under jit, so the
+        # choice is per compiled shape; an explicit sga_group wins.
+        B_ = img_feat.shape[0]
+        # auto-16 stays inside the measured envelope (the calibrated
+        # static-scale engines; the bf16/dynamic twins were not swept)
+        g_sga = sga_group if sga_group else (
+            16 if B_ >= 1024 and qffn_act_scales is not None else 4)
+        while B_ % g_sga:
+            g_sga -= 1
         # VMEM guard: every block weight must stay resident in the
         # megakernel (bf16). MCAN-small is ~7.6 MB; MCAN-large (~27 MB)
         # falls back to the per-sub-op path.
@@ -833,7 +846,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             wp = (bb["_mk_dec"] if "_mk_dec" in bb
                   else prepare_sga_decoder_params(bb, num_layers))
             v = fused_sga_decoder(v, q, v_mask, q_mask, wp,
-                                  num_heads=num_heads, group=sga_group,
+                                  num_heads=num_heads, group=g_sga,
                                   interpret=interpret)
         elif sga_mode in (4, 5):
             # all-layer decoder, cross k/v projected OUTSIDE as full-batch
@@ -852,7 +865,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             vqs = jnp.concatenate(vqs, axis=1)
             v = fused_sga_decoder_extkv(v, kqs, vqs, v_mask, q_mask, wp,
                                         num_heads=num_heads,
-                                        group=sga_group,
+                                        group=g_sga,
                                         interpret=interpret)
         elif sga_mode:
             from mcan_vqa_tpu.ops.sga_block import (
@@ -873,13 +886,13 @@ def make_serving_fn(num_layers: int, num_heads: int,
                     from mcan_vqa_tpu.ops.quant import fused_qffn_sga_block
                     v = fused_qffn_sga_block(
                         v, kq, vq, v_mask, q_mask, wp, p["_qffn"],
-                        num_heads=num_heads, group=sga_group,
+                        num_heads=num_heads, group=g_sga,
                         interpret=interpret, act_scales=scales_i,
                         w4dq=qffn_w4dq)
                 else:
                     v = fused_sga_block(
                         v, kq, vq, v_mask, q_mask, wp,
-                        num_heads=num_heads, group=sga_group,
+                        num_heads=num_heads, group=g_sga,
                         fused_proj=(sga_mode == 2),
                         interpret=interpret)
         if sga_mode:
