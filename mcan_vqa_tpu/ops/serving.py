@@ -42,6 +42,20 @@ BF16 = jnp.bfloat16
 QFFN_MAX_BATCH = 512
 
 
+def auto_sga_group(batch: int, explicit=None,
+                   calibrated: bool = False) -> int:
+    """Packing group (samples per megakernel grid step) for a compiled
+    batch. Explicit wins; auto = 4 (latency-tuned), or 16 at
+    B >= 1024 on the calibrated engines (+1.2% at B=1024 AND B=2048,
+    r5 interleaved medians — the bf16/dynamic twins were not swept, so
+    they keep 4). Always reduced to divide the batch."""
+    g = explicit if explicit else (
+        16 if batch >= 1024 and calibrated else 4)
+    while batch % g:
+        g -= 1
+    return g
+
+
 def _dense(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     # .astype is a no-op when prepare_params already cast the kernel
     return jnp.dot(x.astype(BF16), p["kernel"].astype(BF16),
@@ -766,18 +780,10 @@ def make_serving_fn(num_layers: int, num_heads: int,
         v = _dense(params["img_feat_linear"], img_feat).astype(stream)
 
         bb = params["backbone"]
-        # packing group (samples per megakernel grid step): the default
-        # 4 is latency-tuned; at bulk batches 16 halves the grid twice
-        # over and measured +1.2% at B=1024 AND B=2048 (r5 interleaved
-        # medians, docs/PERFORMANCE.md). B is static under jit, so the
-        # choice is per compiled shape; an explicit sga_group wins.
-        B_ = img_feat.shape[0]
-        # auto-16 stays inside the measured envelope (the calibrated
-        # static-scale engines; the bf16/dynamic twins were not swept)
-        g_sga = sga_group if sga_group else (
-            16 if B_ >= 1024 and qffn_act_scales is not None else 4)
-        while B_ % g_sga:
-            g_sga -= 1
+        # B is static under jit, so the packing group is chosen per
+        # compiled shape (auto_sga_group; explicit sga_group wins)
+        g_sga = auto_sga_group(img_feat.shape[0], sga_group,
+                               calibrated=qffn_act_scales is not None)
         # VMEM guard: every block weight must stay resident in the
         # megakernel (bf16). MCAN-small is ~7.6 MB; MCAN-large (~27 MB)
         # falls back to the per-sub-op path.

@@ -548,3 +548,19 @@ class TestProductionBuilders:
             pout = 1.0 / (1.0 + np.exp(-np.asarray(out)))
             assert np.abs(pout - pref).max() < 0.03
             assert set(prepared["backbone"]["enc_0"]) == {"_mk", "_qffn"}
+
+
+def test_auto_sga_group_selection():
+    """The bulk-batch packing-group table (r5 measured: g16 +1.2% at
+    B=1024/2048 on the calibrated engines; latency batches and the
+    unswept bf16/dynamic twins keep 4). Explicit values win and every
+    result divides the batch."""
+    from mcan_vqa_tpu.ops.serving import auto_sga_group
+    assert auto_sga_group(1) == 1
+    assert auto_sga_group(64) == 4
+    assert auto_sga_group(1024) == 4                      # dynamic: unswept
+    assert auto_sga_group(1024, calibrated=True) == 16
+    assert auto_sga_group(2048, calibrated=True) == 16
+    assert auto_sga_group(1024, explicit=8, calibrated=True) == 8
+    assert auto_sga_group(6, calibrated=False) == 3       # divisibility
+    assert auto_sga_group(1030, calibrated=True) == 10
