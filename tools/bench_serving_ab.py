@@ -72,11 +72,37 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
             os.environ["BENCH_QFFN_MAX_BATCH"])
 
     kw = {}
+    chunk = None
+    if "@c" in name:
+        # bulk-batch chunking, e.g. "qstatic@c256": the SAME engine, but
+        # the forward lax.scans over B/N chunks of N rows inside one jit
+        # (tests whether the B>=1024 falloff is working-set residency —
+        # if so, per-chunk execution restores the B=256 rate)
+        name, c = name.split("@c")
+        chunk = int(c)
     if "@g" in name:
         # per-config packing-group override, e.g. "qstatic@g8": the same
         # engine with sga_group=8 — G sweeps stay same-process interleaved
         name, g = name.split("@g")
         kw["sga_group"] = int(g)
+
+    def maybe_chunked(forward):
+        if chunk is None:
+            return forward
+
+        def chunked(params, img, ques):
+            n = img.shape[0] // chunk
+
+            def body(_, xs):
+                return None, forward(params, xs[0], xs[1])
+
+            _, logits = jax.lax.scan(
+                body, None,
+                (img.reshape(n, chunk, *img.shape[1:]),
+                 ques.reshape(n, chunk, *ques.shape[1:])))
+            return logits.reshape(n * chunk, *logits.shape[2:])
+
+        return chunked
 
     if name == "int8":
         from mcan_vqa_tpu.ops.quant import (make_quant_serving_fn,
@@ -84,7 +110,7 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
         params = quantize_params(raw_params, cfg.layer, megakernel=True)
         forward = make_quant_serving_fn(cfg.layer, cfg.multi_head,
                                         megakernel=True)
-        return forward, jax.device_put(params)
+        return maybe_chunked(forward), jax.device_put(params)
     if name == "bf16":
         level = 0
     elif name == "qffn":
@@ -109,7 +135,7 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
         q8aux=name.startswith("qaux"),
         act_scale_inputs=(img_d, ques_d) if calibrated else None, **kw)
     # params live on device already (prepare_params runs jnp ops)
-    return forward, jax.device_put(params)
+    return maybe_chunked(forward), jax.device_put(params)
 
 
 def main() -> None:
