@@ -48,7 +48,9 @@ INT4_MIN_HIDDEN = 1024
 # engine: +5.2% at MCAN-large (r4), +3.2% at MCAN-small (r5, 7
 # interleaved rounds) — but NEUTRAL stacked on int4 (14 paired rounds),
 # so it routes only where the base engine is the B<=4 champion
-# (small widths; large tiny buckets go to int4 instead).
+# (small widths; large tiny buckets go to int4 instead). Like int4, it
+# INVERTS at throughput batches (small B=64: -5.1%, r5 session 3), so
+# the bucket boundary is measured from both sides.
 Q8AUX_MAX_BUCKET = 4
 
 
