@@ -96,7 +96,7 @@ def main() -> None:
             megakernel=use_quant >= 2))(params)
         forward = make_quant_serving_fn(
             cfg.layer, cfg.multi_head, megakernel=use_quant >= 2,
-            group=int(os.environ.get("BENCH_SGA_GROUP", "4")))
+            group=int(os.environ.get("BENCH_SGA_GROUP") or 4))
     elif use_fused_qkv:
         # fused-QKV engine; BENCH_PALLAS picks the attention implementation
         # INSIDE it (0=XLA, 1=per-(b,h), 2=batch-blocked, 3=block-diagonal
@@ -161,7 +161,11 @@ def main() -> None:
             bf16_stream=os.environ.get("BENCH_BF16_STREAM", "1") == "1",
             use_pallas_ffn=os.environ.get("BENCH_FFN", "1") == "1",
             use_pallas=use_pallas,
-            sga_group=int(os.environ.get("BENCH_SGA_GROUP", "4")),
+            # None = the shipped auto group (4, or 16 at calibrated
+            # B >= 1024) so the benched program IS the served one at
+            # every batch; BENCH_SGA_GROUP pins an explicit G
+            sga_group=(int(os.environ["BENCH_SGA_GROUP"])
+                       if os.environ.get("BENCH_SGA_GROUP") else None),
             use_pallas_attflat=os.environ.get("BENCH_ATTFLAT", "0") == "1")
     elif use_pallas:
         from mcan_vqa_tpu.ops.serving import make_serving_fn

@@ -429,10 +429,10 @@ class Predictor:
         the extra engines cost only their (lazily compiled) builds.
         Returns ``({name: (forward, prepared)}, {bucket: name})``.
         """
-        built = {"base": self._build_fused(params, act_inputs,
-                                           act_scales=act_scales)}
         calibrated = act_inputs is not None or act_scales is not None
         if not (self._auto_routing and calibrated):
+            built = {"base": self._build_fused(params, act_inputs,
+                                               act_scales=act_scales)}
             return built, {int(b): "base" for b in self._buckets}
         # a calibration sample can always derive the "aux" scale tuple;
         # stored side files must already carry it (pre-r4 files don't)
@@ -445,15 +445,59 @@ class Predictor:
             # engine — a separate q8aux variant would be the same build
             routes = {b: ("base" if r == "q8aux" else r)
                       for b, r in routes.items()}
-        if "int4" in routes.values():
+        variants = set(routes.values()) - {"base"}
+        if act_inputs is not None and (variants or self._q8aux):
+            # derive the scales ONCE from the sample (the Trainer's
+            # stored-side-file recipe) so every engine variant consumes
+            # the same precomputed dict instead of re-running the
+            # calibration replay per build — each replay is a fresh jit
+            # at the sample shape (minutes on a remote-compile rig), and
+            # the shared dict keeps the enc/dec scales on the bf16-kv
+            # path the default engine serves (the ADVICE r4 convention)
+            shared = self._calibrate_scales(
+                params, act_inputs,
+                need_aux=self._q8aux or "q8aux" in variants)
+            if shared is not None:
+                act_scales, act_inputs = shared, None
+        built = {"base": self._build_fused(params, act_inputs,
+                                           act_scales=act_scales)}
+        if "int4" in variants:
             built["int4"] = self._build_fused(
                 params, act_inputs, act_scales=act_scales,
                 qffn_level=5, q8aux=self._q8aux)
-        if "q8aux" in routes.values():
+        if "q8aux" in variants:
             built["q8aux"] = self._build_fused(
                 params, act_inputs, act_scales=act_scales,
                 qffn_level=None, q8aux=True)
         return built, routes
+
+    def _calibrate_scales(self, params, act_inputs, need_aux: bool):
+        """One calibration replay shared by every routed engine variant
+        (the same two-pass recipe the Trainer uses for the checkpoint
+        side file, train/trainer.py: enc/dec scales calibrated on the
+        bf16-kv path the default engine serves; the "aux" tuple, when
+        needed, from a second replay with the aux sites attached so its
+        scales are self-consistent with the q8aux decoder stream).
+        Returns None when the model dims are outside the megakernel
+        envelope — the caller then falls back to per-build calibration,
+        which warns and serves uncalibrated."""
+        from mcan_vqa_tpu.ops import serving as serving_mod
+        from mcan_vqa_tpu.ops.quant import (calibrate_qffn_act_scales,
+                                            prepare_q8aux_params)
+        img, ques = act_inputs
+        prepared = serving_mod.prepare_production_params(
+            params, self.cfg.layer, self.cfg.multi_head, qffn=3)
+        if "_mk" not in prepared["backbone"]["enc_0"]:
+            return None
+        scales = calibrate_qffn_act_scales(
+            prepared, img, ques, self.cfg.layer, self.cfg.multi_head)
+        if need_aux:
+            prepared["_q8aux"] = prepare_q8aux_params(prepared,
+                                                      self.cfg.layer)
+            scales["aux"] = calibrate_qffn_act_scales(
+                prepared, img, ques, self.cfg.layer,
+                self.cfg.multi_head)["aux"]
+        return scales
 
     def _build_plain(self, params):
         model = build_mcan(self.cfg, token_size=len(self.token_to_ix),

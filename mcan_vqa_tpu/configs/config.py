@@ -179,6 +179,12 @@ class Config:
         assert self.hidden_size % self.multi_head == 0, (
             f"hidden_size {self.hidden_size} must divide by multi_head "
             f"{self.multi_head}")
+        assert self.train_engine in ("auto", "fused", "plain"), \
+            self.train_engine
+        # bool True tolerated for programmatic Config(stacked_params=True)
+        assert self.stacked_params in ("auto", "on", "off", True), (
+            f"stacked_params must be 'auto'/'on'/'off', "
+            f"got {self.stacked_params!r}")
 
         if not self.version:
             self.version = str(self.seed)

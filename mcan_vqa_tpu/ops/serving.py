@@ -43,14 +43,18 @@ QFFN_MAX_BATCH = 512
 
 
 def auto_sga_group(batch: int, explicit=None,
-                   calibrated: bool = False) -> int:
+                   calibrated: bool = False,
+                   hidden: int = 512) -> int:
     """Packing group (samples per megakernel grid step) for a compiled
     batch. Explicit wins; auto = 4 (latency-tuned), or 16 at
-    B >= 1024 on the calibrated engines (+1.2% at B=1024 AND B=2048,
-    r5 interleaved medians — the bf16/dynamic twins were not swept, so
-    they keep 4). Always reduced to divide the batch."""
+    B >= 1024 on the calibrated engines at hidden <= 512 (+1.2% at
+    B=1024 AND B=2048, r5 interleaved medians — the bf16/dynamic twins
+    and the D=1024 width were NOT swept, so they keep 4: larger widths
+    shift the VMEM/softmax-row balance the sweep tuned, exactly why the
+    train-side auto group picks a smaller G at D=1024). Always reduced
+    to divide the batch."""
     g = explicit if explicit else (
-        16 if batch >= 1024 and calibrated else 4)
+        16 if batch >= 1024 and calibrated and hidden <= 512 else 4)
     while batch % g:
         g -= 1
     return g
@@ -783,7 +787,8 @@ def make_serving_fn(num_layers: int, num_heads: int,
         # B is static under jit, so the packing group is chosen per
         # compiled shape (auto_sga_group; explicit sga_group wins)
         g_sga = auto_sga_group(img_feat.shape[0], sga_group,
-                               calibrated=qffn_act_scales is not None)
+                               calibrated=qffn_act_scales is not None,
+                               hidden=v.shape[-1])
         # VMEM guard: every block weight must stay resident in the
         # megakernel (bf16). MCAN-small is ~7.6 MB; MCAN-large (~27 MB)
         # falls back to the per-sub-op path.

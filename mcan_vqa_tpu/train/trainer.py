@@ -281,6 +281,13 @@ class Trainer:
             # fused D=1024 WITH donation 2,438 samples/s, clean.
             donate = cfg.donate_buffers
             if forward_fn is None or self.image_only:
+                if getattr(cfg, "stacked_params", "auto") in ("on", True):
+                    # say so: the layout rides the fused VQA train engine
+                    # only, and "the log line is missing" is not a signal
+                    self.logger.write(
+                        "stacked_params='on' ignored: the stacked layout "
+                        "applies only to the fused VQA train engine "
+                        "(not plain/classifier paths)")
                 self._stacked = False
             if self._stacked:
                 from mcan_vqa_tpu.ops import stacked_params as sp_mod

@@ -564,3 +564,8 @@ def test_auto_sga_group_selection():
     assert auto_sga_group(1024, explicit=8, calibrated=True) == 8
     assert auto_sga_group(6, calibrated=False) == 3       # divisibility
     assert auto_sga_group(1030, calibrated=True) == 10
+    # width scoping: the g16 sweep covered D=512 only — larger widths
+    # keep the latency-tuned 4 (explicit still wins at any width)
+    assert auto_sga_group(1024, calibrated=True, hidden=1024) == 4
+    assert auto_sga_group(1024, explicit=16, calibrated=True,
+                          hidden=1024) == 16

@@ -71,20 +71,22 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
         serving_mod.QFFN_MAX_BATCH = int(
             os.environ["BENCH_QFFN_MAX_BATCH"])
 
+    # suffix modifiers, any order ("qstatic@g8@c256" == "qstatic@c256@g8"):
+    #   @gN  per-config packing-group override (sga_group=N) — G sweeps
+    #        stay same-process interleaved
+    #   @cN  bulk-batch chunking: the SAME engine, but the forward
+    #        lax.scans over B/N chunks of N rows inside one jit (tests
+    #        whether the B>=1024 falloff is working-set residency)
     kw = {}
     chunk = None
-    if "@c" in name:
-        # bulk-batch chunking, e.g. "qstatic@c256": the SAME engine, but
-        # the forward lax.scans over B/N chunks of N rows inside one jit
-        # (tests whether the B>=1024 falloff is working-set residency —
-        # if so, per-chunk execution restores the B=256 rate)
-        name, c = name.split("@c")
-        chunk = int(c)
-    if "@g" in name:
-        # per-config packing-group override, e.g. "qstatic@g8": the same
-        # engine with sga_group=8 — G sweeps stay same-process interleaved
-        name, g = name.split("@g")
-        kw["sga_group"] = int(g)
+    name, *mods = name.split("@")
+    for mod in mods:
+        if mod.startswith("c"):
+            chunk = int(mod[1:])
+        elif mod.startswith("g"):
+            kw["sga_group"] = int(mod[1:])
+        else:
+            raise SystemExit(f"unknown config modifier @{mod!r}")
 
     def maybe_chunked(forward):
         if chunk is None:
@@ -109,7 +111,8 @@ def build_forward(name: str, raw_params, cfg, img_d, ques_d):
                                             quantize_params)
         params = quantize_params(raw_params, cfg.layer, megakernel=True)
         forward = make_quant_serving_fn(cfg.layer, cfg.multi_head,
-                                        megakernel=True)
+                                        megakernel=True,
+                                        group=kw.get("sga_group", 4))
         return maybe_chunked(forward), jax.device_put(params)
     if name == "bf16":
         level = 0
