@@ -48,11 +48,12 @@ def auto_sga_group(batch: int, explicit=None,
     """Packing group (samples per megakernel grid step) for a compiled
     batch. Explicit wins; auto = 4 (latency-tuned), or 16 at
     B >= 1024 on the calibrated engines at hidden <= 512 (+1.2% at
-    B=1024 AND B=2048, r5 interleaved medians — the bf16/dynamic twins
-    and the D=1024 width were NOT swept, so they keep 4: larger widths
-    shift the VMEM/softmax-row balance the sweep tuned, exactly why the
-    train-side auto group picks a smaller G at D=1024). Always reduced
-    to divide the batch."""
+    B=1024 AND B=2048, r5 interleaved medians). The width scoping is
+    measured, not cautionary: at D=1024 g16 LOSES -3.3% (B=1024, 5
+    interleaved rounds — wider rows shift the VMEM/softmax balance,
+    the same reason the train-side auto group picks a smaller G at
+    D=1024), and the bf16/dynamic twins were not swept, so both keep
+    4. Always reduced to divide the batch."""
     g = explicit if explicit else (
         16 if batch >= 1024 and calibrated and hidden <= 512 else 4)
     while batch % g:
