@@ -200,6 +200,9 @@ class ArtifactPredictor:
         self._buckets = tuple(meta["buckets"])
         routes = meta.get("routes",
                           {str(b): "base" for b in self._buckets})
+        # same introspection surface as Predictor.routes (serve /stats):
+        # which engine's params each compiled bucket dispatches to
+        self.routes = {int(b): r for b, r in routes.items()}
         self.max_batch = self._buckets[-1]
         self._fns = {}
         self._bucket_leaves = {}

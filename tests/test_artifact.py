@@ -121,6 +121,8 @@ class TestArtifact:
         assert meta["routes"] == {"1": "int4", "8": "base"}
         assert os.path.exists(os.path.join(d, "params_int4.npz"))
         ap = art.load_artifact(d)
+        # introspection parity with the live Predictor (serve /stats)
+        assert ap.routes == p.routes
         for n in (1, 4):   # bucket 1 -> int4 engine, bucket 8 -> base
             np.testing.assert_allclose(
                 ap.predict_probs(qs[:n], feats[:n]),
