@@ -215,6 +215,12 @@ class Predictor:
         self._buckets = tuple(b for b in buckets if b < max_batch) \
             + (max_batch,)
 
+        if act_scales is False:
+            # the documented from_checkpoint sentinel ("disable the side
+            # -file auto-load"); normalize here so a direct Predictor(...)
+            # call can't leak False into the engine builders as if it
+            # were a real scales dict
+            act_scales = None
         if auto_calibrate < 0:
             # a negative target passes the truthiness check and
             # `_cal_n < negative` is immediately false — the first
@@ -563,8 +569,11 @@ class Predictor:
     def calibration(self) -> Dict[str, object]:
         """Progress of the online static-scale calibration:
         state in {"off", "collecting", "paused", "calibrating",
-        "calibrated", "failed"}, samples buffered so far, and the
-        trigger target."""
+        "calibrated"}, samples buffered so far, and the trigger target.
+        A FAILED attempt re-enters "collecting" for retry (with a
+        doubled target) and records the failure under "error" — so
+        state=="collecting" with an "error" key means "failed, will
+        retry", not "never tried"."""
         out = {"state": self._cal_state,
                "samples": self._cal_n,
                "target": self._auto_cal}
@@ -596,15 +605,26 @@ class Predictor:
         return _pause()
 
     def wait_calibrated(self, timeout: Optional[float] = None) -> bool:
-        """Block until a pending background calibration swap finishes
-        (True) or `timeout` seconds pass (False). Only meaningful once
-        enough samples have been buffered to start one."""
+        """Block until a pending background calibration swap ATTEMPT
+        finishes (True) or `timeout` seconds pass (False). True means
+        the background thread is done, not that it succeeded: a failed
+        attempt re-enters "collecting" for retry — distinguish via
+        ``calibration`` (state "calibrated" = swapped; an "error" key =
+        the attempt failed and will retry). Only meaningful once enough
+        samples have been buffered to start one."""
         t = self._cal_thread
         if t is not None:
             t.join(timeout)
             if t.is_alive():
                 return False
-        return self._cal_state in ("calibrated", "failed")
+            # the thread ran to completion: either it swapped
+            # ("calibrated") or its failure path already restored the
+            # buffer and recorded _cal_error — both are "finished", and
+            # returning False here would be indistinguishable from a
+            # still-running swap (the caller would block/poll forever
+            # on an attempt that ended long ago)
+            return True
+        return self._cal_state == "calibrated"
 
     def calibrate_now(self) -> None:
         """Force the online calibration swap from whatever samples are
@@ -641,8 +661,13 @@ class Predictor:
         with self._cal_lock:
             if self._cal_state != "collecting":
                 return
-            self._cal_imgs.append(np.array(img))
-            self._cal_ques.append(np.array(ques))
+            # no defensive copy: both arrays are freshly allocated per
+            # request by _prep_inputs (np.stack / encode_questions), and
+            # the bucket padding downstream concatenates into NEW arrays
+            # — an extra copy here (~0.8 MB/row-set at MCAN-large) would
+            # be pure allocation under the lock
+            self._cal_imgs.append(np.asarray(img))
+            self._cal_ques.append(np.asarray(ques))
             self._cal_n += len(img)
             if self._cal_n < self._auto_cal:
                 return
@@ -745,15 +770,19 @@ class Predictor:
                 restored = ckptr.restore(path)
             params = restored["params"] if "params" in restored else restored
             if act_scales is None and act_calibration is None:
-                on_tpu = jax.default_backend() == "tpu"
+                # _default_backend, not jax.default_backend: the hook is
+                # how tests/__graft_entry__ pin the TPU decision table on
+                # CPU — bypassing it here would auto-load scales under a
+                # different rule than the engine resolution uses
+                on_tpu = _default_backend() == "tpu"
                 # "int4" consumes the same stored scales (the packed
                 # weights are derived from params at build time), so the
                 # zero-ritual promise extends to the latency engine too
                 if engine in ("fused", "int4") \
                         or (engine == "auto" and on_tpu):
                     act_scales = ckpt_mod.load_act_scales(path)
-        if act_scales is False:
-            act_scales = None
+        # a remaining act_scales=False (auto-load declined) is normalized
+        # to None by Predictor.__init__ — one source of truth
         return cls(cfg, params, token_to_ix, ix_to_ans, max_batch, engine,
                    latency_buckets=latency_buckets, mesh=mesh,
                    act_calibration=act_calibration, act_scales=act_scales,

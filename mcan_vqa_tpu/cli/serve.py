@@ -138,6 +138,12 @@ class _Handler(BaseHTTPRequestHandler):
     max_body_bytes: int = 64 * 1024 * 1024
     quiet: bool = True
     protocol_version = "HTTP/1.1"
+    # socketserver applies this to the connection (settimeout): a stalled
+    # client (slow-loris headers or a body that never arrives) frees its
+    # handler thread instead of pinning it for the server's lifetime —
+    # without it the documented load-shedding story (max_queue -> 503)
+    # can be defeated by N dead connections holding N threads
+    timeout = 60.0
 
     def log_message(self, fmt, *args):  # noqa: D102
         if not self.quiet:
@@ -149,6 +155,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # announced, not just enacted: clients see why their
+            # keep-alive connection ends (body-not-consumed responses)
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -195,12 +205,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         if self.path != "/v1/answer":
+            # responding WITHOUT consuming the body would desync a
+            # keep-alive connection (the unread bytes would parse as the
+            # next request line) — drop the connection instead
+            self.close_connection = True
             self._send_json(404, {"error": f"no route {self.path}"})
             return
         try:
             body = self._read_body()
         except ValueError as e:
             code = 413 if "exceeds" in str(e) else 400
+            self.close_connection = True   # body not consumed (see above)
             self._send_json(code, {"error": str(e)})
             return
         try:
@@ -216,8 +231,12 @@ class _Handler(BaseHTTPRequestHandler):
                                            'non-empty list'})
             return
 
-        # Parse first (reject before enqueueing anything), then submit the
-        # whole batch so it coalesces into as few device groups as possible.
+        # Per-item semantics (the API contract: errors never fail the
+        # whole batch): each item is parsed and, if valid, submitted in
+        # order — a malformed item yields its own error entry while the
+        # items already submitted still run. Submission stays inside one
+        # loop so the valid items coalesce into as few device groups as
+        # possible.
         futs, results = [], [None] * len(items)
         codes = [400] * len(items)
         for i, item in enumerate(items):
@@ -242,11 +261,15 @@ class _Handler(BaseHTTPRequestHandler):
             except FuturesTimeout:
                 # str(TimeoutError()) is "" — name the failure (a cold
                 # first request can sit behind a minutes-long XLA compile
-                # unless the server was started with warmup)
+                # unless the server was started with warmup). 504, not
+                # 400: retry middleware must see a server-side failure
                 results[i] = {"error": f"request timed out after "
                                        f"{self.request_timeout_s:g}s"}
+                codes[i] = 504
             except Exception as e:  # noqa: BLE001 — per-item failure
+                # internal failure (frontend closed, device fault): 500
                 results[i] = {"error": str(e) or type(e).__name__}
+                codes[i] = 500
 
         if batch:
             self._send_json(200, {"results": results})
@@ -262,6 +285,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 request_timeout_s: float = 60.0,
                 max_queue: Optional[int] = 1024,
                 max_body_bytes: int = 64 * 1024 * 1024,
+                socket_timeout_s: float = 60.0,
                 quiet: bool = True
                 ) -> Tuple[ThreadingHTTPServer, BatchingFrontend]:
     """Build (server, frontend); port=0 picks an ephemeral port
@@ -269,13 +293,16 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
     shutdown calls ``server.shutdown()`` then ``frontend.close()``.
     Overload behavior: requests beyond ``max_queue`` waiting are rejected
     with 503 (load shedding beats unbounded queue growth); bodies beyond
-    ``max_body_bytes`` are rejected with 413 before being read."""
+    ``max_body_bytes`` are rejected with 413 before being read; a
+    connection idle/stalled for ``socket_timeout_s`` is dropped (frees
+    its handler thread — slow clients cannot pin the thread pool)."""
     frontend = BatchingFrontend(predictor, max_wait_ms=max_wait_ms,
                                 max_batch=max_batch, max_queue=max_queue)
     handler = type("Handler", (_Handler,), {
         "frontend": frontend, "predictor": predictor,
         "request_timeout_s": request_timeout_s,
         "max_body_bytes": int(max_body_bytes), "quiet": quiet,
+        "timeout": float(socket_timeout_s),
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.daemon_threads = True

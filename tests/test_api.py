@@ -788,6 +788,19 @@ class TestAutoCalibration:
             Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
                       auto_calibrate=-1)
 
+    def test_act_scales_false_sentinel_direct(self, setup):
+        """act_scales=False is from_checkpoint's "skip the side-file
+        auto-load" sentinel; passed to Predictor() directly it must mean
+        None (uncalibrated, online calibration armed), not be mistaken
+        for a real scales dict by the engine builders."""
+        cfg, tok, i2a, params = setup
+        p = Predictor(cfg, params, tok, i2a, max_batch=4, engine="fused",
+                      act_scales=False)
+        assert p.calibration["state"] == "collecting"   # not "calibrated"
+        assert set(p.routes.values()) == {"base"}
+        qs, feats = self._qs_feats(2)
+        assert p.predict_probs(qs, feats).shape[0] == 2
+
     def test_precomputed_act_scales_match_calibration_batch(self, setup):
         """Predictor(act_scales=<precomputed dict>) must build EXACTLY the
         engine act_calibration on the originating batch builds (the

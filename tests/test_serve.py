@@ -271,8 +271,18 @@ class TestOverloadAndLimits:
         try:
             addr = srv.server_address[:2]
             big = {"question": "q", "image_feature": [[0.0] * 64]}
-            status, out = _request(addr, "POST", "/v1/answer", big)
-            assert status == 413 and "64-byte limit" in out["error"]
+            body = json.dumps(big).encode()
+            conn = http.client.HTTPConnection(*addr, timeout=60)
+            conn.request("POST", "/v1/answer", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            out = json.loads(resp.read())
+            assert resp.status == 413 and "64-byte limit" in out["error"]
+            # the body was never consumed: the server must drop the
+            # keep-alive connection (and say so) or the unread bytes
+            # would desync the next request on this connection
+            assert resp.getheader("Connection") == "close"
+            conn.close()
 
             conn = http.client.HTTPConnection(*addr, timeout=60)
             conn.putrequest("POST", "/v1/answer")
