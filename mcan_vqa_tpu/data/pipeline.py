@@ -63,13 +63,38 @@ class BatchLoader:
         # feat_dtype="bfloat16": request half-width image features from the
         # dataset's whole-batch assembler (serving path — halves host
         # assembly bytes AND host->device transfer; the engine's matmuls
-        # are bf16 anyway). Datasets without the kwarg fall back to fp32.
+        # are bf16 anyway). Capability is detected ONCE from the
+        # assembler's signature — a try/except TypeError around the call
+        # would also swallow genuine TypeErrors raised INSIDE it and
+        # re-run the whole batch assembly.
+        if feat_dtype is not None and hasattr(dataset, "batch_examples"):
+            import inspect
+            try:
+                ps = inspect.signature(dataset.batch_examples).parameters
+                takes_kwarg = "feat_dtype" in ps or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in ps.values())
+            except (TypeError, ValueError):
+                takes_kwarg = True   # non-introspectable binding: trust it
+            if not takes_kwarg:
+                feat_dtype = None    # dataset assembles fp32 only
         self.feat_dtype = feat_dtype
         assert batch_size % max(process_count, 1) == 0
         if process_count > 1:
             # a partial final batch cannot be split evenly across hosts
             assert drop_last or pad_final, (
                 "multi-host loading requires drop_last or pad_final")
+        if sharding is not None:
+            import jax
+            # __iter__ slices rows by self.process_count while _to_device
+            # assembles the global array from jax.process_count() — if
+            # they disagree, every host would contribute the FULL batch
+            # and the global array silently duplicates rows
+            assert jax.process_count() == 1 \
+                or process_count == jax.process_count(), (
+                    f"process_count={process_count} but this runtime has "
+                    f"{jax.process_count()} jax processes — pass "
+                    f"process_index/process_count from the runtime")
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -97,12 +122,9 @@ class BatchLoader:
         # whole-batch fast path (native C++ gather+pad) when the dataset
         # provides it
         if hasattr(self.dataset, "batch_examples"):
-            if self.feat_dtype is not None:
-                try:
-                    batch = self.dataset.batch_examples(
-                        indices, feat_dtype=self.feat_dtype)
-                except TypeError:
-                    batch = self.dataset.batch_examples(indices)
+            if self.feat_dtype is not None:   # capability checked in __init__
+                batch = self.dataset.batch_examples(
+                    indices, feat_dtype=self.feat_dtype)
             else:
                 batch = self.dataset.batch_examples(indices)
         else:

@@ -106,9 +106,15 @@ class AsyncCheckpointSaver:
         self._reraise()
 
     def close(self) -> None:
-        self.wait()
-        self._q.put(None)
-        self._worker.join()
+        """Flush pending writes, stop and join the worker. A stored
+        write error re-raises AFTER the worker is shut down — the error
+        path must not leak a live daemon thread blocked on the queue
+        (a long-lived process would accumulate one per failed close)."""
+        try:
+            self.wait()
+        finally:
+            self._q.put(None)
+            self._worker.join()
 
     def _reraise(self):
         if self._error is not None:
@@ -383,15 +389,19 @@ def reference_param_keys(num_layers: int) -> list:
 
 
 def _graft_flat(tree: Dict[str, Any], flat: Dict[Tuple[str, ...], np.ndarray],
-                prefix=()) -> Dict[str, Any]:
+                prefix=(), matched: Optional[set] = None) -> Dict[str, Any]:
     """Replace leaves of a nested dict by flat[path] where present, keeping
-    dtype/shape of the original leaf."""
+    dtype/shape of the original leaf. ``matched`` (if given) collects the
+    flat paths actually consumed so the caller can detect entries that
+    found no home in the template."""
     out = {}
     for k, v in tree.items():
         p = prefix + (k,)
         if isinstance(v, dict):
-            out[k] = _graft_flat(v, flat, p)
+            out[k] = _graft_flat(v, flat, p, matched)
         elif p in flat:
+            if matched is not None:
+                matched.add(p)
             arr = np.asarray(flat[p])
             leaf = np.asarray(v)
             assert arr.shape == leaf.shape, \
@@ -450,16 +460,35 @@ def import_torch_opt_state(optimizer_sd: Dict[str, Any], param_keys: list,
         nu_flat[path] = v
         step = max(step, int(float(_to_np(s["step"]))))
 
+    matched: set = set()
+
     def adam(node):
         return node._replace(
             count=jnp.asarray(step, node.count.dtype),
-            mu=_graft_flat(jax.device_get(node.mu), mu_flat),
-            nu=_graft_flat(jax.device_get(node.nu), nu_flat))
+            mu=_graft_flat(jax.device_get(node.mu), mu_flat,
+                           matched=matched),
+            nu=_graft_flat(jax.device_get(node.nu), nu_flat,
+                           matched=matched))
 
     def count(node):
         return node._replace(count=jnp.asarray(step, node.count.dtype))
 
-    return _map_opt_state(template_opt_state, adam, count), step
+    out = _map_opt_state(template_opt_state, adam, count)
+    missing = set(mu_flat) - matched
+    if missing:
+        # silently leaving zero moments for dropped paths would produce a
+        # resume that LOOKS trajectory-faithful (the trainer logs
+        # "restored AdamW moments") while diverging from the reference —
+        # e.g. a fused_qkv=True template has no linear_q/k/v homes for a
+        # standard-layout torch state
+        sample = ", ".join("/".join(p) for p in sorted(missing)[:4])
+        raise ValueError(
+            f"{len(missing)} torch optimizer moment(s) have no home in "
+            f"the optax template (e.g. {sample}): the model layout "
+            f"differs from the checkpoint's — a trajectory-faithful "
+            f"resume is impossible. Match the layout (fused_qkv?), or "
+            f"resume params-only (drop the pickle's 'optimizer' entry)")
+    return out, step
 
 
 def export_torch_opt_state(opt_state, num_layers: int, lr: float = 0.0,

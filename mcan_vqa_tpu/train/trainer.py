@@ -434,10 +434,15 @@ class Trainer:
                 _sig.signal(sig, h)
             if saver is not None:
                 import sys as _sys
+                # capture BEFORE close(): inside the except block below,
+                # exc_info() would be the close() failure itself, never
+                # None — checking there silently swallowed a failed
+                # final-checkpoint flush on a CLEAN training exit
+                unwinding = _sys.exc_info()[0] is not None
                 try:
                     saver.close()   # flush pending writes
                 except Exception:
-                    if _sys.exc_info()[0] is None:
+                    if not unwinding:
                         raise       # no outer exception: surface it
                     self.logger.write(
                         "async checkpoint flush failed during error "

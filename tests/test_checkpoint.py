@@ -481,3 +481,38 @@ class TestTrainerTorchResume:
                         jax.tree.leaves(got["mu"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7)
+
+    def test_layout_mismatch_raises(self, tmp_path):
+        """Torch moments whose mapped paths have no home in the optax
+        template (e.g. a fused_qkv=True model fed a standard-layout
+        optimizer state) must RAISE, not silently resume with zero
+        moments while the trainer logs 'restored AdamW moments'."""
+        import pytest
+
+        from mcan_vqa_tpu.models.net import build_mcan
+
+        cfg = Config(hidden_size=32, layer=1, multi_head=4,
+                     img_feat_size=16, img_feat_pad_size=8, max_token=6,
+                     flat_out_size=32, flat_mlp_size=16, batch_size=8,
+                     compute_dtype="float32", use_glove=False).finalize()
+        model = build_mcan(cfg, token_size=40, answer_size=10)
+        img = np.zeros((2, 8, 16), np.float32)
+        ques = np.ones((2, 6), np.int32)
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            img, ques)["params"]
+        tx = make_optimizer(cfg, data_size=16)
+        state = TrainState.create(params, tx, seed=0)
+        pkl = str(tmp_path / "std.pkl")
+        ckpt.export_torch_checkpoint(
+            jax.device_get(params), pkl, lr_base=cfg.lr_base,
+            opt_state=jax.device_get(state.opt_state),
+            num_layers=cfg.layer)
+        _, meta = ckpt.import_torch_checkpoint(pkl)
+        # a template whose layout can't home the attention moments:
+        # fuse the qkv projections (the fused-train layout)
+        fused = ckpt.fuse_qkv_params(jax.device_get(params), cfg.layer)
+        fused_state = TrainState.create(fused, tx, seed=0)
+        with pytest.raises(ValueError, match="no home"):
+            ckpt.import_torch_opt_state(
+                meta["optimizer"], meta["param_keys"],
+                jax.device_get(fused_state.opt_state))
