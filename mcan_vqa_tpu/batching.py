@@ -34,7 +34,7 @@ import queue
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -45,6 +45,21 @@ from mcan_vqa_tpu.data.answers import topk_answers
 class FrontendOverloaded(RuntimeError):
     """Raised by submit() when the request queue is at max_queue —
     callers (e.g. the HTTP layer) should shed load, not block."""
+
+
+def _resolve(fut: Future, result=None, exc=None) -> None:
+    """Resolve a future a caller may concurrently cancel. A
+    done()/cancelled() pre-check is TOCTOU — a cancel() landing between
+    the check and the set raises InvalidStateError, which would kill the
+    worker/resolver thread and hang every later request — so resolution
+    absorbs that one race instead."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except InvalidStateError:
+        pass   # cancelled (or already resolved) by the caller
 
 
 class BatchingFrontend:
@@ -58,8 +73,15 @@ class BatchingFrontend:
         many requests are already waiting (bounds memory and tail latency
         under overload; None = unbounded)."""
         self._p = predictor
-        self._max_batch = int(max_batch or predictor.max_batch)
-        assert 0 < self._max_batch <= predictor.max_batch
+        # duck-type contract (module docstring): any predict_probs +
+        # ix_to_ans object qualifies — max_batch is only consulted on
+        # the predictor when it exposes one
+        p_max = getattr(predictor, "max_batch", None)
+        self._max_batch = int(max_batch or p_max or 0)
+        assert self._max_batch > 0, \
+            "pass max_batch= when the predictor has no max_batch attribute"
+        assert p_max is None or self._max_batch <= p_max, \
+            (self._max_batch, p_max)
         self._max_queue = None if max_queue is None else int(max_queue)
         assert self._max_queue is None or self._max_queue > 0
         self._max_wait_s = max_wait_ms / 1e3
@@ -164,8 +186,8 @@ class BatchingFrontend:
                 while not self._q.empty():
                     item = self._q.get_nowait()
                     if item is not None:
-                        item[2].set_exception(
-                            RuntimeError("frontend closed"))
+                        _resolve(item[2],
+                                 exc=RuntimeError("frontend closed"))
                 return
             # Validate per item so one malformed request fails its own
             # future without dragging down groupmates or the worker. The
@@ -186,7 +208,7 @@ class BatchingFrontend:
                             f"{feat_width}")
                     valid.append((q, arr, fut, top_k))
                 except Exception as e:  # noqa: BLE001
-                    fut.set_exception(e)
+                    _resolve(fut, exc=e)
             payload = None
             if valid:
                 qs = [v[0] for v in valid]
@@ -199,8 +221,7 @@ class BatchingFrontend:
                         payload = (probs, len(valid))
                 except Exception as e:  # noqa: BLE001 — fail the callers, not the loop
                     for item in valid:
-                        if not item[2].done():
-                            item[2].set_exception(e)
+                        _resolve(item[2], exc=e)
                     valid = []
             resolve_q.put((valid, payload, group))
 
@@ -227,12 +248,10 @@ class BatchingFrontend:
             if probs is not None:
                 for (_, _, fut, top_k), row in zip(valid, probs):
                     pairs = topk_answers(row, self._p.ix_to_ans, top_k)
-                    if not fut.cancelled():
-                        fut.set_result(pairs[0] if top_k <= 1 else pairs)
+                    _resolve(fut, pairs[0] if top_k <= 1 else pairs)
             elif err is not None:
                 for item in valid:
-                    if not item[2].done():
-                        item[2].set_exception(err)
+                    _resolve(item[2], exc=err)
 
     # ------------------------------------------------------------------
     @property

@@ -112,15 +112,21 @@ class PackedFeatureCache:
 
     def native_batcher(self, n_threads: int = 0):
         """Lazily build the C++ gather+pad assembler over this cache's
-        features.bin (None when no toolchain is available)."""
-        if not hasattr(self, "_native"):
-            try:
-                from mcan_vqa_tpu.data.native_batcher import NativeBatcher
-                self._native = NativeBatcher(
-                    os.path.join(self.cache_dir, "features.bin"),
-                    self._mm.shape[0], self.feat_dim, n_threads)
-            except Exception:
-                self._native = None
+        features.bin (None when no toolchain is available). Only a
+        SUCCESSFUL construction is cached: a transient failure (racing
+        a concurrent g++ build, FS hiccup) must not pin a long-lived
+        serving cache to the slow numpy path forever. An explicit
+        n_threads different from the cached batcher's rebuilds it."""
+        cached = getattr(self, "_native", None)
+        if cached is not None and n_threads in (0, cached.n_threads):
+            return cached
+        try:
+            from mcan_vqa_tpu.data.native_batcher import NativeBatcher
+            self._native = NativeBatcher(
+                os.path.join(self.cache_dir, "features.bin"),
+                self._mm.shape[0], self.feat_dim, n_threads)
+        except Exception:
+            return None
         return self._native
 
     def gather_pad_batch(self, iids, pad_size: int,
@@ -163,14 +169,30 @@ class PackedFeatureCache:
             paths = list(npz_dir_or_paths)
         os.makedirs(cache_dir, exist_ok=True)
 
+        # a rebuild in the same cache_dir must not inherit a previous
+        # build's bbox.bin: a stale file either fails the mmap length
+        # check on load (new split larger) or silently serves another
+        # dataset's boxes (smaller) — it is rewritten below iff the new
+        # npz set carries bboxes
+        bbox_path = os.path.join(cache_dir, "bbox.bin")
+        if os.path.exists(bbox_path):
+            os.remove(bbox_path)
+
         index: Dict[str, List[int]] = {}
         total = 0
-        sizes = []
         for p in paths:
             with np.load(p) as z:
                 n = z["x"].shape[1]
-            sizes.append(n)
-            index[iid_from_path(p)] = [total, n]
+            iid = iid_from_path(p)
+            if iid in index:
+                # two files mapping to one id would leave the loser's
+                # reserved rows as zero garbage and double-write the
+                # survivor's slot — refuse rather than corrupt the pack
+                raise ValueError(
+                    f"duplicate image id {iid!r} in the input set "
+                    f"(second occurrence: {p}) — every npz must map to "
+                    f"a unique image id")
+            index[iid] = [total, n]
             total += n
 
         mm = np.memmap(
@@ -184,8 +206,11 @@ class PackedFeatureCache:
                 mm[start : start + n] = z["x"].transpose(1, 0).astype(np.float16)
                 if "bbox" in z.files:
                     if bb is None:
-                        bb = np.memmap(os.path.join(cache_dir, "bbox.bin"),
-                                       dtype=np.float32, mode="w+",
+                        # rows for files packed BEFORE the first bbox
+                        # file stay zero — memmap w+ zero-fills, and
+                        # get_bboxes pads with zeros anyway
+                        bb = np.memmap(bbox_path, dtype=np.float32,
+                                       mode="w+",
                                        shape=(max(total, 1), 4))
                     bb[start : start + n] = z["bbox"][:, :4]
             if log_every and i % log_every == 0:

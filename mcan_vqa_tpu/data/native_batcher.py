@@ -79,6 +79,7 @@ class NativeBatcher:
             raise RuntimeError(f"native batcher unavailable: {_build_error}")
         self._lib = lib
         self.dim = dim
+        self.n_threads = int(n_threads)   # as requested (0 = hw default)
         self._h = lib.bf_open(features_bin.encode(), rows, dim, n_threads)
         if not self._h:
             raise OSError(f"bf_open failed for {features_bin}")

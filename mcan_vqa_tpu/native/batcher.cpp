@@ -9,7 +9,6 @@
 //
 // C ABI (ctypes): see mcan_vqa_tpu/data/native_batcher.py.
 
-#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -109,31 +108,67 @@ struct Cache {
   ThreadPool* pool = nullptr;
 };
 
-void gather_one(const Cache* c, uint64_t start, uint32_t len,
-                uint32_t pad_rows, float* dst) {
-  if (len > pad_rows) len = pad_rows;
-  const uint16_t* src = c->data + start * c->dim;
-  const size_t n = (size_t)len * c->dim;
-  for (size_t i = 0; i < n; ++i) dst[i] = half_to_float(src[i]);
-  std::memset(dst + n, 0, ((size_t)(pad_rows - len) * c->dim) * sizeof(float));
-}
-
 // f32 -> bf16 with round-to-nearest-even (top 16 bits + rounding).
+// NaN-safe: the rounding add would otherwise carry a NaN's mantissa
+// into the exponent, silently emitting +-Inf for NaN inputs (and
+// diverging from the numpy fallback, which preserves NaN).
 inline uint16_t float_to_bf16(float f) {
   uint32_t bits;
   std::memcpy(&bits, &f, sizeof(bits));
+  if ((bits & 0x7FFFFFFFu) > 0x7F800000u)
+    return (uint16_t)((bits >> 16) | 0x0040u);  // quiet NaN, keep sign
   bits += 0x7FFFu + ((bits >> 16) & 1u);
   return (uint16_t)(bits >> 16);
 }
 
-void gather_one_bf16(const Cache* c, uint64_t start, uint32_t len,
-                     uint32_t pad_rows, uint16_t* dst) {
+template <typename T>
+inline T convert_half(uint16_t h);
+template <>
+inline float convert_half<float>(uint16_t h) { return half_to_float(h); }
+template <>
+inline uint16_t convert_half<uint16_t>(uint16_t h) {
+  return float_to_bf16(half_to_float(h));
+}
+
+template <typename T>
+void gather_one(const Cache* c, uint64_t start, uint32_t len,
+                uint32_t pad_rows, T* dst) {
   if (len > pad_rows) len = pad_rows;
+  // Bounds-clamp against the mmap: an inconsistent index (stale
+  // index.json mixed with a different build's features.bin) must not
+  // read past the mapping — the numpy fallback raises a Python error,
+  // an OOB read here would SIGBUS the whole serving process.
+  if (start > c->rows) start = c->rows;
+  if (start + len > c->rows) len = (uint32_t)(c->rows - start);
   const uint16_t* src = c->data + start * c->dim;
   const size_t n = (size_t)len * c->dim;
-  for (size_t i = 0; i < n; ++i) dst[i] = float_to_bf16(half_to_float(src[i]));
-  std::memset(dst + n, 0,
-              ((size_t)(pad_rows - len) * c->dim) * sizeof(uint16_t));
+  for (size_t i = 0; i < n; ++i) dst[i] = convert_half<T>(src[i]);
+  std::memset(dst + n, 0, ((size_t)(pad_rows - len) * c->dim) * sizeof(T));
+}
+
+// Shared batch driver for the fp32/bf16 entry points. The completion
+// handshake mutates the counter UNDER the mutex: with a bare atomic, the
+// waiter's predicate could become true while the last worker sits
+// between fetch_add and lock — a spurious wakeup would then let the
+// caller destroy the stack mutex/condvar the worker is about to lock
+// (UB). One uncontended lock per item is noise next to the row memcpy.
+template <typename T>
+void gather_pad_batch(Cache* c, const uint64_t* starts, const uint32_t* lens,
+                      uint32_t batch, uint32_t pad_rows, T* out) {
+  uint32_t done = 0;
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t item_elems = (size_t)pad_rows * c->dim;
+  for (uint32_t i = 0; i < batch; ++i) {
+    c->pool->submit([=, &done, &mu, &cv] {
+      gather_one<T>(c, starts[i], lens[i], pad_rows,
+                    out + (size_t)i * item_elems);
+      std::lock_guard<std::mutex> lk(mu);
+      if (++done == batch) cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done == batch; });
 }
 
 }  // namespace
@@ -177,22 +212,8 @@ void bf_close(void* handle) {
 // pad_rows. out must hold B*pad_rows*dim floats. Parallel over items.
 void bf_gather_pad(void* handle, const uint64_t* starts, const uint32_t* lens,
                    uint32_t batch, uint32_t pad_rows, float* out) {
-  auto* c = static_cast<Cache*>(handle);
-  std::atomic<uint32_t> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
-  const size_t item_floats = (size_t)pad_rows * c->dim;
-  for (uint32_t i = 0; i < batch; ++i) {
-    c->pool->submit([=, &done, &mu, &cv] {
-      gather_one(c, starts[i], lens[i], pad_rows, out + (size_t)i * item_floats);
-      if (done.fetch_add(1) + 1 == batch) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == batch; });
+  gather_pad_batch<float>(static_cast<Cache*>(handle), starts, lens, batch,
+                          pad_rows, out);
 }
 
 // Same as bf_gather_pad but emits bf16 (uint16 bit pattern) — HALF the
@@ -200,23 +221,8 @@ void bf_gather_pad(void* handle, const uint64_t* starts, const uint32_t* lens,
 void bf_gather_pad_bf16(void* handle, const uint64_t* starts,
                         const uint32_t* lens, uint32_t batch,
                         uint32_t pad_rows, uint16_t* out) {
-  auto* c = static_cast<Cache*>(handle);
-  std::atomic<uint32_t> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
-  const size_t item_elems = (size_t)pad_rows * c->dim;
-  for (uint32_t i = 0; i < batch; ++i) {
-    c->pool->submit([=, &done, &mu, &cv] {
-      gather_one_bf16(c, starts[i], lens[i], pad_rows,
-                      out + (size_t)i * item_elems);
-      if (done.fetch_add(1) + 1 == batch) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == batch; });
+  gather_pad_batch<uint16_t>(static_cast<Cache*>(handle), starts, lens, batch,
+                             pad_rows, out);
 }
 
 uint32_t bf_dim(void* handle) { return static_cast<Cache*>(handle)->dim; }

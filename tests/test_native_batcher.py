@@ -92,6 +92,50 @@ class TestNativeBatcher:
                                       vals.astype(np.float32)[m])
         nb.close()
 
+    def test_bf16_nan_preserved(self, tmp_path):
+        """The bf16 emission path must keep NaN a NaN: the naive
+        round-to-nearest-even add carries a NaN mantissa into the
+        exponent and emits +-Inf (which then propagates through matmuls
+        as huge FINITE garbage instead of surfacing)."""
+        if not native_batcher.available():
+            pytest.skip("no toolchain")
+        import ml_dtypes
+        vals = np.array([np.nan, -np.nan, np.inf, -np.inf, 1.0, 0.0],
+                        np.float16)
+        dim = vals.size
+        mm = np.memmap(tmp_path / "features.bin", dtype=np.float16,
+                       mode="w+", shape=(1, dim))
+        mm[0] = vals
+        mm.flush()
+        from mcan_vqa_tpu.data.native_batcher import NativeBatcher
+        nb = NativeBatcher(str(tmp_path / "features.bin"), 1, dim)
+        out = np.asarray(nb.gather_pad_bf16(
+            np.array([0], np.uint64), np.array([1], np.uint32), 1))
+        ref = vals.astype(np.float32).astype(ml_dtypes.bfloat16)
+        np.testing.assert_array_equal(np.isnan(out[0, 0]), np.isnan(ref))
+        m = ~np.isnan(ref)
+        np.testing.assert_array_equal(out[0, 0][m], ref[m])
+        nb.close()
+
+    def test_oob_index_clamped(self, packed):
+        """An index inconsistent with features.bin (stale index.json,
+        mixed builds) must not read past the mmap: the numpy path raises
+        a Python error, the native path would SIGBUS the process — it
+        clamps to the mapped rows instead."""
+        cache, _ = packed
+        nb = cache.native_batcher()
+        if nb is None:
+            pytest.skip("no toolchain")
+        rows = cache._mm.shape[0]
+        starts = np.array([rows - 1, rows + 10], np.uint64)
+        lens = np.array([5, 3], np.uint32)   # both run past the end
+        out = nb.gather_pad(starts, lens, 8)
+        assert out.shape == (2, 8, 16)
+        np.testing.assert_allclose(
+            out[0, 0], np.asarray(cache._mm[rows - 1], np.float32))
+        assert (out[0, 1:] == 0).all()       # clamped to the last row
+        assert (out[1] == 0).all()           # fully out of range -> zeros
+
     def test_large_parallel_batch(self, packed):
         cache, raw = packed
         iids = [str(i % 6) for i in range(256)]
