@@ -81,7 +81,11 @@ def main(argv=None) -> int:
             return 1
         from mcan_vqa_tpu.data.mimic import MIMICDataset
         train_ds = MIMICDataset(cfg, "train") if cfg.run_mode == "train" else None
-        val_ds = MIMICDataset(cfg, "val")
+        # one train-derived vocab shared across splits (see MIMICDataset)
+        val_ds = MIMICDataset(
+            cfg, "val",
+            vocab=((train_ds.token_to_ix, train_ds.pretrained_emb)
+                   if train_ds else None))
 
     if cfg.run_mode == "train":
         trainer = Trainer(cfg, train_dataset=train_ds,

@@ -97,8 +97,14 @@ def main(argv=None) -> int:
             return 1
         from mcan_vqa_tpu.data.mimic import MIMICDataset
         train_ds = MIMICDataset(cfg, "train") if cfg.run_mode == "train" else None
-        val_ds = MIMICDataset(cfg, "val")
-        test_ds = MIMICDataset(cfg, "test")
+        # every split shares ONE train-derived vocab (see MIMICDataset);
+        # passing it forward avoids re-running spaCy + the vocab build
+        # per split
+        shared = ((train_ds.token_to_ix, train_ds.pretrained_emb)
+                  if train_ds else None)
+        val_ds = MIMICDataset(cfg, "val", vocab=shared)
+        test_ds = MIMICDataset(
+            cfg, "test", vocab=(val_ds.token_to_ix, val_ds.pretrained_emb))
 
     if cfg.run_mode == "train":
         eval_datasets = {"val": val_ds, "test": test_ds}

@@ -9,7 +9,8 @@ Covers the reference's MIMICDatasetBase/Split semantics
     rows via cfg.mimic_feat_source ("regions" | "anatomy" | "both"); the
     reference kept this hook dormant (commented swap at load_data.py:250)
   * answer dicts from ans2label/label2ans pickles; multi-hot targets
-  * QA pairs from per-split pickles; vocabulary built over the split's QA
+  * QA pairs from per-split pickles; vocabulary built over the TRAIN
+    split's QA for every split (deviation — see __init__)
   * train-time augmentation: L2-normalize each region row, then zero a
     random 30% of the rows (load_data.py:239-247), applied to whichever
     feature source is selected
@@ -52,7 +53,11 @@ def feature_row_dropout(feat: np.ndarray, rng: np.random.Generator,
 
 
 class MIMICDataset:
-    def __init__(self, cfg, run_mode: Optional[str] = None, seed: int = 0):
+    def __init__(self, cfg, run_mode: Optional[str] = None, seed: int = 0,
+                 vocab: Optional[tuple] = None):
+        """vocab: optional (token_to_ix, pretrained_emb) to share across
+        split instances (build the train split first, pass its vocab to
+        val/test — one spaCy load and one build instead of three)."""
         self.cfg = cfg
         self.run_mode = run_mode or cfg.run_mode
         # example() runs concurrently in BatchLoader threads; a shared
@@ -83,6 +88,18 @@ class MIMICDataset:
             raise FileNotFoundError(
                 f"mimic_feat_source={self.feat_source!r} needs "
                 f"ana_pool_finding_path, not found: {ana_path!r}")
+        if self.feat_source == "both":
+            # pad_img_feat TRUNCATES: with the default pad of 60, "both"
+            # (60 region + 26 anatomy rows) would silently drop every
+            # anatomy row and behave exactly like "regions" while paying
+            # the extra HDF5 reads — the pad requirement must be a hard
+            # error, not a config-comment footnote
+            need = (self.image_features.shape[1]
+                    + self.ana_pooled_feats.shape[1])
+            assert cfg.img_feat_pad_size >= need, (
+                f'mimic_feat_source="both" emits {need} rows per image '
+                f"but img_feat_pad_size={cfg.img_feat_pad_size} would "
+                f"truncate the anatomy rows away — raise it to >= {need}")
 
         with open(cfg.mimic_ans_dict_path["ans2idx"], "rb") as f:
             self.ans_to_ix = pickle.load(f)
@@ -95,10 +112,28 @@ class MIMICDataset:
             self.qa = pickle.load(f)
         self.data_size = len(self.qa)
 
-        self.token_to_ix, self.pretrained_emb = text_mod.build_vocab(
-            [q["question"] for q in self.qa],
-            glove_lookup=text_mod.spacy_glove_lookup() if cfg.use_glove else None,
-            embed_dim=cfg.word_embed_size)
+        # Vocabulary comes from the TRAIN split for EVERY split
+        # (deliberate deviation, like the leakage fix above: the
+        # reference tokenizes each split's own QA — load_data.py:216 —
+        # so its val/test runs encode questions with a DIFFERENT
+        # token->ix mapping than the train vocab the model's embedding
+        # rows were built on, a scrambling the reference masks only via
+        # the test-into-train concat it also does). One shared train
+        # vocab keeps ix->embedding consistent across train/eval and
+        # checkpoint reload.
+        if vocab is not None:
+            self.token_to_ix, self.pretrained_emb = vocab
+        else:
+            if split_key == "train":
+                vocab_qa = self.qa
+            else:
+                with open(cfg.mimic_qa_path["train"], "rb") as f:
+                    vocab_qa = pickle.load(f)
+            self.token_to_ix, self.pretrained_emb = text_mod.build_vocab(
+                [q["question"] for q in vocab_qa],
+                glove_lookup=(text_mod.spacy_glove_lookup()
+                              if cfg.use_glove else None),
+                embed_dim=cfg.word_embed_size)
         self.token_size = len(self.token_to_ix)
 
     def anatomy_features(self, image_id: int) -> np.ndarray:

@@ -102,23 +102,58 @@ def encode_questions(
 # Vocab cache: TPU jobs load this instead of running spaCy at startup.
 # ---------------------------------------------------------------------------
 
-def save_vocab(path: str, token_to_ix: Dict[str, int], emb: np.ndarray) -> None:
+def vocab_cache_file(path: str) -> str:
+    """Canonical on-disk name for a vocab cache path. np.savez appends
+    '.npz' to suffix-less paths, so save and the caller's exists-check
+    must normalize the same way — otherwise a '--vocab_cache_path
+    ./cache/vocab' silently rebuilds (and re-runs spaCy) every run."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def save_vocab(path: str, token_to_ix: Dict[str, int], emb: np.ndarray,
+               meta: Optional[dict] = None) -> None:
+    """meta: optional JSON-able provenance dict (e.g. which question
+    files and embedding source built this vocab) — the cache-staleness
+    check reads it back via load_vocab_meta."""
+    import json
     tokens = sorted(token_to_ix, key=token_to_ix.get)
-    np.savez_compressed(path, tokens=np.array(tokens, dtype=object), emb=emb)
+    np.savez_compressed(vocab_cache_file(path),
+                        tokens=np.array(tokens, dtype=object), emb=emb,
+                        meta=json.dumps(meta) if meta is not None else "")
 
 
 def load_vocab(path: str) -> Tuple[Dict[str, int], np.ndarray]:
-    z = np.load(path, allow_pickle=True)
+    z = np.load(vocab_cache_file(path), allow_pickle=True)
     tokens = list(z["tokens"])
     return {t: i for i, t in enumerate(tokens)}, z["emb"].astype(np.float32)
 
 
+def load_vocab_meta(path: str) -> Optional[dict]:
+    """Provenance dict stored by save_vocab (None for caches written
+    before meta existed, or saved without one)."""
+    import json
+    z = np.load(vocab_cache_file(path), allow_pickle=True)
+    if "meta" not in z.files:
+        return None
+    raw = str(z["meta"])
+    return json.loads(raw) if raw else None
+
+
 def spacy_glove_lookup():
-    """Return a GloVe lookup backed by spaCy en_core_web_lg, or None if absent."""
+    """Return a GloVe lookup backed by spaCy en_core_web_lg, or None if
+    absent — with a WARNING: callers substitute deterministic random
+    embeddings on None, and a silent fallback would let a use_glove=True
+    training run complete with materially worse question embeddings and
+    nothing in the logs to distinguish it from a real GloVe run."""
     try:
         import spacy  # noqa: deferred heavy import
 
         nlp = spacy.load("en_core_web_lg")
         return lambda word: nlp(word).vector
-    except Exception:
+    except Exception as e:
+        import warnings
+        warnings.warn(
+            f"spaCy GloVe lookup unavailable ({e!r}): use_glove falls "
+            f"back to deterministic random embeddings — install spaCy + "
+            f"en_core_web_lg for reference-parity embeddings")
         return None

@@ -83,33 +83,55 @@ class VQADataset:
 
     def _build_or_load_vocab(self) -> Tuple[Dict[str, int], np.ndarray]:
         cache = self.cfg.vocab_cache_path
-        if cache and os.path.exists(cache):
+        # fingerprint of what a cached vocab was built from: which
+        # question files existed, and whether real GloVe vectors backed
+        # the embeddings — width alone cannot tell a stale cache (built
+        # before val/test/vg JSONs arrived, or on a host without spaCy)
+        # from a fresh one, and a silently reused stale vocab scrambles
+        # token indices vs reference-built checkpoints
+        sources = [key for key in ("train", "val", "test", "vg")
+                   if self.cfg.question_path.get(key)
+                   and os.path.exists(self.cfg.question_path[key])]
+        want_glove = bool(self.cfg.use_glove)
+        if cache and os.path.exists(text_mod.vocab_cache_file(cache)):
             tok, emb = text_mod.load_vocab(cache)
-            if emb.shape[1] == self.cfg.word_embed_size:
+            meta = text_mod.load_vocab_meta(cache)
+            fresh = emb.shape[1] == self.cfg.word_embed_size
+            if fresh and meta is not None:
+                fresh = meta.get("sources") == sources
+                if fresh and want_glove and not meta.get("glove", False):
+                    # cache carries fallback embeddings; rebuild only if
+                    # spaCy is importable NOW (otherwise the rebuild
+                    # would produce the same fallback every run)
+                    import importlib.util
+                    fresh = importlib.util.find_spec("spacy") is None
+            if fresh:
                 return tok, emb
-            # stale cache from a different word_embed_size: rebuild below
+            # stale cache (width/sources/embedding provenance): rebuild
         stat_qs = []
-        for key in ("train", "val", "test", "vg"):
-            p = self.cfg.question_path.get(key)
-            if p and os.path.exists(p):
-                stat_qs += [q["question"]
-                            for q in self._load_json(p)["questions"]]
+        for key in sources:
+            stat_qs += [q["question"] for q in self._load_json(
+                self.cfg.question_path[key])["questions"]]
         if not stat_qs:
             stat_qs = [q["question"] for q in self.ques_list]
-        lookup = text_mod.spacy_glove_lookup() if self.cfg.use_glove else None
+        lookup = text_mod.spacy_glove_lookup() if want_glove else None
         tok, emb = text_mod.build_vocab(stat_qs, glove_lookup=lookup,
                                         embed_dim=self.cfg.word_embed_size)
         if cache:
-            os.makedirs(os.path.dirname(cache), exist_ok=True)
-            text_mod.save_vocab(cache, tok, emb)
+            os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
+            text_mod.save_vocab(cache, tok, emb,
+                                meta={"sources": sources,
+                                      "glove": lookup is not None})
         return tok, emb
 
     # ------------------------------------------------------------------
     def image_feature(self, image_id) -> np.ndarray:
         iid = str(image_id)
-        if self._preloaded:
-            feat = self._preloaded[iid]
-        else:
+        # preload holds only npz-sourced images; a mixed setup (one split
+        # packed, another preloaded from npz) must fall through to the
+        # packed caches rather than KeyError on a packed-only id
+        feat = self._preloaded.get(iid)
+        if feat is None:
             for cache in self._packed.values():
                 if iid in cache:
                     return cache.get_padded(iid, self.cfg.img_feat_pad_size)
@@ -201,7 +223,13 @@ class VQADataset:
         if img is None:
             img = np.stack([self.image_feature(r[0]).astype(np.float32)
                             for r in records])
-            if feat_dtype is not None and str(feat_dtype) == "bfloat16":
+            # same dtype normalization as gather_pad_batch: a dtype
+            # OBJECT (ml_dtypes.bfloat16) must downcast here too, or a
+            # cache miss flips the batch dtype and forces a fresh jit
+            bf16 = feat_dtype is not None and str(
+                np.dtype(feat_dtype) if not isinstance(feat_dtype, str)
+                else feat_dtype) in ("bfloat16",)
+            if bf16:
                 import ml_dtypes
                 img = img.astype(ml_dtypes.bfloat16)
 

@@ -144,6 +144,24 @@ class TestMIMICRealFormat:
         with pytest.raises(FileNotFoundError):
             MIMICDataset(bad, "val")
 
+    def test_splits_share_train_vocab(self, mimic_env):
+        """Every split encodes questions with the TRAIN-derived vocab:
+        per-split vocabs (the reference's behavior, load_data.py:216)
+        give token ix 5 a different meaning in val than in the train
+        vocab the embedding rows were built on — scrambled eval inputs.
+        An explicitly passed vocab wins (the CLI shares one build)."""
+        from mcan_vqa_tpu.data.mimic import MIMICDataset
+        _, cfg, _ = mimic_env
+        train_ds = MIMICDataset(cfg, "train")
+        val_ds = MIMICDataset(cfg, "val")
+        assert val_ds.token_to_ix == train_ds.token_to_ix
+        np.testing.assert_array_equal(val_ds.pretrained_emb,
+                                      train_ds.pretrained_emb)
+        shared = MIMICDataset(cfg, "test",
+                              vocab=(train_ds.token_to_ix,
+                                     train_ds.pretrained_emb))
+        assert shared.token_to_ix is train_ds.token_to_ix
+
     def test_train_and_roc(self, mimic_env):
         from mcan_vqa_tpu.data.mimic import MIMICDataset
         from mcan_vqa_tpu.train.trainer import Trainer
