@@ -10,6 +10,7 @@ import argparse
 import os
 import sys
 
+from mcan_vqa_tpu.cli import cli_bool
 from mcan_vqa_tpu.configs import Config
 
 _YAML_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -27,12 +28,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--layer", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--version", type=str)
-    p.add_argument("--resume", type=lambda s: s == "True")
+    p.add_argument("--resume", type=cli_bool)
     p.add_argument("--ckpt_version", type=str)
     p.add_argument("--ckpt_epoch", type=int)
     p.add_argument("--ckpt_path", type=str)
     p.add_argument("--reg_factor", type=float)
-    p.add_argument("--ckpt_async", type=lambda s: s == "True")
+    p.add_argument("--ckpt_async", type=cli_bool)
     p.add_argument("--eval_interval", type=int)
     p.add_argument("--img_feat_size", type=int)
     p.add_argument("--synthetic", action="store_true")
@@ -43,7 +44,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--compute_dtype", type=str)
     p.add_argument("--train_engine", choices=["auto", "fused", "plain"])
     p.add_argument("--eval_engine", choices=["auto", "fused", "plain"])
-    p.add_argument("--verbose", type=lambda s: s == "True")
+    p.add_argument("--verbose", type=cli_bool)
     p.add_argument("--ckpts_dir", type=str)
     p.add_argument("--log_path", type=str)
     p.add_argument("--result_path", type=str)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from mcan_vqa_tpu.cli import cli_bool
 from mcan_vqa_tpu.configs import Config
 
 _YAML_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -31,25 +32,25 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--model", default="small", choices=["small", "large"])
     p.add_argument("--split", dest="train_split",
                    choices=["train", "train+val", "train+val+vg"])
-    p.add_argument("--eval_ee", dest="eval_every_epoch", type=lambda s: s == "True")
-    p.add_argument("--save_pred", dest="test_save_pred", type=lambda s: s == "True")
+    p.add_argument("--eval_ee", dest="eval_every_epoch", type=cli_bool)
+    p.add_argument("--save_pred", dest="test_save_pred", type=cli_bool)
     p.add_argument("--batch_size", type=int)
     p.add_argument("--max_epoch", type=int)
-    p.add_argument("--preload", type=lambda s: s == "True")
+    p.add_argument("--preload", type=cli_bool)
     p.add_argument("--gpu", help="accepted for CLI compatibility; ignored "
                                  "(device selection is via mesh_shape)")
     p.add_argument("--seed", type=int)
     p.add_argument("--version", type=str)
-    p.add_argument("--resume", type=lambda s: s == "True")
+    p.add_argument("--resume", type=cli_bool)
     p.add_argument("--ckpt_version", dest="ckpt_version", type=str)
     p.add_argument("--ckpt_epoch", dest="ckpt_epoch", type=int)
     p.add_argument("--ckpt_path", dest="ckpt_path", type=str)
     p.add_argument("--grad_accu", dest="grad_accu_steps", type=int)
-    p.add_argument("--ckpt_async", type=lambda s: s == "True",
+    p.add_argument("--ckpt_async", type=cli_bool,
                    help="write per-epoch checkpoints on a background "
                         "thread (the chip trains through the fetch+write)")
     p.add_argument("--num_workers", type=int)
-    p.add_argument("--verbose", type=lambda s: s == "True")
+    p.add_argument("--verbose", type=cli_bool)
     p.add_argument("--synthetic", action="store_true",
                    help="run on generated data (no dataset files needed)")
     p.add_argument("--synthetic_size", type=int, default=512)
@@ -126,9 +127,13 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         from mcan_vqa_tpu.data.vqa_dataset import VQADataset
+        # build only the splits this run mode touches: the val dataset
+        # costs minutes of startup (the ~2 GB annotations JSON + vocab
+        # pass), which --run=test never uses
         datasets = {"train": VQADataset(cfg, "train")
-                    if cfg.run_mode == "train" else None,
-                    "val": VQADataset(cfg, "val")}
+                    if cfg.run_mode == "train" else None}
+        if cfg.run_mode in ("train", "val", "parity", "visualize"):
+            datasets["val"] = VQADataset(cfg, "val")
         if cfg.run_mode in ("test", "parity"):
             datasets["test"] = VQADataset(cfg, "test")
 

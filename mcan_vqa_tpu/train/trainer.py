@@ -195,6 +195,16 @@ class Trainer:
             if os.path.isdir(d):
                 self.logger.write(f"fresh run: clearing {d}")
                 shutil.rmtree(d, ignore_errors=True)
+            # logs too (the reference's empty_log): without this the new
+            # run's epoch records append after the old run's in the
+            # JSONL mirror — duplicate epoch keys. Re-seed the header
+            # the constructor wrote (timestamp + config dump).
+            self.logger.clear()
+            import json as _json
+            import time as _time
+            self.logger.write(
+                f"NOW TIME: {_time.strftime('%Y-%m-%d %H:%M:%S')}")
+            self.logger.write(_json.dumps(cfg.to_dict(), default=str))
         state = self.ensure_state()
 
         stop_requested = {"flag": False}

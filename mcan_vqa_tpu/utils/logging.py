@@ -23,13 +23,23 @@ class RunLogger:
         self.path = os.path.join(log_dir, f"log_run_{version}.txt")
         self.echo = echo
         if fresh:
-            for p in (self.path, self.path.replace(".txt", ".jsonl")):
-                if os.path.exists(p):
-                    os.remove(p)
+            self.clear()
         with open(self.path, "a") as f:
             f.write(f"NOW TIME: {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
             if cfg_dict is not None:
                 f.write(json.dumps(cfg_dict, default=str) + "\n")
+
+    def clear(self) -> None:
+        """Remove this version's log + JSONL mirror (the reference's
+        empty_log, core/exec.py). The Trainer calls this on a FRESH
+        (non-resume) training run alongside clearing the checkpoint dir
+        — otherwise the new run's epoch records append after the old
+        run's and duplicate epoch keys break JSONL consumers. Kept
+        separate from __init__'s ``fresh`` because an eval-only Trainer
+        constructs a logger too and must never wipe the train log."""
+        for p in (self.path, self.path.replace(".txt", ".jsonl")):
+            if os.path.exists(p):
+                os.remove(p)
 
     def write(self, line: str) -> None:
         with open(self.path, "a") as f:
@@ -48,11 +58,12 @@ class RunLogger:
         parts = ", ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
                           for k, v in metrics.items())
         self.write(f"epoch {epoch}: {parts}")
-        # machine-readable mirror (one JSON object per epoch)
-        with open(self.path.replace(".txt", ".jsonl"), "a") as f:
-            f.write(json.dumps({"epoch": epoch, **{
-                k: (float(v) if isinstance(v, (int, float)) else v)
-                for k, v in metrics.items()}}, default=str) + "\n")
+        # machine-readable mirror (one JSON object per epoch); numeric
+        # values coerce to float so numpy scalars serialize as numbers,
+        # not default=str strings
+        self.jsonl({"epoch": epoch, **{
+            k: (float(v) if isinstance(v, (int, float)) else v)
+            for k, v in metrics.items()}})
 
 
 class StepMeter:

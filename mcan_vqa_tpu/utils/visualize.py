@@ -156,7 +156,14 @@ def box_mask_overlay(ax, image: Optional[np.ndarray], bboxes: np.ndarray,
     box ids (reference: core/exec.py:1088-1106)."""
     im, boxes = _canvas_and_boxes(image, bboxes)
     vals = np.asarray(va_values, np.float32).reshape(-1)
-    lo, rng = float(vals.min()), float(vals.max() - vals.min()) or 1.0
+    lo, rng = float(vals.min()), float(vals.max() - vals.min())
+    if rng == 0.0:
+        # degenerate: all top-k weights equal (single valid region,
+        # uniform attention). (v-lo)/1.0 would give every box weight 0
+        # and render an all-black overlay — show the boxes at full
+        # brightness instead (the reference divides by zero and NaNs
+        # here, so there is no quirk to preserve)
+        lo, rng = lo - 1.0, 1.0
     all_masks = np.zeros(im.shape, np.float32)
     rng_colors = np.random.default_rng(0)
     for i, region in enumerate(np.asarray(va_indices).reshape(-1)):
@@ -178,7 +185,11 @@ def _alpha_text(fig, words, weights, x=0.01, y=0.96, fontsize=11) -> None:
     """Question words drawn with alpha = normalized attention
     (reference: core/exec.py:1149-1157)."""
     w = np.asarray(weights, np.float32).reshape(-1)
-    w = w / (w.max() + 1e-9)
+    # normalize by |max| (as the q-a heatmap does): mats="v1" passes RAW
+    # q.a dot products which can be all-negative — dividing by a
+    # negative max would invert the emphasis (least-attended word at
+    # full opacity); negatives then clip to the 0.05 floor below
+    w = w / (np.abs(w).max() + 1e-9)
     for i, word in enumerate(words[:14]):
         alpha = float(np.clip(w[i] if i < len(w) else 0.0, 0.05, 1.0))
         fig.text(x, y, word, alpha=alpha, fontsize=fontsize)
@@ -364,11 +375,22 @@ def run_visualization(trainer, dataset, out_dir: str, limit: int = 8,
 
     state = trainer.ensure_state()
     n = min(limit, len(dataset))
-    batch = {k: np.stack([dataset.example(i)[k] for i in range(n)])
-             for k in ("img", "ques")}
-    out = trainer.model.apply({"params": jax.device_get(state.params)},
-                              batch["img"], batch["ques"],
-                              deterministic=True)
+    if hasattr(dataset, "batch_examples"):
+        # whole-batch assembly (native gather+pad over a packed cache)
+        # instead of a hand-rolled per-example loop
+        b = dataset.batch_examples(np.arange(n))
+        batch = {"img": np.asarray(b["img"], np.float32),
+                 "ques": np.asarray(b["ques"])}
+    else:
+        batch = {k: np.stack([dataset.example(i)[k] for i in range(n)])
+                 for k in ("img", "ques")}
+    # params stay ON DEVICE: device_get of the full tree (~224 MB at
+    # MCAN-small fp32) rides the slow relay on this rig and apply would
+    # re-upload it — the documented transfer trap. One jitted forward;
+    # only the outputs are fetched.
+    fwd = jax.jit(lambda p, i, q: trainer.model.apply(
+        {"params": p}, i, q, deterministic=True))
+    out = fwd(state.params, batch["img"], batch["ques"])
     out = {k: np.asarray(v) for k, v in out.items()}
     probs = 1 / (1 + np.exp(-out["logits"]))
     for i in range(n):
