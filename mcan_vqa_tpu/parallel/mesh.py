@@ -38,11 +38,20 @@ def make_mesh(shape: Optional[Dict[str, int]] = None,
     n = len(devices)
     if shape is None:
         shape = {DATA_AXIS: n, MODEL_AXIS: 1}
+    unknown = set(shape) - {DATA_AXIS, MODEL_AXIS}
+    assert not unknown, (
+        f"unknown mesh axes {sorted(unknown)}: valid axes are "
+        f'"{DATA_AXIS}" and "{MODEL_AXIS}" (a typo here would silently '
+        f"build a 1x1 single-device mesh)")
     dp = int(shape.get(DATA_AXIS, 1))
     tp = int(shape.get(MODEL_AXIS, 1))
+    assert tp >= 1, (
+        f"model axis must be a positive size, got {tp} (-1 inference is "
+        f"supported for the data axis only)")
     if dp == -1:
         assert n % tp == 0, (n, tp)
         dp = n // tp
+    assert dp >= 1, f"data axis must be positive or -1, got {dp}"
     assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"
     # A smaller mesh than the host offers is allowed (single-chip runs,
     # tests); the first dp*tp devices are used.

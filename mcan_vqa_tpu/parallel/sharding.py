@@ -25,7 +25,8 @@ from typing import Any, Dict, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mcan_vqa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from mcan_vqa_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
+                                        batch_sharding, replicated)
 
 
 def param_pspec(path: Tuple[str, ...]) -> P:
@@ -34,11 +35,21 @@ def param_pspec(path: Tuple[str, ...]) -> P:
     leaf = names[-1]
     joined = "/".join(names)
 
+    # fused-projection kernels (linear_qkv [D,3D] / linear_kv [D,2D])
+    # are REPLICATED, not column-sharded: P(None, "model") would split
+    # the concatenated q|k|v blocks across shard boundaries (tp=2 puts
+    # all of q plus half of k on shard 0), so the jnp.split in MHAtt
+    # forces a cross-shard reshuffle every layer — SPMD keeps it
+    # correct but the layout defeats the zero-communication Megatron
+    # pattern this module promises. The fused layout is a single-chip
+    # fast path; TP deployments use the standard per-projection layout
+    # (checkpoint.unfuse_qkv_params converts).
     col_parallel = (
         "linear_q" in names or "linear_k" in names or "linear_v" in names
-        or "linear_qkv" in names or "linear_kv" in names
         or ("ffn" in names and "FCLayer_0" in names)
     )
+    if "linear_qkv" in names or "linear_kv" in names:
+        return P()
     row_parallel = (
         "linear_merge" in names and ("mhatt" in joined)
         or ("ffn" in names and "FCLayer_0" not in names and "Dense_0" in names)
@@ -87,7 +98,7 @@ def shard_state(mesh: Mesh, state):
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Batch-shard host arrays over the data axis."""
-    sh = NamedSharding(mesh, P(DATA_AXIS))
+    sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
@@ -95,12 +106,10 @@ def jit_train_step(train_step, mesh: Mesh, state, donate: bool = True):
     """jit the train step with explicit state/batch shardings; XLA inserts
     the gradient all-reduce (data axis) and TP collectives (model axis)."""
     state_sh = make_state_shardings(mesh, state)
-    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
-    rep = NamedSharding(mesh, P())
     return jax.jit(
         train_step,
-        in_shardings=(state_sh, batch_sh),
-        out_shardings=(state_sh, rep),
+        in_shardings=(state_sh, batch_sharding(mesh)),
+        out_shardings=(state_sh, replicated(mesh)),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -126,7 +135,7 @@ def shardmap_train_step(train_step, mesh: Mesh, donate: bool = True):
 
 def jit_eval_step(eval_step, mesh: Mesh, state, image_only: bool = False):
     param_sh = make_param_shardings(mesh, state.params)
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    data_sh = batch_sharding(mesh)
     n_inputs = 1 if image_only else 2
     return jax.jit(
         eval_step,

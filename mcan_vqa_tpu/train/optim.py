@@ -41,6 +41,11 @@ def make_lr_schedule(
     (optim.py:21-24), so optax count c corresponds to reference step c+1.
     """
     spe = steps_per_epoch(data_size, batch_size)
+    # data_size < batch_size (tiny smoke/debug sets with a pad_final
+    # loader) would make spe 0 and the epoch floor-divide below divide
+    # by zero INSIDE jit — undefined on XLA, so the lr would silently be
+    # garbage rather than raise. Clamp: such a run has one step/epoch.
+    spe = max(spe, 1)
     # Warmup thresholds are int(data_size/batch_size * k) — NOT k*spe; the
     # two differ when data_size % batch_size != 0 (optim.py:40-44).
     t1, t2, t3 = (int(data_size / batch_size * k) for k in (1, 2, 3))

@@ -67,6 +67,7 @@ def make_train_step(
     forward_fn: Optional[Callable] = None,
     data_axis: Optional[str] = None,
     per_param_norms: bool = False,
+    grad_norm_clip: float = 0.0,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the pure train step: (state, batch) -> (state, metrics).
 
@@ -82,6 +83,9 @@ def make_train_step(
     axis (the fused-engine dp>1 path): the step then sees only its local
     batch shard, folds the axis index into the dropout rng, and psums
     loss+grads before the (replicated) optimizer update.
+    grad_norm_clip: the clip threshold the OPTIMIZER chain applies (the
+    clipping itself lives in tx); passed here only so the per-param
+    grad-norm bookkeeping can report post-clip norms like the reference.
     """
     penalty = {"l1l2": l1_l2_penalty, "smooth_l1": smooth_l1_penalty}[reg_mode]
 
@@ -148,14 +152,26 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
+        gnorm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gnorm,
         }
         if per_param_norms:
-            # per-leaf L2 norms (reference bookkeeping, core/exec.py:199-202)
+            # per-leaf L2 norms, matched to the reference's bookkeeping
+            # (core/exec.py:199-202): the reference records norms AFTER
+            # clip_grad_norm_ rescaled the grads in place and multiplies
+            # each by grad_accu_steps — apply the same clip scale (from
+            # the already-computed global norm) and accu factor so the
+            # logged numbers agree with a reference run
+            clip_scale = jnp.float32(1.0)
+            if grad_norm_clip > 0:
+                clip_scale = jnp.minimum(
+                    1.0, grad_norm_clip / jnp.maximum(gnorm, 1e-12))
+            norm_scale = clip_scale * grad_accu_steps
             metrics["param_grad_norms"] = jax.tree.map(
-                lambda g: jnp.linalg.norm(g.astype(jnp.float32)), grads)
+                lambda g: jnp.linalg.norm(g.astype(jnp.float32))
+                * norm_scale, grads)
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
 

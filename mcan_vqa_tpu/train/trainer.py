@@ -309,7 +309,8 @@ class Trainer:
                 reg_mode="smooth_l1" if self.image_only else "l1l2",
                 forward_fn=forward_fn,
                 data_axis="data" if fused_dp else None,
-                per_param_norms=cfg.grad_norm_log_every > 0)
+                per_param_norms=cfg.grad_norm_log_every > 0,
+                grad_norm_clip=cfg.grad_norm_clip)
             if fused_dp:
                 # XLA's SPMD partitioner cannot split a pallas_call, so
                 # the fused step runs per data shard under shard_map

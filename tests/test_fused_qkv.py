@@ -104,11 +104,18 @@ class TestFusedQKVModel:
         mesh = make_mesh({"data": 1, "model": 4})
         sh = shd.make_param_shardings(mesh, p)
         enc = sh["backbone"]["enc_0"]["mhatt"]
-        assert enc["linear_qkv"]["kernel"].spec == P(None, "model")
-        assert enc["linear_qkv"]["bias"].spec == P("model")
+        # fused [D,3D]/[D,2D] kernels REPLICATE under TP: column-sharding
+        # them would split the concatenated q|k|v blocks across shard
+        # boundaries (tp=2 puts all of q plus half of k on shard 0) and
+        # MHAtt's jnp.split would force a cross-shard reshuffle every
+        # layer. TP deployments use the standard per-projection layout.
+        assert enc["linear_qkv"]["kernel"].spec == P()
+        assert enc["linear_qkv"]["bias"].spec == P()
         dec2 = sh["backbone"]["dec_0"]["mhatt2"]
-        assert dec2["linear_kv"]["kernel"].spec == P(None, "model")
+        assert dec2["linear_kv"]["kernel"].spec == P()
+        # the separate merge/q projections keep the Megatron pattern
         assert dec2["linear_merge"]["kernel"].spec == P("model", None)
+        assert dec2["linear_q"]["kernel"].spec == P(None, "model")
 
     def test_fused_engines_excluded(self):
         """fused_qkv builds a linear_qkv param tree the fused Pallas
