@@ -28,17 +28,22 @@ def main(argv=None) -> int:
     p.add_argument("--feat_dim", type=int, default=2048)
     args = p.parse_args(argv)
 
+    missing = 0
     for split in args.split:
         src = os.path.join(args.feature_path, _SPLIT_DIRS[split])
         dst = os.path.join(args.cache_path, split)
         if not os.path.isdir(src):
+            # the split was explicitly requested: a typo'd --feature_path
+            # must fail the command, not "skip" with exit 0 and let a
+            # chained setup script proceed to a much later failure
             print(f"skip {split}: {src} not found")
+            missing += 1
             continue
         print(f"packing {split}: {src} -> {dst}")
         cache = PackedFeatureCache.build(src, dst, feat_dim=args.feat_dim)
-        print(f"  {len(cache.index)} images, "
-              f"{cache._mm.shape[0]} rows, fp16")
-    return 0
+        rows = sum(n for _, n in cache.index.values())
+        print(f"  {len(cache.index)} images, {rows} rows, fp16")
+    return 1 if missing else 0
 
 
 if __name__ == "__main__":

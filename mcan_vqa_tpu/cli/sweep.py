@@ -35,20 +35,39 @@ def main(argv=None) -> int:
         from mcan_vqa_tpu.cli.run_mimic import main as task_main
 
     base = args.base_args
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     summary: List[Dict[str, Any]] = []
+
+    def flush():
+        # incremental: one crashed grid point must not discard the
+        # completed points' records (hours of training each)
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+    failed = 0
     for layer, lr in itertools.product(args.layers, args.lrs):
         version = f"sweep_l{layer}_lr{lr:g}"
         argv_run = base + [f"--layer={layer}", f"--lr_base={lr}",
                            f"--version={version}"]
         print(f"=== sweep point layer={layer} lr={lr:g} ===", flush=True)
-        rc = task_main(argv_run)
-        summary.append({"layer": layer, "lr_base": lr, "version": version,
-                        "returncode": rc})
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(summary, f, indent=1)
-    print(f"sweep summary -> {args.out}")
-    return 0
+        rec = {"layer": layer, "lr_base": lr, "version": version}
+        try:
+            rec["returncode"] = task_main(argv_run)
+        except SystemExit as e:  # argparse rejects a forwarded flag
+            rec["returncode"] = int(e.code or 0)
+            rec["error"] = "SystemExit (bad forwarded flag?)"
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            rec["returncode"] = 1
+            rec["error"] = f"{type(e).__name__}: {e}"
+            print(f"sweep point {version} FAILED: {rec['error']}",
+                  flush=True)
+        if rec.get("error") or rec["returncode"]:
+            failed += 1
+        summary.append(rec)
+        flush()
+    print(f"sweep summary -> {args.out} "
+          f"({len(summary) - failed}/{len(summary)} points ok)")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

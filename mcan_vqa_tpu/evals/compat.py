@@ -15,6 +15,10 @@ from typing import Any, Dict, List, Optional
 from mcan_vqa_tpu.evals import vqa_eval
 
 
+def _listify(x) -> List[Any]:
+    return x if isinstance(x, list) else [x] if x is not None else []
+
+
 class VQA:
     """Annotation database: index annotations + questions by question_id."""
 
@@ -38,9 +42,8 @@ class VQA:
                     for q in self.questions.get("questions", [])}
 
     def getQuesIds(self, imgIds=None, quesTypes=None, ansTypes=None) -> List[int]:
-        def listify(x):
-            return x if isinstance(x, list) else [x] if x is not None else []
-        imgIds, quesTypes, ansTypes = map(listify, (imgIds, quesTypes, ansTypes))
+        imgIds, quesTypes, ansTypes = map(_listify,
+                                          (imgIds, quesTypes, ansTypes))
         anns = self.dataset.get("annotations", [])
         if imgIds:
             anns = [a for a in anns if a["image_id"] in imgIds]
@@ -51,9 +54,7 @@ class VQA:
         return [a["question_id"] for a in anns]
 
     def getImgIds(self, quesIds=None, quesTypes=None, ansTypes=None) -> List[int]:
-        def listify(x):
-            return x if isinstance(x, list) else [x] if x is not None else []
-        quesIds, quesTypes, ansTypes = map(listify,
+        quesIds, quesTypes, ansTypes = map(_listify,
                                            (quesIds, quesTypes, ansTypes))
         anns = self.dataset.get("annotations", [])
         if quesIds:
@@ -76,6 +77,16 @@ class VQA:
             res.questions = json.load(f)
         with open(resFile) as f:
             results = json.load(f)
+        # the official loadRes asserts result qids == GT qids ("Results
+        # do not correspond to current VQA set", utils/vqa.py) — without
+        # it a wrong-split results file evaluates partially and dies
+        # later with a bare KeyError deep in evaluate()
+        res_ids = {r["question_id"] for r in results}
+        gt_ids = set(self.qa)
+        assert res_ids == gt_ids, (
+            f"Results do not correspond to current VQA set: "
+            f"{len(gt_ids - res_ids)} GT question(s) missing from the "
+            f"results, {len(res_ids - gt_ids)} result id(s) unknown")
         anns = []
         for r in results:
             qid = r["question_id"]

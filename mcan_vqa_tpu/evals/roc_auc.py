@@ -26,17 +26,21 @@ def binary_roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
     n_neg = y_true.size - n_pos
     if n_pos == 0 or n_neg == 0:
         return float("nan")
+    if np.isnan(y_score).any():
+        # argsort ranks NaN highest — a diverged model would report a
+        # plausible (even perfect) AUC. sklearn raises here; the eval
+        # loop's contract is a skippable value, so return nan loudly.
+        return float("nan")
+    # vectorized midranks (rankdata "average" formulation): the previous
+    # per-element Python loop made a 50k x few-hundred-class micro AUC
+    # tens of millions of interpreter iterations per eval epoch
     order = np.argsort(y_score, kind="mergesort")
     ranks = np.empty(y_score.size, np.float64)
-    sorted_scores = y_score[order]
-    # midranks for ties
-    i = 0
-    while i < y_score.size:
-        j = i
-        while j + 1 < y_score.size and sorted_scores[j + 1] == sorted_scores[i]:
-            j += 1
-        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
-        i = j + 1
+    _, inv, counts = np.unique(y_score[order], return_inverse=True,
+                               return_counts=True)
+    cum = np.cumsum(counts)
+    mid = cum - (counts - 1) / 2.0   # average of ranks (cum-count+1)..cum
+    ranks[order] = mid[inv]
     rank_sum_pos = ranks[y_true].sum()
     u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
     return float(u / (n_pos * n_neg))
