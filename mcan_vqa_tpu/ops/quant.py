@@ -98,12 +98,7 @@ def quantize_params(params: Dict[str, Any], num_layers: int,
     (``_mk`` entries — prepare_quant_sa_params / prepare_quant_sga_params)
     for the fused int8 engine.
     """
-    def fuse(block, names):
-        return {
-            "kernel": jnp.concatenate(
-                [block[n]["kernel"] for n in names], axis=1),
-            "bias": jnp.concatenate([block[n]["bias"] for n in names]),
-        }
+    from mcan_vqa_tpu.ops.serving import fuse_projections as fuse
 
     def qd(dense_p):
         return {**_quant_w(dense_p["kernel"]),

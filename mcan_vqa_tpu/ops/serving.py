@@ -105,6 +105,31 @@ def _lstm(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(hs, 0, 1)
 
 
+def fuse_projections(block: Dict[str, Any], names) -> Dict[str, Any]:
+    """Concat per-projection Dense params into one fused kernel/bias
+    (W_q|W_k|W_v -> [D, 3D], W_k|W_v -> [D, 2D]). jnp (not np): params
+    may live on device; keep the concat there. The ONE fusion layout —
+    serving, classifier, and int8 param prep all call here."""
+    return {
+        "kernel": jnp.concatenate(
+            [block[n]["kernel"] for n in names], axis=1),
+        "bias": jnp.concatenate([block[n]["bias"] for n in names]),
+    }
+
+
+def decode_qffn_level(qffn, D: int):
+    """qffn level -> (qkv_int8, proj_int8, w4) quantization set — shared
+    by the main and classifier param preps so the two engines can never
+    decode a level differently. Levels (docs/PERFORMANCE.md): 1/True =
+    int8 FFN (+ qkv at D>=1024), 2 = +qkv everywhere, 3 = +merge/cross-q
+    projections (static scales only), 4/5 = int4 FFN / FFN+qkv weight
+    streaming, 6/7 = the same int4 weights with bf16-dequant compute."""
+    qkv8 = int(qffn) >= 2 or D >= 1024
+    proj8 = int(qffn) >= 3
+    w4 = {4: 1, 5: 2, 6: 1, 7: 2}.get(int(qffn), 0)
+    return qkv8, proj8, w4
+
+
 def megakernel_vmem_ok(D: int, F: int) -> bool:
     """True when one decoder block's weights fit the megakernel's VMEM
     budget in bf16. The kernels raise the scoped-VMEM cap above the 16 MB
@@ -151,14 +176,7 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
     which is what bounds B=1 latency; static calibrated scales are
     REQUIRED (the kernels have no dynamic-quant int4 path).
     """
-    def fuse(block: Dict[str, Any], names) -> Dict[str, Any]:
-        # jnp (not np): params may live on device; keep the concat there
-        return {
-            "kernel": jnp.concatenate(
-                [block[n]["kernel"] for n in names], axis=1),
-            "bias": jnp.concatenate([block[n]["bias"] for n in names]),
-        }
-
+    fuse = fuse_projections
     out = jax.tree.map(lambda x: x, params)  # shallow-ish copy
     bb = out["backbone"]
     for i in range(num_layers):
@@ -202,9 +220,7 @@ def prepare_params(params: Dict[str, Any], num_layers: int,
                 bb["_mk_enc"] = prepare_sa_encoder_params(bb, num_layers)
             if qffn:
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
-                qkv8 = int(qffn) >= 2 or D >= 1024
-                proj8 = int(qffn) >= 3
-                w4 = {4: 1, 5: 2, 6: 1, 7: 2}.get(int(qffn), 0)
+                qkv8, proj8, w4 = decode_qffn_level(qffn, D)
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
                         bb[f"enc_{i}"], qkv_int8=qkv8, proj_int8=proj8,
@@ -272,13 +288,7 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
     (``_mk``). ClassifierNet tree: img_feat_linear / backbone.enc_i /
     attflat_img / proj_norm / proj (models/net.py ClassifierNet;
     reference core/model/net.py:140-196)."""
-    def fuse(block, names):
-        return {
-            "kernel": jnp.concatenate(
-                [block[n]["kernel"] for n in names], axis=1),
-            "bias": jnp.concatenate([block[n]["bias"] for n in names]),
-        }
-
+    fuse = fuse_projections
     out = jax.tree.map(lambda x: x, params)
     bb = out["backbone"]
     for i in range(num_layers):
@@ -302,12 +312,11 @@ def prepare_classifier_params(params: Dict[str, Any], num_layers: int,
                 bb[f"enc_{i}"]["_mk"] = prepare_sa_block_params(bb[f"enc_{i}"])
             if qffn:
                 from mcan_vqa_tpu.ops.quant import prepare_qffn_params
+                qkv8, proj8, w4 = decode_qffn_level(qffn, D)
                 for i in range(num_layers):
                     bb[f"enc_{i}"]["_qffn"] = prepare_qffn_params(
-                        bb[f"enc_{i}"],
-                        qkv_int8=int(qffn) >= 2 or D >= 1024,
-                        proj_int8=int(qffn) >= 3,
-                        w4={4: 1, 5: 2, 6: 1, 7: 2}.get(int(qffn), 0))
+                        bb[f"enc_{i}"], qkv_int8=qkv8, proj_int8=proj8,
+                        w4=w4)
     return out
 
 
@@ -652,6 +661,22 @@ def build_production_engine(params: Dict[str, Any], num_layers: int,
         raise ValueError(
             "q8aux requires a calibration batch (act_scale_inputs) or "
             "precomputed act_scales that include the \"aux\" tuple")
+    if q8aux and not qffn:
+        # every act-scales branch below is gated on a truthy qffn level:
+        # with qffn=0 the scales would be dropped and the aux sites
+        # silently never activate while ~10-46 MB of dead _q8aux weights
+        # ride the prepared tree
+        raise ValueError(
+            "q8aux requires a quantized serving level (qffn >= 1, the "
+            "aux sites share its static-scale machinery); got qffn=0")
+    if q8aux and sga_mode not in (1, 2, True):
+        # only the per-block megakernel paths consume the decoder
+        # cross-kv aux site; mode 0 skips ALL aux sites and modes 3/4/5
+        # run bf16 cross-kv the aux scales were not calibrated against —
+        # both silently, so refuse the combination instead
+        raise ValueError(
+            f"q8aux applies to the per-block megakernel engines "
+            f"(sga_mode 1/2), got sga_mode={sga_mode}")
     prepared = prepare_production_params(params, num_layers, num_heads,
                                          qffn=qffn, alllayer=alllayer,
                                          sga_mode=sga_mode, prune=prune)
@@ -790,6 +815,13 @@ def make_serving_fn(num_layers: int, num_heads: int,
         g_sga = auto_sga_group(img_feat.shape[0], sga_group,
                                calibrated=qffn_act_scales is not None,
                                hidden=v.shape[-1])
+        # the bulk g16 was swept ONLY on the calibrated int8 kernels —
+        # any block that falls back to the bf16 megakernel (partial
+        # scales dict, B past the dynamic gate, mode 1, the mode-3/4/5
+        # experiments) keeps the latency-tuned auto group instead of
+        # inheriting an unmeasured bf16 g16 regime
+        g_bf16 = auto_sga_group(img_feat.shape[0], sga_group,
+                                calibrated=False)
         # VMEM guard: every block weight must stay resident in the
         # megakernel (bf16). MCAN-small is ~7.6 MB; MCAN-large (~27 MB)
         # falls back to the per-sub-op path.
@@ -858,7 +890,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             wp = (bb["_mk_dec"] if "_mk_dec" in bb
                   else prepare_sga_decoder_params(bb, num_layers))
             v = fused_sga_decoder(v, q, v_mask, q_mask, wp,
-                                  num_heads=num_heads, group=g_sga,
+                                  num_heads=num_heads, group=g_bf16,
                                   interpret=interpret)
         elif sga_mode in (4, 5):
             # all-layer decoder, cross k/v projected OUTSIDE as full-batch
@@ -877,7 +909,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
             vqs = jnp.concatenate(vqs, axis=1)
             v = fused_sga_decoder_extkv(v, kqs, vqs, v_mask, q_mask, wp,
                                         num_heads=num_heads,
-                                        group=g_sga,
+                                        group=g_bf16,
                                         interpret=interpret)
         elif sga_mode:
             from mcan_vqa_tpu.ops.sga_block import (
@@ -904,7 +936,7 @@ def make_serving_fn(num_layers: int, num_heads: int,
                 else:
                     v = fused_sga_block(
                         v, kq, vq, v_mask, q_mask, wp,
-                        num_heads=num_heads, group=g_sga,
+                        num_heads=num_heads, group=g_bf16,
                         fused_proj=(sga_mode == 2),
                         interpret=interpret)
         if sga_mode:

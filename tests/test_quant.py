@@ -432,6 +432,36 @@ class TestQ8AuxSites:
         assert float(jnp.max(jnp.abs(pr - pg))) < 0.04
 
 
+    def test_q8aux_rejects_inert_combinations(self):
+        """q8aux with qffn=0 (no quant level — every act-scales branch is
+        gated on a truthy qffn, so the aux sites would silently never
+        activate) or with an engine structure that skips the aux sites
+        (sga_mode 0 / the all-layer experiments) must raise, not build a
+        silently non-aux engine carrying dead _q8aux weights."""
+        import jax.numpy as jnp
+
+        from mcan_vqa_tpu.models.net import build_mcan
+        from mcan_vqa_tpu.ops.serving import build_production_engine
+        cfg = Config(hidden_size=64, layer=1, multi_head=4, flat_mlp_size=32,
+                     flat_out_size=64, img_feat_size=48, img_feat_pad_size=12,
+                     use_glove=False).finalize()
+        model = build_mcan(cfg, token_size=50, answer_size=17)
+        img = jax.random.normal(jax.random.PRNGKey(0), (4, 12, 48),
+                                jnp.float32)
+        ques = jax.random.randint(jax.random.PRNGKey(1), (4, cfg.max_token),
+                                  1, 50, jnp.int32)
+        params = model.init({"params": jax.random.PRNGKey(2)}, img, ques)[
+            "params"]
+        with pytest.raises(ValueError, match="qffn"):
+            build_production_engine(params, cfg.layer, cfg.multi_head,
+                                    qffn=0, q8aux=True,
+                                    act_scale_inputs=(img, ques))
+        for mode in (0, 4):
+            with pytest.raises(ValueError, match="sga_mode"):
+                build_production_engine(params, cfg.layer, cfg.multi_head,
+                                        q8aux=True, sga_mode=mode,
+                                        act_scale_inputs=(img, ques))
+
     def test_q8aux_requires_calibration(self):
         """q8aux without a calibration batch (or precomputed scales that
         include the "aux" tuple) must be rejected loudly."""
