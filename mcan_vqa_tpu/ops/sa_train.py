@@ -363,7 +363,7 @@ def _fwd_call(x, pad, masks, w, *, heads, group, interpret, inv_keep,
     M = G * Lq
     F = w["w1"].shape[1]
     scale = 1.0 / ((D // heads) ** 0.5)
-    blk, rep, per_g = _grid_specs(B, G, Lq, 1, D, F, heads, 1)
+    blk, rep, per_g = _grid_specs(G)
     if prng is None:
         kernel = functools.partial(_fwd_kernel, heads=heads, group=G,
                                    scale=scale, inv_keep=inv_keep)
@@ -416,7 +416,7 @@ def _bwd_call(x, x1, g, pad, masks, w, *, heads, group, interpret,
     M = G * Lq
     F = w["w1"].shape[1]
     scale = 1.0 / ((D // heads) ** 0.5)
-    blk, rep, per_g = _grid_specs(B, G, Lq, 1, D, F, heads, 1)
+    blk, rep, per_g = _grid_specs(G)
     sav_specs = [per_g(Lq, D), per_g(Lq, F)] if saved is not None else []
     if prng is None:
         if saved is not None:

@@ -826,8 +826,10 @@ def _bwd_att_kernel_prng(seed_ref, x_ref, v1_ref, kq_ref, vq_ref, gv2_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _grid_specs(B, G, Lv, Lq, D, F, H, Dh):
-    """Common BlockSpec builders."""
+def _grid_specs(G):
+    """Common BlockSpec builders. Only the packing group G shapes the
+    per-grid-step blocks; the other dims are baked into the shapes the
+    callers pass to blk/per_g directly."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -926,7 +928,7 @@ def _fwd_call(x, kq, vq, vpad, qpad, masks, w, *, heads, group, interpret,
     F = w["w1"].shape[1]
     scale = 1.0 / (Dh ** 0.5)
 
-    blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, F, H, Dh)
+    blk, rep, per_g = _grid_specs(G)
     if prng is None:
         kernel = functools.partial(_fwd_kernel, heads=H, group=G,
                                    scale=scale, inv_keep=inv_keep,
@@ -1002,7 +1004,7 @@ def _bwd_ffn_call(v2, g, masks, w, *, group, interpret, inv_keep,
     G = group
     M = G * Lv
     F = w["w1"].shape[1]
-    blk, rep, per_g = _grid_specs(B, G, Lv, 1, D, F, 1, 1)
+    blk, rep, per_g = _grid_specs(G)
     if prng is None:
         kernel = functools.partial(_bwd_ffn_kernel, group=G,
                                    inv_keep=inv_keep)
@@ -1060,7 +1062,7 @@ def _bwd_ffn_call_sav(r3, g, h1d, v2, masks, w, *, group, interpret,
     G = group
     M = G * Lv
     F = w["w1"].shape[1]
-    blk, rep, per_g = _grid_specs(B, G, Lv, 1, D, F, 1, 1)
+    blk, rep, per_g = _grid_specs(G)
     if prng is None:
         kernel = functools.partial(_bwd_ffn_kernel_sav, group=G,
                                    inv_keep=inv_keep)
@@ -1102,7 +1104,7 @@ def _bwd_att_call(x, v1, kq, vq, gv2, vpad, qpad, masks, w, *,
     G = group
     M, N = G * Lv, G * Lq
     scale = 1.0 / (Dh ** 0.5)
-    blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, 1, H, Dh)
+    blk, rep, per_g = _grid_specs(G)
     if prng is None:
         kernel = functools.partial(_bwd_att_kernel, heads=H, group=G,
                                    scale=scale, inv_keep=inv_keep,
@@ -1230,7 +1232,7 @@ def _bwd_att_call_sav(x, v1, qkv, qx, r1, r2, kq, vq, gv2, vpad, qpad,
     G = group
     M, N = G * Lv, G * Lq
     scale = 1.0 / (Dh ** 0.5)
-    blk, rep, per_g = _grid_specs(B, G, Lv, Lq, D, 1, H, Dh)
+    blk, rep, per_g = _grid_specs(G)
     sav_specs = [per_g(Lv, 3 * D), per_g(Lv, D),
                  per_g(Lv, D), per_g(Lv, D)]          # qkv, qx, r1, r2
     if prng is None:

@@ -97,7 +97,13 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
     qkv concat/split copies disappear and the optimizer runs over ~54
     leaves instead of ~260; math is identical, see
     tests/test_stacked_params.py). rng drives every
-    dropout site; pass rate=0 for a deterministic forward.
+    dropout site; pass rate=0 for a deterministic forward. Known cost:
+    rate=0 dispatches to the external-mask kernel variants and streams
+    all-ones mask tensors through them (mask operands are part of that
+    kernel signature; XLA CSEs the identical jnp.ones buffers across
+    layers, but the per-call DMA remains). Dropout-free fine-tuning at
+    large batch would warrant a third, mask-free kernel build — not
+    done: the shipped recipes all train with rate=0.1.
     in_kernel_dropout: generate the fused blocks' dropout masks with the
     TPU hardware PRNG inside the kernels (no mask generation or HBM
     mask traffic; TPU-only — the Mosaic PRNG has no CPU lowering).
@@ -130,7 +136,10 @@ def make_fused_train_forward(num_layers: int, num_heads: int,
             from mcan_vqa_tpu.ops.stacked_params import (STACKED_KEY,
                                                          enc_block,
                                                          enc_block_std)
-            st_enc = params[STACKED_KEY].get("enc")
+            # fail fast: a dec-only stacked tree would otherwise surface
+            # as an opaque NoneType subscript deep inside the traced
+            # forward (to_stacked only adds "enc" when enc_0 exists)
+            st_enc = params[STACKED_KEY]["enc"]
             st_dec = params[STACKED_KEY]["dec"]
             bb = None
         else:
