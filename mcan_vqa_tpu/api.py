@@ -21,8 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcan_vqa_tpu.data import answers as ans_mod
-from mcan_vqa_tpu.data import features as feat_mod
-from mcan_vqa_tpu.data import text as text_mod
 from mcan_vqa_tpu.models.net import build_mcan
 
 
@@ -730,15 +728,14 @@ class Predictor:
         return int(self.cfg.img_feat_size)
 
     def _prep_inputs(self, questions: Sequence[str], image_features):
-        """Host prep shared by serving and calibration: tokenize + pad
-        each per-image [R_i, F] feature block to the model's region
-        count. Returns (ques [N, T] int32, img [N, R, F] f32)."""
-        ques = text_mod.encode_questions(
-            questions, self.token_to_ix, self.cfg.max_token)
-        img = np.stack([feat_mod.pad_img_feat(
-            np.asarray(f, np.float32), self.cfg.img_feat_pad_size)
-            for f in image_features])
-        return ques, img
+        """Host prep shared by serving and calibration — and, via
+        request_prep, with the frozen-artifact loader (one
+        implementation, no live/artifact drift). Returns
+        (ques [N, T] int32, img [N, R, F] f32)."""
+        from mcan_vqa_tpu.request_prep import prep_request_inputs
+        return prep_request_inputs(
+            questions, image_features, self.token_to_ix,
+            self.cfg.max_token, self.cfg.img_feat_pad_size)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -817,12 +814,8 @@ class Predictor:
 
         target = next(b for b in self._buckets if b >= n)
         fwd, params = live[routes[target]]
-        if n < target:
-            pad = target - n
-            img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],
-                                                np.float32)])
-            ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
-                                                  np.int32)])
+        from mcan_vqa_tpu.request_prep import pad_to_bucket
+        img, ques = pad_to_bucket(img, ques, target)
         return fwd(params, img, ques), n
 
     def export_artifact(self, path: str,

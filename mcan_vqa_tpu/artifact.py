@@ -49,8 +49,7 @@ import numpy as np
 from jax import export as jax_export
 
 from mcan_vqa_tpu.data import answers as ans_mod
-from mcan_vqa_tpu.data import features as feat_mod
-from mcan_vqa_tpu.data import text as text_mod
+from mcan_vqa_tpu.request_prep import pad_to_bucket, prep_request_inputs
 
 _FORMAT_VERSION = 1
 
@@ -89,6 +88,17 @@ def save_artifact(predictor, path: str,
     lowering platforms (plain: ``("cpu", "tpu")``; fused/int8: TPU-only).
     """
     engine = predictor.engine
+    if getattr(predictor, "_mesh_live", False):
+        # the mesh predictor's forwards are jit(shard_map(...)) bound to
+        # an N-device mesh: exporting them either fails with an obscure
+        # device-count error or bakes an N-device requirement into an
+        # artifact whose loader promises "any single-device host" —
+        # refuse with the fix instead
+        raise ValueError(
+            "cannot export a mesh-built Predictor: artifacts are "
+            "single-device programs (the loader runs on any one-chip "
+            "host). Build a Predictor without mesh= for export; deploy "
+            "the artifact per chip and shard requests at the frontend")
     if platforms is None:
         platforms = ("cpu", "tpu") if engine == "plain" else ("tpu",)
     disabled = ()
@@ -152,7 +162,11 @@ def save_artifact(predictor, path: str,
     with open(os.path.join(path, "answers.json"), "w") as f:
         json.dump({str(k): v for k, v in predictor.ix_to_ans.items()}, f)
     meta = {
-        "format_version": _FORMAT_VERSION if not extra_params else 2,
+        # routed artifacts need at least format 2; max() keeps a future
+        # _FORMAT_VERSION bump from silently writing a stale version on
+        # the routed branch
+        "format_version": (max(_FORMAT_VERSION, 2) if extra_params
+                           else _FORMAT_VERSION),
         "engine": engine,
         "platforms": list(platforms),
         "buckets": [int(b) for b in predictor._buckets],
@@ -189,14 +203,15 @@ class ArtifactPredictor:
             self.token_to_ix = json.load(f)
         with open(os.path.join(path, "answers.json")) as f:
             self.ix_to_ans = json.load(f)
-        npz = np.load(os.path.join(path, "params.npz"))
-        leaves = {"base": _leaves_from_npz(npz, meta["leaf_dtypes"])}
+        # context-managed: NpzFile keeps the zip open otherwise, leaking
+        # one fd per (re)loaded artifact for the predictor's lifetime
+        with np.load(os.path.join(path, "params.npz")) as npz:
+            leaves = {"base": _leaves_from_npz(npz, meta["leaf_dtypes"])}
         for name, spec in meta.get("extra_params", {}).items():
             # format 2: auto-routed artifacts carry one param set per
             # non-base engine (int4 nibble-packed weights etc.)
-            leaves[name] = _leaves_from_npz(
-                np.load(os.path.join(path, spec["file"])),
-                spec["leaf_dtypes"])
+            with np.load(os.path.join(path, spec["file"])) as z:
+                leaves[name] = _leaves_from_npz(z, spec["leaf_dtypes"])
         self._buckets = tuple(meta["buckets"])
         routes = meta.get("routes",
                           {str(b): "base" for b in self._buckets})
@@ -213,7 +228,6 @@ class ArtifactPredictor:
             exp = jax_export.deserialize(bytearray(blob))
             self._fns[bucket] = jax.jit(exp.call)
             self._bucket_leaves[bucket] = leaves[routes[str(bucket)]]
-        self._leaves = leaves["base"]
 
     @property
     def img_feat_size(self) -> int:
@@ -235,18 +249,11 @@ class ArtifactPredictor:
         assert len(image_features) == n
         assert n <= self.max_batch, (n, self.max_batch)
         m = self.meta
-        ques = text_mod.encode_questions(
-            questions, self.token_to_ix, m["max_token"])
-        img = np.stack([feat_mod.pad_img_feat(
-            np.asarray(f, np.float32), m["img_feat_pad_size"])
-            for f in image_features])
+        ques, img = prep_request_inputs(
+            questions, image_features, self.token_to_ix, m["max_token"],
+            m["img_feat_pad_size"])
         target = next(b for b in self._buckets if b >= n)
-        if n < target:
-            pad = target - n
-            img = np.concatenate([img, np.zeros((pad,) + img.shape[1:],
-                                                np.float32)])
-            ques = np.concatenate([ques, np.zeros((pad,) + ques.shape[1:],
-                                                  np.int32)])
+        img, ques = pad_to_bucket(img, ques, target)
         return self._fns[target](self._bucket_leaves[target], img,
                                  ques), n
 

@@ -187,6 +187,15 @@ def build_mcan(cfg, token_size: int, answer_size: int,
     emb_init_fn = None
     if pretrained_emb is not None and cfg.use_glove:
         emb = np.asarray(pretrained_emb, np.float32)
+        # the init fn IGNORES the requested shape, and nn.Embed's gather
+        # CLAMPS out-of-range ids under jit — a stale embedding matrix
+        # paired with a rebuilt vocab would train/serve with silently
+        # corrupted embeddings for every new token, so fail loud here
+        assert emb.shape == (token_size, cfg.word_embed_size), (
+            f"pretrained_emb shape {emb.shape} != "
+            f"(token_size={token_size}, word_embed_size="
+            f"{cfg.word_embed_size}) — stale vocab cache or mismatched "
+            f"embedding matrix")
         emb_init_fn = lambda *_: jnp.asarray(emb)
     return MCANet(
         token_size=token_size,

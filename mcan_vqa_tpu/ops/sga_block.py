@@ -130,6 +130,18 @@ def prepare_sa_block_params(p: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def _choose_group(B: int, group: int, auto: int = 1) -> int:
+    """Effective packing group for a compiled batch: an explicit
+    group > 0 wins, otherwise ``auto`` (the caller's default policy —
+    1 for the SGA wrappers, ~128 sequence rows for the SA wrappers);
+    always reduced to divide the batch. One implementation: five
+    wrappers previously each carried their own divisor loop."""
+    g = group if group > 0 else max(1, auto)
+    while B % g:
+        g -= 1
+    return g
+
+
 def _ln(r, scale, bias):
     d = r.shape[-1]
     mean = jnp.mean(r, axis=-1, keepdims=True)
@@ -326,9 +338,7 @@ def fused_sga_block(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
     Dh = D // num_heads
     H = num_heads
     scale = 1.0 / (Dh ** 0.5)
-    G = max(1, group)
-    while B % G:
-        G -= 1
+    G = _choose_group(B, group)
 
     def flat_pad(mask, L):
         if mask is None:
@@ -581,9 +591,7 @@ def fused_sga_decoder(v, q, v_mask, q_mask, wp: Dict[str, Any], *,
     F = wp["w1"].shape[2]
     H = num_heads
     scale = 1.0 / ((D // H) ** 0.5)
-    G = max(1, group)
-    while B % G:
-        G -= 1
+    G = _choose_group(B, group)
 
     def flat_pad(mask, Lx):
         if mask is None:
@@ -749,9 +757,7 @@ def fused_sga_decoder_extkv(v, kq, vq, v_mask, q_mask, wp: Dict[str, Any], *,
     H = num_heads
     Dh = D // H
     scale = 1.0 / (Dh ** 0.5)
-    G = max(1, group)
-    while B % G:
-        G -= 1
+    G = _choose_group(B, group)
 
     def flat_pad(mask, Lx):
         if mask is None:
@@ -920,9 +926,7 @@ def fused_sa_encoder(x, x_mask, wp: Dict[str, Any], *, num_heads: int,
     F = wp["w1"].shape[2]
     H = num_heads
     scale = 1.0 / ((D // H) ** 0.5)
-    G = group if group > 0 else max(1, 128 // Lq)
-    while B % G:
-        G -= 1
+    G = _choose_group(B, group, auto=128 // Lq)
 
     if x_mask is None:
         pad = jnp.zeros((B // G, 1, G * Lq), jnp.int8)
@@ -1029,9 +1033,7 @@ def fused_sa_block(x, x_mask, wp: Dict[str, Any], *, num_heads: int,
     B, Lq, D = x.shape
     H = num_heads
     scale = 1.0 / ((D // H) ** 0.5)
-    G = group if group > 0 else max(1, 128 // Lq)
-    while B % G:
-        G -= 1
+    G = _choose_group(B, group, auto=128 // Lq)
 
     if x_mask is None:
         pad = jnp.zeros((B // G, 1, G * Lq), jnp.int8)
