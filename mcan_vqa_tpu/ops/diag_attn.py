@@ -17,7 +17,11 @@ padded MXU work and ~G x fewer softmax/dropout VPU elements.
 ``use_diag(G, L)`` decides when that is a win on the MXU's 128x128 tiles:
 per-sample [L, Dh] x [Dh, L] matmuls each pad to full tiles, so tiny L
 (the 14-token question encoder) is better off with the one big matmul,
-while L = 100 image streams win at any G > 1.
+while L = 100 image streams win at any G > 1. Note the SA wrappers'
+AUTO group is ``128 // L`` — at L in (64, 128] that resolves to G=1 and
+use_diag is False, so reaching the diag path for such streams takes an
+explicit group (the shipped streams sit elsewhere: L=60 images auto to
+G=2, L=14 questions pack without needing diag).
 
 MCAN_DIAG_SOFTMAX=0 restores the full-width path everywhere (A/B knob;
 read once at import)."""
