@@ -35,11 +35,11 @@ def _default_backend() -> str:
 
 # Measured regime boundary for the auto router (docs/PERFORMANCE.md):
 # at MCAN-large the int4 level-5 engine wins B=1 by +11-12.4% (r4, 8/9
-# rounds) but LOSES the throughput batches (r5 interleaved medians:
-# B=64 level 4 -12.1% / level 5 -17.4%, B=256 level 4 -13.9% / level 5
-# -19.0% vs calibrated level 3). The crossover between B=1 and B=64 is
-# unmeasured, so the router stays conservative: only buckets <= 4
-# (single-query latency territory) take the int4 engine.
+# rounds) but LOSES every measured throughput batch (r5 interleaved
+# medians: B=8 -7.4%, B=64 level 4 -12.1% / level 5 -17.4%, B=256
+# -13.9%/-19.0% vs calibrated level 3). The crossover is bracketed in
+# (1, 8): buckets <= 4 (single-query latency territory) take the int4
+# engine, the measured-champion boundary on both sides.
 INT4_MAX_BUCKET = 4
 INT4_MIN_HIDDEN = 1024
 # q8aux (static-int8 AUX weight sites) at B=1 on the calibrated level-3
@@ -47,8 +47,8 @@ INT4_MIN_HIDDEN = 1024
 # interleaved rounds) — but NEUTRAL stacked on int4 (14 paired rounds),
 # so it routes only where the base engine is the B<=4 champion
 # (small widths; large tiny buckets go to int4 instead). Like int4, it
-# INVERTS at throughput batches (small B=64: -5.1%, r5 session 3), so
-# the bucket boundary is measured from both sides.
+# INVERTS past B=1 (small B=8: -9.7%, B=64: -5.1%, r5 session 3), so
+# the (1, 8) crossover is bracketed from both sides.
 Q8AUX_MAX_BUCKET = 4
 
 
