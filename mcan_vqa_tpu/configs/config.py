@@ -181,8 +181,8 @@ class Config:
             f"{self.multi_head}")
         assert self.train_engine in ("auto", "fused", "plain"), \
             self.train_engine
-        # bool True tolerated for programmatic Config(stacked_params=True)
-        assert self.stacked_params in ("auto", "on", "off", True), (
+        # bools tolerated for programmatic Config(stacked_params=True/False)
+        assert self.stacked_params in ("auto", "on", "off", True, False), (
             f"stacked_params must be 'auto'/'on'/'off', "
             f"got {self.stacked_params!r}")
 
@@ -297,4 +297,11 @@ class Config:
         for p in self.mimic_qa_path.values():
             if not os.path.exists(p):
                 missing.append(p)
+        if getattr(self, "mimic_feat_source", "regions") != "regions":
+            # "anatomy"/"both" make the pooled-finding bank REQUIRED —
+            # the preflight must say so instead of passing and letting
+            # the dataset load fail later
+            ana = getattr(self, "ana_pool_finding_path", "")
+            if not (ana and os.path.exists(ana)):
+                missing.append(ana or "ana_pool_finding_path (unset)")
         return missing

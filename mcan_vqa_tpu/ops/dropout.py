@@ -68,6 +68,11 @@ def dropout(x: jnp.ndarray, rate: float, rng: jax.Array,
     """Apply (inverted, unbiased) dropout to x. Caller gates on training."""
     if rate <= 0.0:
         return x
+    if rate >= 1.0:
+        # nn.Dropout parity: everything drops. Falling through would
+        # divide by zero at bit_width=32 and keep ~1/2^bits of elements
+        # scaled by 2^bits at 8/16 bits.
+        return jnp.zeros_like(x)
     keep, inv_keep = random_keep_mask(rng, rate, x.shape, bit_width)
     return jnp.where(keep, x * jnp.asarray(inv_keep, x.dtype),
                      jnp.zeros((), x.dtype))

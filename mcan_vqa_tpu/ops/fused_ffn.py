@@ -23,6 +23,31 @@ import jax
 import jax.numpy as jnp
 
 
+def _std_ln(r, scale, bias):
+    """Bessel-corrected std-LayerNorm epilogue (models/layers.StdLayerNorm
+    parity: var/(d-1), eps on the std). The exact math the
+    reference-parity tests guard, in ONE place — previously copy-pasted
+    into every kernel body and XLA fallback in this file."""
+    d = r.shape[-1]
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    c = r - mean
+    var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
+    return scale * c / (jnp.sqrt(var) + 1e-6) + bias
+
+
+def _ffn_ln_xla(xm, w1, b1, w2, b2, ln_scale, ln_bias, out_dtype):
+    """Plain-XLA StdLayerNorm(x + MLP(x)) — the fallback every wrapper
+    uses when its rows/hidden don't tile (a silent grid under-coverage
+    would return uninitialized output rows)."""
+    h = jax.nn.relu(jnp.dot(xm.astype(jnp.bfloat16),
+                            w1.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) + b1)
+    r = xm.astype(jnp.float32) + (
+        jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b2)
+    return _std_ln(r, ln_scale, ln_bias).astype(out_dtype)
+
+
 def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    scale_ref, bias_ref, o_ref):
     # x block may be bf16 (bf16 residual stream: half the DMA) or f32;
@@ -34,12 +59,7 @@ def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y = jnp.dot(h.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32) + b2_ref[:]
     r = x + y                                             # residual, fp32
-    d = r.shape[-1]
-    mean = jnp.mean(r, axis=-1, keepdims=True)
-    c = r - mean
-    var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
-    out = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
-    o_ref[:] = out.astype(o_ref.dtype)
+    o_ref[:] = _std_ln(r, scale_ref[:], bias_ref[:]).astype(o_ref.dtype)
 
 
 def _proj_ln_kernel(res_ref, a_ref, w_ref, b_ref, scale_ref, bias_ref,
@@ -50,12 +70,7 @@ def _proj_ln_kernel(res_ref, a_ref, w_ref, b_ref, scale_ref, bias_ref,
     y = jnp.dot(a, w_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32) + b_ref[:]
     r = res_ref[:].astype(jnp.float32) + y
-    d = r.shape[-1]
-    mean = jnp.mean(r, axis=-1, keepdims=True)
-    c = r - mean
-    var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
-    out = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
-    o_ref[:] = out.astype(o_ref.dtype)
+    o_ref[:] = _std_ln(r, scale_ref[:], bias_ref[:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
@@ -79,11 +94,8 @@ def fused_proj_ln(residual, a, w, b, ln_scale, ln_bias,
         y = jnp.dot(am.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32) + b
         r = rm.astype(jnp.float32) + y
-        mean = jnp.mean(r, axis=-1, keepdims=True)
-        c = r - mean
-        var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
-        return (ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
-                ).astype(out_dtype).reshape(orig_shape)
+        return _std_ln(r, ln_scale, ln_bias
+                       ).astype(out_dtype).reshape(orig_shape)
 
     out = pl.pallas_call(
         _proj_ln_kernel,
@@ -131,11 +143,7 @@ def _ffn_ln_blocked_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     @pl.when(f == nf - 1)
     def _():
         r = x + acc_ref[:] + b2_ref[:]
-        d = r.shape[-1]
-        mean = jnp.mean(r, axis=-1, keepdims=True)
-        c = r - mean
-        var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
-        o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+        o_ref[:] = _std_ln(r, scale_ref[:], bias_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_m", "tile_f"))
@@ -152,11 +160,16 @@ def fused_ffn_ln_blocked(x, w1, b1, w2, b2, ln_scale, ln_bias,
     F = w1.shape[1]
     xm = x.reshape(-1, D)
     M = xm.shape[0]
-    while M % tile_m:
+    while tile_m > 8 and M % tile_m:
         tile_m //= 2
-    tile_m = max(tile_m, 8)
-    while F % tile_f:
+    while tile_f > 128 and F % tile_f:
         tile_f //= 2
+    if M % tile_m or F % tile_f:
+        # untileable rows/hidden: a grid of M//tile_m steps would UNDER-
+        # cover the rows and leave the tail uninitialized — fall back
+        return _ffn_ln_xla(xm.astype(jnp.float32), w1, b1, w2, b2,
+                           ln_scale, ln_bias,
+                           jnp.float32).reshape(orig_shape)
 
     out = pl.pallas_call(
         _ffn_ln_blocked_kernel,
@@ -221,11 +234,7 @@ def _ffn_ln_wstationary_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     @pl.when(f == nf - 1)
     def _():
         r = x + o_ref[:] + b2_ref[:]
-        d = r.shape[-1]
-        mean = jnp.mean(r, axis=-1, keepdims=True)
-        c = r - mean
-        var = jnp.sum(c * c, axis=-1, keepdims=True) / (d - 1)
-        o_ref[:] = scale_ref[:] * c / (jnp.sqrt(var) + 1e-6) + bias_ref[:]
+        o_ref[:] = _std_ln(r, scale_ref[:], bias_ref[:])
 
 
 @functools.partial(jax.jit,
@@ -244,8 +253,12 @@ def fused_ffn_ln_weight_stationary(x, w1, b1, w2, b2, ln_scale, ln_bias,
     M = xm.shape[0]
     while tile_m > 8 and M % tile_m:
         tile_m //= 2
-    while F % tile_f:
+    while tile_f > 128 and F % tile_f:
         tile_f //= 2
+    if M % tile_m or F % tile_f:
+        # untileable: see fused_ffn_ln_blocked — never under-cover rows
+        return _ffn_ln_xla(xm, w1, b1, w2, b2, ln_scale, ln_bias,
+                           jnp.float32).reshape(orig_shape)
 
     out = pl.pallas_call(
         _ffn_ln_wstationary_kernel,
@@ -294,17 +307,8 @@ def fused_ffn_ln(x, w1, b1, w2, b2, ln_scale, ln_bias,
         tile_m //= 2
 
     def _xla(xm):
-        h = jax.nn.relu(jnp.dot(xm.astype(jnp.bfloat16),
-                                w1.astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32) + b1)
-        r = xm.astype(jnp.float32) + (
-            jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32) + b2)
-        mean = jnp.mean(r, axis=-1, keepdims=True)
-        c = r - mean
-        var = jnp.sum(c * c, axis=-1, keepdims=True) / (D - 1)
-        return (ln_scale * c / (jnp.sqrt(var) + 1e-6) + ln_bias
-                ).astype(out_dtype).reshape(orig_shape)
+        return _ffn_ln_xla(xm, w1, b1, w2, b2, ln_scale, ln_bias,
+                           out_dtype).reshape(orig_shape)
 
     if M % tile_m:
         # rows not tileable (odd batch*length): plain XLA

@@ -273,7 +273,10 @@ def masked_attention_pallas_packed(
     scale = 1.0 / (Dh ** 0.5)
 
     if group <= 0:
-        group = max(1, 128 // max(Lq, Lk))
+        # the ONE MXU-tile packing policy (ops/packed_attention): fill
+        # ~128 rows and divide the batch
+        from mcan_vqa_tpu.ops.packed_attention import choose_pack
+        group = choose_pack(B, max(Lq, Lk))
     while B % group:
         group -= 1
 

@@ -75,19 +75,25 @@ def packed_masked_attention(
     # segment ids along the packed axes
     seg_q = jnp.repeat(jnp.arange(pack), Lq)            # [pack*Lq]
     seg_k = jnp.repeat(jnp.arange(pack), Lk)            # [pack*Lk]
-    allowed = seg_q[:, None] == seg_k[None, :]          # [pack*Lq, pack*Lk]
-
-    if mask is not None:
-        pad_k = mask[:, 0, 0, :].reshape(G, pack * Lk)  # [G, pack*Lk]
-        allowed = allowed[None, :, :] & ~pad_k[:, None, :]
-    else:
-        allowed = jnp.broadcast_to(allowed[None], (G,) + allowed.shape)
 
     scale = 1.0 / (Dh ** 0.5)
     scores = jnp.einsum(
         "ghqd,ghkd->ghqk", qp.astype(compute_dtype), kp.astype(compute_dtype),
         preferred_element_type=jnp.float32) * scale
-    scores = jnp.where(allowed[:, None, :, :], scores, _NEG_INF)
+    # Two-LEVEL masking (same scheme as the Pallas packed kernel,
+    # masked_attention.py:245): pad keys are REPLACED with -1e9 (exactly
+    # the unpacked op's where(mask, -1e9)), cross-segment positions with
+    # a strictly lower -2e9. A single collapsed mask made a
+    # fully-padded sample's row softmax uniform over ALL pack*Lk keys —
+    # mixing the other packed samples' values — whereas the unpacked op
+    # goes uniform over that sample's OWN keys only; with -1e9 > -2e9
+    # the cross contributions underflow to exactly 0 in f32 and the
+    # packed result matches the unpacked one for degenerate rows too.
+    if mask is not None:
+        pad_k = mask[:, 0, 0, :].reshape(G, pack * Lk)   # [G, pack*Lk]
+        scores = jnp.where(pad_k[:, None, None, :], _NEG_INF, scores)
+    cross = seg_q[:, None] != seg_k[None, :]             # [pack*Lq, pack*Lk]
+    scores = jnp.where(cross[None, None], 2.0 * _NEG_INF, scores)
     att = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         from mcan_vqa_tpu.ops.dropout import dropout as _dropout

@@ -64,6 +64,27 @@ class TestPackedParity:
         np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
                                    atol=1e-5)
 
+    def test_all_pad_sample_matches_unpacked(self):
+        """A sample whose keys are ALL padding (the dummy rows callers
+        pad the batch with) must produce the same (degenerate) output
+        as the unpacked op — the previous single-level mask let such a
+        row attend uniformly across the OTHER packed samples' values."""
+        q, k, v, mask = _case(4, 2, 14, 14, 32)
+        mask = mask.at[2].set(True)    # sample 2: every key padded
+        packed = packed_masked_attention(q, k, v, mask, pack=4,
+                                         compute_dtype=jnp.float32)
+        ref = masked_attention_xla(q, k, v, mask,
+                                   compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                                   atol=1e-5)
+        # and the degenerate sample must not leak neighbors' values:
+        # the uniform mix over its OWN keys is invariant to sample 3
+        v2 = v.at[3].add(50.0)
+        packed2 = packed_masked_attention(q, k, v2, mask, pack=4,
+                                          compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(packed[2]),
+                                   np.asarray(packed2[2]), atol=1e-6)
+
     def test_no_cross_sample_leakage(self):
         """Perturbing sample 0 must not change sample 1's output."""
         q, k, v, mask = _case(4, 2, 14, 14, 32)
